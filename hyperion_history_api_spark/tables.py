@@ -1,0 +1,78 @@
+"""Table catalog: load the driver-provided parquet tables for a scale
+factor directory and expose them as DataFrames / temp views.
+
+The synthetic star schema stands in for Hyperion's data model
+(SURVEY §1.1): ``events`` is the append-only history log (actions),
+``orders``/``lineitem`` the transaction/trace hierarchy, ``customer``/
+``supplier`` mutable account state, ``documents``/``embeddings`` the
+training-data corpus for the beyond-reference operators.
+
+At 100 TB the log tables are range-partitioned on a block/time prefix
+(reference: index_partition_size=10M blocks,
+elastic-routes.ts:484-486); ``sources.lake`` owns that layout. Here we
+read the driver's flat parquet as-is — partition pruning still applies
+through parquet row-group min/max pushdown on ``ts``/``event_id``.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always broadcast in joins (each is O(10-1k)
+# rows at any scale factor; region/nation are fixed-size).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    long (``spark.sql.legacy.parquet.nanosAsLong``); we restore
+    TimestampType by truncating to micros (same truncation DuckDB's
+    ns->us conversion applies, keeping oracle parity)."""
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def _load_one(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in _ns_timestamp_cols(path):
+        # integer div keeps full ns precision (double div would round)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table of the scale-factor dir as a DataFrame.
+
+    Works with ANY caller-provided session (the driver builds its own):
+    the nanos-timestamp shim conf is runtime-settable, so apply it here
+    rather than relying on session.get_spark having run.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return {name: _load_one(spark, f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (for spark.sql use)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate: run each registered
+Spark query and its DuckDB oracle on the same parquet tables, compare
+row count + schema-insensitive sorted values (order-insensitive hash).
+
+Used by tests/test_oracle_parity.py and runnable standalone:
+
+    python tests/oracle_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hyperion_history_api_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.6g}"
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errs: list[str] = []
+    sp = spark_df.toPandas()
+    if len(sp) != len(oracle_df):
+        errs.append(f"row count: spark={len(sp)} oracle={len(oracle_df)}")
+    if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, oracle_df.columns)):
+        errs.append(f"columns: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}")
+        return errs
+    a, b = _canon(sp), _canon(oracle_df.rename(columns=dict(zip(oracle_df.columns, oracle_df.columns))))
+    b.columns = a.columns  # align case
+    if len(a) == len(b):
+        neq = (a != b).any(axis=1)
+        if neq.any():
+            i = int(neq.idxmax())
+            errs.append(
+                f"values differ at canonical row {i}:\n  spark : {a.iloc[i].to_dict()}\n  oracle: {b.iloc[i].to_dict()}"
+            )
+    return errs
+
+
+def run_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+    from hyperion_history_api_spark import registry
+    from hyperion_history_api_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+    results: dict[str, list[str]] = {}
+    for name, spec in registry.all_specs().items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.spark_fn(spark, sf_dir)
+            if spec.oracle is None:
+                n = sdf.count()
+                results[name] = [] if n >= 0 else ["negative count?"]
+                continue
+            odf = con.execute(spec.oracle).df()
+            results[name] = compare(sdf, odf)
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"EXCEPTION: {type(e).__name__}: {e}"]
+    return results
+
+
+if __name__ == "__main__":
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    res = run_all(sf, only)
+    failed = {k: v for k, v in res.items() if v}
+    for k in sorted(res):
+        status = "FAIL" if res[k] else "ok"
+        print(f"{status:4} {k}")
+        for e in res[k]:
+            print(f"      {e}")
+    print(f"\n{len(res) - len(failed)}/{len(res)} passed")
+    sys.exit(1 if failed else 0)

@@ -1,0 +1,101 @@
+"""Unit tests for the query-param predicate compiler (SURVEY §2.2) and
+its cost guards (§2.6 O2/O3) — mirrors the reference's
+tests/unit/query-guards.test.ts strategy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.plans.predicates import (
+    MAX_SKIP,
+    QueryGuardError,
+    QueryParams,
+    apply_query,
+    compile_code_action_filter,
+    compile_value,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from hyperion_history_api_spark.tables import load_tables
+
+    return load_tables(spark, sf_dir)["events"]
+
+
+def test_term_equality(events):
+    n = events.where(compile_value(events["user_id"], "7", numeric=True)).count()
+    assert n == events.where(F.col("user_id") == 7).count() > 0
+
+
+def test_negation(events):
+    pred = compile_value(events["event_type"], "!click")
+    assert events.where(pred).where(F.col("event_type") == "click").count() == 0
+
+
+def test_multi_or(events):
+    pred = compile_value(events["event_type"], "click,view")
+    got = {r[0] for r in events.where(pred).select("event_type").distinct().collect()}
+    assert got == {"click", "view"}
+
+
+def test_mixed_include_exclude(events):
+    pred = compile_value(events["event_type"], "click,view,!click")
+    got = {r[0] for r in events.where(pred).select("event_type").distinct().collect()}
+    assert got == {"view"}
+
+
+def test_numeric_range(events):
+    pred = compile_value(events["value"], "50-60", numeric=True)
+    row = events.where(pred).agg(F.min("value"), F.max("value")).first()
+    assert row[0] >= 50 and row[1] <= 60
+
+
+def test_code_action_filter(events):
+    # filter=7:click,9:* semantics over (user_id, event_type)
+    pred = compile_code_action_filter(
+        F.col("user_id").cast("string"), F.col("event_type"), "7:click,9:*"
+    )
+    rows = events.where(pred).select("user_id", "event_type").distinct().collect()
+    for r in rows:
+        assert (r[0] == 7 and r[1] == "click") or r[0] == 9
+
+
+def test_skip_guard(events):
+    with pytest.raises(QueryGuardError):
+        apply_query(
+            events,
+            QueryParams(skip=MAX_SKIP + 1),
+            default_sort_field="event_id",
+        )
+
+
+def test_limit_guard(events):
+    with pytest.raises(QueryGuardError):
+        apply_query(
+            events, QueryParams(limit=5000), default_sort_field="event_id"
+        )
+
+
+def test_sort_dir_guard(events):
+    with pytest.raises(QueryGuardError):
+        apply_query(
+            events,
+            QueryParams(sort="sideways"),
+            default_sort_field="event_id",
+        )
+
+
+def test_pagination_disjoint(events):
+    """Reference e2e invariant (api-tests.ts): consecutive pages share
+    no rows when the sort is total."""
+    p1 = apply_query(
+        events, QueryParams(skip=0, limit=20), default_sort_field="event_id"
+    )
+    p2 = apply_query(
+        events, QueryParams(skip=20, limit=20), default_sort_field="event_id"
+    )
+    ids1 = {r[0] for r in p1.select("event_id").collect()}
+    ids2 = {r[0] for r in p2.select("event_id").collect()}
+    assert len(ids1) == 20 and len(ids2) == 20 and not ids1 & ids2
