@@ -1,0 +1,237 @@
+"""Registered dedup / similarity-search / language-ID queries —
+the beyond-reference training-data operators, each wired to the
+correctness gate (exact oracle where SQL-expressible, rows-only for
+the approximate/sketch paths whose exact twins bound them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import lang_scores
+from ..operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..registry import register, _t
+
+# Shared DuckDB fragment: distinct 3-gram word shingles per document.
+_DUCK_SHINGLES = """
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 1)),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+    FROM w
+)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    "dedup: MinHash+LSH near-dup pairs, exact-Jaccard verified "
+    "(oracle = brute-force all-pairs; LSH miss prob < 1e-8 at j>=0.9)",
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    WHERE a.doc_id < 40
+      AND round(len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.01
+    ORDER BY id_a, id_b
+    """,
+    "dedup: exact n-gram Jaccard (probe-restricted brute force)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard scan for a probe set (doc_id<40) at a low
+    threshold — exercises the verifier leg with non-trivial rows."""
+    docs = _t(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.01, probe_pred=F.col("doc_id") < 40
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64 signatures not reproducible in DuckDB; exact twins above bound it
+    "dedup: SimHash hamming<=3 pairs (banded pigeonhole join)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _corpus_probes(spark: SparkSession, sf_dir: str, with_label: bool = False):
+    emb = _t(spark, sf_dir)["embeddings"]
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        *(["label"] if with_label else []),
+    )
+    probes = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        *(["label"] if with_label else []),
+    )
+    return corpus, probes
+
+
+@register(
+    "embedding_ivf_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS probe_id, label, v AS pe FROM e WHERE vec_id < 5
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               round(list_dot_product(pe, v) /
+                     (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(v, v))),
+                     4) AS cosine
+        FROM probes JOIN e USING (label)
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+    "similarity: IVF cell-restricted top-k (cell = coarse-quantizer id; "
+    "exact within cell)",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: search only the probe's cell. `label` stands in for the
+    coarse-quantizer assignment; at scale the corpus table is
+    partitioned by this column and the join prunes partitions."""
+    corpus, probes = _corpus_probes(spark, sf_dir, with_label=True)
+    out = ivf_topk(corpus, probes, 5, cell_col="label")
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )
+
+
+@register(
+    "embedding_lsh_topk",
+    None,  # approximate candidate set; exact brute-force twin is the bound
+    "similarity: random-hyperplane LSH bucketed top-k (scale path)",
+)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    out = lsh_topk(corpus, probes, 5, dims=64, planes=8)
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cosine
+    FROM e a JOIN e b ON b.vec_id > a.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    "dedup: embedding-cosine near-duplicate pairs (threshold 0.5)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine as _cos
+
+    emb = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            _cos(F.col("a.e"), F.col("b.e")).alias("__c"),
+        )
+        .where(F.col("__c") >= 0.5)
+        .select("id_a", "id_b", F.round("__c", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _duck_lang_score(lang_words: list[str]) -> str:
+    # single backslash must survive into the SQL literal (DuckDB strings
+    # don't process escapes)
+    pat = r"\b(" + "|".join(lang_words) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_duck_lang_score(['the', 'a', 'of', 'and', 'to'])} AS s_en,
+               {_duck_lang_score(['el', 'la', 'de', 'los', 'que'])} AS s_es,
+               {_duck_lang_score(['le', 'la', 'les', 'des', 'que'])} AS s_fr,
+               {_duck_lang_score(['der', 'die', 'das', 'und', 'nicht'])} AS s_de,
+               {_duck_lang_score(['de', 'shi', 'le', 'bu', 'zai'])} AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
+                WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+                WHEN s_de THEN 'de' ELSE 'zh' END AS predicted,
+           CAST(greatest(s_en, s_es, s_fr, s_de, s_zh) AS INT) AS score
+    FROM scores ORDER BY doc_id LIMIT 2000
+    """,
+    "text-analysis: language-ID via stopword-marker argmax "
+    "(tie order en>es>fr>de>zh in both engines)",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    scores = lang_scores(F.col("text"))
+    ordered = ["en", "es", "fr", "de", "zh"]
+    best = F.greatest(*[scores[lang] for lang in ordered])
+    pred = F.when(scores["en"] == best, "en")
+    for lang in ordered[1:-1]:
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            pred.alias("predicted"),
+            best.cast("int").alias("score"),
+        )
+        .orderBy("doc_id")
+        .limit(2000)
+    )

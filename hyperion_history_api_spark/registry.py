@@ -73,3 +73,5 @@ from .api import stats as _stats  # noqa: E402,F401
 from .api import state as _state  # noqa: E402,F401
 from .api import tpch as _tpch  # noqa: E402,F401
 from .api import textops as _textops  # noqa: E402,F401
+from .api import dedup_sim as _dedup_sim  # noqa: E402,F401
+from .api import multimodal_q as _multimodal_q  # noqa: E402,F401

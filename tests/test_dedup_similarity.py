@@ -1,0 +1,121 @@
+"""Unit tests for dedup / similarity / multimodal operators —
+behavioral invariants the oracle gate can't see (recall vs brute
+force, embedding batch shape, stub gating)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hyperion_history_api_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from hyperion_history_api_spark.sources.multimodal import (
+    EMBED_DIM,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from hyperion_history_api_spark.tables import load_tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+
+def test_minhash_recall_equals_bruteforce(docs):
+    """LSH candidates verified by exact Jaccard must equal brute-force
+    pairs at the same threshold (recall check on planted near-dups)."""
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert lsh == brute
+    assert len(brute) > 0, "testdata should contain planted near-duplicates"
+
+
+def test_simhash_identical_token_sets_collide(docs):
+    """Invariant: equal distinct-token sets => equal signature =>
+    hamming 0. (Near-dup pairs with token-set JACCARD=1 must be found;
+    weaker pairs may legitimately land far apart on tiny documents,
+    where per-bit votes hover near zero.)"""
+    exact_token_dups = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_n=1, threshold=1.0
+        ).collect()
+    }
+    assert exact_token_dups, "testdata should contain token-set-identical pairs"
+    zero_ham = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "text", "doc_id", max_hamming=0).collect()
+    }
+    assert exact_token_dups <= zero_ham
+
+
+def test_lsh_topk_subset_of_bruteforce_corpus(emb):
+    """Every LSH hit must be a real corpus vector with the same cosine
+    the brute-force path computes (approximation affects candidate
+    set, never scores)."""
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    brute = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in brute_force_topk(emb, probes, 1000).collect()
+    }
+    for r in lsh_topk(emb, probes, 5, dims=64, planes=8).collect():
+        assert brute[(r.probe_id, r.vec_id)] == r.cosine
+
+
+def test_multimodal_feature_schema_and_determinism(spark, docs):
+    feats = extract_features(documents_as_media(docs)).limit(50).collect()
+    assert feats
+    for r in feats:
+        assert len(r.embedding) == EMBED_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.embedding)
+    # digest matches a local md5 of the same payload
+    sample = documents_as_media(docs).select("media_id", "payload").first()
+    got = [r for r in feats if r.media_id == sample.media_id]
+    if got:
+        assert got[0].digest == hashlib.md5(bytes(sample.payload)).hexdigest()
+
+
+def test_multimodal_real_decode_gated(spark, docs):
+    media = documents_as_media(docs)
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_counts(spark, docs):
+    media = documents_as_media(docs.where(F.col("doc_id") < 20))
+    frames = frame_sample(media, every_ms=1000)
+    per_doc = {
+        r.media_id: r.cnt
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in media.select("media_id", "meta.duration_ms").collect():
+        expected = max(r.duration_ms // 1000, 1)
+        assert per_doc[r.media_id] == expected
