@@ -1,0 +1,337 @@
+"""Oracle-backed queries for the streaming / sink / repair operator
+families (SURVEY §2.9 T1-T3, §2.1 S6-S8+S11, §2.2 P4/P7/P9, §2.6 O4,
+§5 repair scans).
+
+Each entry exercises one operator through the registry's
+DuckDB-hash-match gate. The streaming operators themselves live in
+``..streaming``; these queries run their batch-equivalent plans (a
+Structured Streaming query and its batch twin share the same Catalyst
+plan, so the oracle checks the semantics that the stream executes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register, _t
+from ..streaming.filters import RequestFilter, StreamRequest, compile_request
+from ..streaming.missed_blocks import find_missing_ranges
+from ..streaming.state_store import fork_retract, merge_update_by_block
+
+
+@register(
+    "stream_filter_and",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100
+      AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+    ORDER BY event_id LIMIT 1000
+    """,
+    "T1 stream filters, filter_op=and (streamFunctions.ts:58-73; "
+    "checkMetaFilter common_functions.ts:301-331)",
+)
+def stream_filter_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription: contract routing key + two field filters ANDed;
+    the ``k`` field resolves through the JSON payload fallback."""
+    ev = _t(spark, sf_dir)["events"]
+    req = StreamRequest(
+        contract="purchase",
+        filters=(
+            RequestFilter("value", 100, "gt"),
+            RequestFilter("k", 50, "gte"),
+        ),
+    )
+    return (
+        ev.where(compile_request(ev, req))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@register(
+    "stream_filter_or",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE CAST(user_id AS VARCHAR) = '3'
+      AND (event_type LIKE 'err%' OR value > 195)
+    ORDER BY event_id LIMIT 1000
+    """,
+    "T1 stream filters, filter_op=or (streamFunctions.ts:66-70)",
+)
+def stream_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notified-account routing + OR'd filters (starts_with | gt)."""
+    ev = _t(spark, sf_dir)["events"]
+    req = StreamRequest(
+        account="3",
+        filter_op="or",
+        filters=(
+            RequestFilter("event_type", "err", "starts_with"),
+            RequestFilter("value", 195, "gt"),
+        ),
+    )
+    return (
+        ev.where(compile_request(ev, req))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@register(
+    "stream_filter_asset",
+    """
+    SELECT event_id, value
+    FROM (
+        SELECT event_id, value,
+               CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS sym
+        FROM events
+    )
+    WHERE sym = 'EOS' AND round(value, 2) >= 150
+    ORDER BY event_id LIMIT 1000
+    """,
+    "T1 asset-aware filter compare (common_functions.ts:294-299)",
+)
+def stream_filter_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-aware compare on an ``"<amount> <symbol>"`` string: only
+    rows whose symbol matches the filter's ``asset`` are compared
+    numerically; other symbols never match."""
+    ev = _t(spark, sf_dir)["events"]
+    assetized = ev.withColumn(
+        "quantity",
+        F.concat(
+            F.round("value", 2).cast("string"),
+            F.lit(" "),
+            F.when(F.col("event_id") % 2 == 0, "EOS").otherwise("SYS"),
+        ),
+    )
+    flt = RequestFilter("quantity", 150, "gte", asset="EOS")
+    req = StreamRequest(filters=(flt,))
+    return (
+        assetized.where(compile_request(assetized, req))
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@register(
+    "v1_pos_offset_tail",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type FROM events
+        WHERE user_id = 5 ORDER BY event_id DESC LIMIT 20
+    ) ORDER BY event_id ASC
+    """,
+    "O4 v1 pos/offset semantics: pos=-1, offset=-20 = last 20 asc "
+    "(v1-history/get_actions.ts:179-196,306-321)",
+)
+def v1_pos_offset_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 get_actions tail slice: negative pos anchors at the end of
+    the account's history; the page is returned in ascending order."""
+    ev = _t(spark, sf_dir)["events"]
+    tail = (
+        ev.where(F.col("user_id") == 5)
+        .select("event_id", "user_id", "event_type")
+        .orderBy(F.col("event_id").desc())
+        .limit(20)
+    )
+    return tail.orderBy(F.col("event_id").asc())
+
+
+@register(
+    "repair_missing_ranges",
+    """
+    SELECT gap_start, gap_end, missing
+    FROM (
+        SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+               event_id - prev - 1 AS missing
+        FROM (
+            SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE prev IS NOT NULL AND event_id > prev + 1
+    ) ORDER BY gap_start LIMIT 1000
+    """,
+    "repair CLI missing-range scan (repair-cli/scan.ts:298-333) as one "
+    "lag() window pass",
+)
+def repair_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every gap in the purchase-event id sequence in one set-based
+    pass — replaces the reference's driver-side binary search."""
+    ev = _t(spark, sf_dir)["events"].where(F.col("event_type") == "purchase")
+    return (
+        find_missing_ranges(ev, "event_id")
+        .orderBy("gap_start")
+        .limit(1000)
+    )
+
+
+@register(
+    "state_merge_tombstones",
+    """
+    SELECT user_id, last_event_id, last_type, last_value
+    FROM (
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               round(value, 4) AS last_value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+                   AS rn
+        FROM events
+    ) WHERE rn = 1 AND last_type <> 'error'
+    ORDER BY user_id
+    """,
+    "S6+S7 updateByBlock MERGE with present=0 delete "
+    "(updateByBlock.painless.ts:3-30; elastic-routes.ts:30-34)",
+)
+def state_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history merge into current state: winner per user = highest
+    event_id; users whose winning row is a tombstone (event_type =
+    'error' => present=0) are deleted from the state table."""
+    ev = _t(spark, sf_dir)["events"]
+    updates = ev.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+        F.when(F.col("event_type") == "error", 0).otherwise(1).alias("present"),
+    )
+    state = merge_update_by_block(
+        None, updates, ["user_id"], block_col="last_event_id", present_col="present"
+    )
+    return state.drop("present").orderBy("user_id")
+
+
+@register(
+    "fork_retraction",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    WHERE event_id // 100 NOT IN (5, 17, 23)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "S11 fork rollback: deleteByQuery(block_id) -> broadcast anti-join "
+    "(state-reader.ts:863-890)",
+)
+def fork_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract three forked blocks (block = event_id div 100) from the
+    log, then aggregate the surviving rows."""
+    ev = _t(spark, sf_dir)["events"].withColumn(
+        "block_num", (F.col("event_id") / 100).cast("long")
+    )
+    forked = spark.createDataFrame([(5,), (17,), (23,)], "block_num: long")
+    kept = fork_retract(ev, forked, on="block_num")
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "account_disjunction",
+    """
+    SELECT event_id, user_id
+    FROM events
+    WHERE user_id = 7 OR CAST(json_extract_string(props, '$.k') AS BIGINT) = 7
+    ORDER BY event_id LIMIT 1000
+    """,
+    "P7 account involvement disjunction over multiple fields "
+    "(functions.ts:195-203, definitions.ts:1-5)",
+)
+def account_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``account=x`` matches any involvement column: direct actor OR
+    referenced in the payload — the OR-of-fields shape of the
+    reference's [notified, receipts.receiver, authorization.actor]."""
+    ev = _t(spark, sf_dir)["events"]
+    involved = (F.col("user_id") == 7) | (
+        F.get_json_object("props", "$.k").cast("long") == 7
+    )
+    return ev.where(involved).select("event_id", "user_id").orderBy("event_id").limit(1000)
+
+
+@register(
+    "array_and_membership",
+    """
+    SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING bool_or(l_suppkey = 1) AND bool_or(l_suppkey = 2)
+    ORDER BY l_orderkey
+    """,
+    "P4 space-AND array membership (functions.ts:171-177)",
+)
+def array_and_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose supplier set contains BOTH suppliers 1 and 2 — the
+    ``f=v1 v2`` grammar over an array column, built here by grouping
+    the trace-level table to its transaction grain."""
+    li = _t(spark, sf_dir)["lineitem"]
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("suppliers")
+    )
+    return (
+        grouped.where(
+            F.array_contains("suppliers", 1) & F.array_contains("suppliers", 2)
+        )
+        .select(
+            "l_orderkey", F.size("suppliers").cast("long").alias("n_suppliers")
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "fuzzy_memo_match",
+    """
+    SELECT lang, count(*) AS n_match
+    FROM documents
+    WHERE len(list_filter(string_split(lower(text), ' '),
+                          w -> levenshtein(w, 'model') <= 1)) > 0
+    GROUP BY lang ORDER BY lang
+    """,
+    "P9 fuzzy match on memo text (functions.ts:154-169) — edit-distance "
+    "token match; exact ES fuzziness semantics documented as divergent",
+)
+def fuzzy_memo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level fuzzy match: any whitespace token within edit
+    distance 1 of the query term. ES ``match``+fuzziness applies
+    per-analyzed-token AUTO distance; we pin distance<=1 in both
+    engines so the oracle is exact."""
+    docs = _t(spark, sf_dir)["documents"]
+    has_match = F.exists(
+        F.split(F.lower("text"), " "),
+        lambda w: F.levenshtein(w, F.lit("model")) <= 1,
+    )
+    return (
+        docs.where(has_match)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_match"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "stream_replay_page",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_id >= (SELECT max(event_id) - 1000 FROM events)
+    ORDER BY event_id ASC LIMIT 500
+    """,
+    "T2+T3 history replay first scroll page with relative start_from "
+    "(socketManager.ts:547-640; functions.ts:725-777)",
+)
+def stream_replay_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First keyset page of a ``start_from: -1000`` replay: resolve the
+    relative offset against head, then ascending scroll of 500."""
+    ev = _t(spark, sf_dir)["events"]
+    head = ev.agg(F.max("event_id")).first()[0]
+    start = int(head) - 1000
+    return (
+        ev.where(F.col("event_id") >= start)
+        .select("event_id", "user_id", "event_type")
+        .orderBy(F.col("event_id").asc())
+        .limit(500)
+    )

@@ -75,3 +75,4 @@ from .api import tpch as _tpch  # noqa: E402,F401
 from .api import textops as _textops  # noqa: E402,F401
 from .api import dedup_sim as _dedup_sim  # noqa: E402,F401
 from .api import multimodal_q as _multimodal_q  # noqa: E402,F401
+from .api import streamq as _streamq  # noqa: E402,F401

@@ -1,0 +1,217 @@
+"""Stream-subscription filter compiler (SURVEY §2.9 T1, §2.3 J6).
+
+Re-expresses Hyperion's live-stream server-side filters as PySpark
+Column predicates:
+
+- ``RequestFilter`` operator table (eq, ne, gt, gte, lt, lte, contains,
+  starts_with, ends_with) with unit-aware ``asset`` comparison —
+  reference ``src/indexer/helpers/common_functions.ts:260-339``
+  (checkMetaFilter).
+- AND/OR combination via ``filter_op`` — reference
+  ``src/api/helpers/streamFunctions.ts:58-94`` (checkActionFilters /
+  checkDeltaFilters: ``every`` vs ``some``).
+- Field fallback: a dotted field that is not a real column resolves
+  into the JSON payload column (``data.*`` fallback and the
+  ``@action``/``@table`` promoted-field convention) — reference
+  ``common_functions.ts:265-283``.
+- Request routing keys: (contract, action) + notified-account for
+  actions; (code, table) + payer + scope for deltas — reference
+  ``src/api/socketManager.ts:409-495``, ``ws-router.ts:147-241``.
+
+Everything compiles to native Column expressions, so one streaming
+query can serve many subscriptions: build one disjunction for the scan
+filter and tag each row with the matching request UUIDs
+(``matching_requests``), exactly the fan-out the reference's ws-router
+does in JS — but vectorized and JVM-side.
+
+Divergence note: the reference coerces falsy field values to "missing"
+(JS ``if (!fieldValue)``), so ``0``/``""`` never reach the operator.
+We treat only NULL as missing — documented, strictly more correct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPERATORS = frozenset(
+    {"eq", "ne", "gt", "gte", "lt", "lte", "contains", "starts_with", "ends_with"}
+)
+
+
+@dataclass(frozen=True)
+class RequestFilter:
+    """One field filter of a stream subscription
+    (``src/interfaces/stream-requests.ts:1-6``)."""
+
+    field: str
+    value: str | int | float | bool
+    operator: str = "eq"
+    asset: str | None = None
+
+
+@dataclass(frozen=True)
+class StreamRequest:
+    """A live subscription (StreamActionsRequest / StreamDeltasRequest,
+    ``src/interfaces/stream-requests.ts:25-49``). Routing keys that are
+    empty/``"*"`` match everything, as in the reference's wildcard maps.
+    """
+
+    contract: str = "*"  # actions: act.account | deltas: code
+    action: str = "*"  # actions: act.name    | deltas: table
+    account: str = ""  # actions: notified membership | deltas: payer
+    scope: str = ""  # deltas only
+    start_from: int | None = None
+    read_until: int | None = None
+    filter_op: str = "and"
+    filters: tuple[RequestFilter, ...] = dc_field(default_factory=tuple)
+
+
+def _resolve_field(
+    df: DataFrame, dotted: str, json_fallback_col: str | None
+) -> tuple[Column, bool]:
+    """Resolve a dotted field to a Column.
+
+    Returns (column, is_json): real (possibly nested) columns are used
+    directly; unknown fields fall back to ``get_json_object`` on the
+    JSON payload column, mirroring the reference's ``data.*`` /
+    ``@field`` fallback (common_functions.ts:265-283). ``@`` prefixes
+    strip to the payload root.
+    """
+    root = dotted.split(".", 1)[0]
+    if root in df.columns:
+        return F.col(dotted), False
+    path = dotted[1:] if dotted.startswith("@") else dotted
+    # drop the promoted-table/action prefix: "@transfer.amount" -> data.amount
+    if dotted.startswith("@") and "." in path:
+        path = path.split(".", 1)[1]
+    if json_fallback_col is None:
+        raise ValueError(f"unknown field {dotted!r} and no JSON fallback column")
+    return F.get_json_object(F.col(json_fallback_col), f"$.{path}"), True
+
+
+def compile_filter(
+    df: DataFrame, flt: RequestFilter, *, json_fallback_col: str | None = "props"
+) -> Column:
+    """Compile one RequestFilter to a boolean Column.
+
+    Operator semantics per checkMetaFilter (common_functions.ts:301-331);
+    ``asset`` compare splits ``"1.0000 EOS"`` and compares the amount
+    numerically only when the symbol matches (lines 294-299).
+    """
+    if flt.operator not in _OPERATORS:
+        raise ValueError(f"unknown operator {flt.operator!r}")
+    col, is_json = _resolve_field(df, flt.field, json_fallback_col)
+    value: Column = F.lit(flt.value)
+    if flt.asset:
+        # "<amount> <symbol>": numeric compare gated on symbol equality
+        parts = F.split(col, " ")
+        symbol_ok = parts.getItem(1) == F.lit(flt.asset)
+        col = F.when(symbol_ok, parts.getItem(0).cast("double")).otherwise(F.lit(None))
+    elif is_json and isinstance(flt.value, (int, float)) and not isinstance(flt.value, bool):
+        col = col.cast("double")
+        value = F.lit(float(flt.value))
+    op = flt.operator
+    if op == "eq":
+        pred = col == value
+    elif op == "ne":
+        pred = col != value
+    elif op == "gt":
+        pred = col > value
+    elif op == "gte":
+        pred = col >= value
+    elif op == "lt":
+        pred = col < value
+    elif op == "lte":
+        pred = col <= value
+    elif op == "contains":
+        pred = col.cast("string").contains(F.lit(str(flt.value)))
+    elif op == "starts_with":
+        pred = col.cast("string").startswith(str(flt.value))
+    else:  # ends_with
+        pred = col.cast("string").endswith(str(flt.value))
+    # NULL field => no match (reference: missing field fails a truthy value)
+    return F.coalesce(pred, F.lit(False))
+
+
+@dataclass(frozen=True)
+class StreamSchema:
+    """Column mapping from the engine's row layout to the reference's
+    routing fields. Defaults fit the synthetic ``events`` table."""
+
+    contract_col: str = "event_type"  # act.account / code
+    action_col: str | None = None  # act.name / table
+    account_col: str = "user_id"  # notified / payer (scalar or array col)
+    scope_col: str | None = None
+    seq_col: str = "event_id"  # block_num / global_sequence
+    json_col: str | None = "props"
+
+
+def compile_request(
+    df: DataFrame, req: StreamRequest, schema: StreamSchema = StreamSchema()
+) -> Column:
+    """Compile a full subscription to one boolean Column.
+
+    Routing-key predicates AND together (socketManager.ts:409-450:
+    contract/action map lookup, notified membership, scope guard), then
+    the filter list applies with ``filter_op`` every/some semantics
+    (streamFunctions.ts:58-94).
+    """
+    preds: list[Column] = []
+    if req.contract and req.contract != "*":
+        preds.append(F.col(schema.contract_col) == req.contract)
+    if req.action and req.action != "*" and schema.action_col:
+        preds.append(F.col(schema.action_col) == req.action)
+    if req.account:
+        acc = F.col(schema.account_col)
+        acc_t = dict(df.dtypes).get(schema.account_col, "")
+        if acc_t.startswith("array"):
+            preds.append(F.array_contains(acc, req.account))
+        else:
+            preds.append(acc.cast("string") == str(req.account))
+    if req.scope and schema.scope_col:
+        preds.append(F.col(schema.scope_col) == req.scope)
+    if req.start_from is not None:
+        preds.append(F.col(schema.seq_col) >= F.lit(req.start_from))
+    if req.read_until is not None and req.read_until != 0:
+        preds.append(F.col(schema.seq_col) < F.lit(req.read_until))
+    if req.filters:
+        fps = [
+            compile_filter(df, f, json_fallback_col=schema.json_col)
+            for f in req.filters
+        ]
+        combined = fps[0]
+        for p in fps[1:]:
+            combined = (combined | p) if req.filter_op == "or" else (combined & p)
+        preds.append(combined)
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def route_to_subscribers(
+    df: DataFrame,
+    requests: dict[str, StreamRequest],
+    schema: StreamSchema = StreamSchema(),
+) -> DataFrame:
+    """Tag each row with the request UUIDs it matches and drop rows that
+    match none — the vectorized form of the ws-router fan-out
+    (ws-router.ts:147-241: one pass per event over the subscription
+    maps). One wide boolean projection per request keeps this a single
+    whole-stage-codegen pass over the stream; at 100 TB this is a
+    narrow map, no shuffle.
+    """
+    tags = F.array(
+        *[
+            F.when(compile_request(df, r, schema), F.lit(uuid))
+            for uuid, r in requests.items()
+        ]
+    )
+    return df.withColumn(
+        "matching_requests", F.array_compact(tags)
+    ).where(F.size("matching_requests") > 0)

@@ -1,0 +1,165 @@
+"""Structured-Streaming ingest pipeline (SURVEY §3.2, §2.1 S1-S5, §2.4
+A13, §2.9 T2-T4).
+
+The reference's four-process pipeline (state-reader -> RabbitMQ ->
+deserializer -> ds-pool -> indexer; ``src/indexer/modules/master.ts``,
+``workers/state-reader.ts``, ``workers/deserializer.ts``) collapses to
+ONE streaming query here: the RabbitMQ hops are Spark shuffles, the
+master's range assignment is the file-source's partition planning, and
+the ES bulk writers are ``foreachBatch`` sinks.
+
+- Source (S1-S3): ``readStream`` over the raw event parquet directory
+  — stand-in for the SHIP WebSocket feed. ``maxFilesPerTrigger``
+  mirrors the reference's in-flight window (``max_messages_in_flight``
+  = 50, state-reader.ts:117); a Kafka source drops in unchanged.
+- Decode (S4): ``from_json`` promotes the raw JSON payload to typed
+  columns — the vectorized analogue of the abieos decode
+  (deserializer.ts:893-906); the per-contract ABI as-of variant lives
+  in ``operators/asof.py``.
+- Ingest filters (P15): broadcast blacklist/whitelist applied in-stream
+  (base-parser.ts:40-70).
+- Rollups (A13): per-block trx_count/usage sums (deserializer.ts:
+  317-415) as a streaming aggregation with watermark.
+- Sinks (S5-S8): ``foreachBatch`` fans one micro-batch out to (a) the
+  append-only action log, partitioned by block_part and sorted within
+  partitions by sequence — the lake layout of SURVEY §1.3 — and (b)
+  MERGE-maintained state via :class:`ParquetStateStore`.
+
+At 100 TB: the append sink is a narrow write (no shuffle — file-source
+partitions map straight to output files); only the state merge
+shuffles, on the natural key. Watermark bounds rollup state; AQE
+handles skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import EVENTS_SCHEMA_RAW, normalize_events
+from .state_store import ParquetStateStore
+
+# block grouping for the synthetic feed: event_id ~ global_sequence,
+# BLOCK_SIZE events per "block"; partition = floor(block/PARTITION_BLOCKS)
+# (elastic-routes.ts:484-486, index_partition_size)
+BLOCK_SIZE = 100
+PARTITION_BLOCKS = 100
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1/S3: the raw feed as a file stream (one parquet = the backlog;
+    live operation appends files / swaps in Kafka)."""
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA_RAW)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_events(reader.load(sf_dir))
+
+
+def decode_and_enrich(
+    raw: DataFrame, *, blacklist: list[str] | None = None
+) -> DataFrame:
+    """S4 + P15: promote JSON payload to typed columns, derive block
+    keys, drop blacklisted "contracts" (event_types).
+
+    All narrow, whole-stage-codegen operations — the hot path has no
+    Python and no shuffle.
+    """
+    out = (
+        raw.withColumn("props_t", F.from_json("props", PROPS_SCHEMA))
+        .withColumn("block_num", (F.col("event_id") / BLOCK_SIZE).cast("long"))
+        .withColumn(
+            "block_part", (F.col("block_num") / PARTITION_BLOCKS).cast("long")
+        )
+        .withColumn("k", F.col("props_t.k"))
+        .drop("props_t")
+    )
+    if blacklist:
+        out = out.where(~F.col("event_type").isin(blacklist))  # P15 must_not
+    return out
+
+
+def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """A13: per-block totals (trx_count, usage sums) as a streaming agg.
+
+    The watermark bounds state exactly where the reference relies on
+    strictly-sequential block application (state-reader.ts:686-727):
+    once a block's time passes the watermark no more rows can join it.
+    """
+    src = decoded
+    if decoded.isStreaming:
+        src = decoded.withWatermark("ts", watermark)
+    return src.groupBy("block_num").agg(
+        F.count("*").alias("trx_count"),
+        F.round(F.sum("value"), 4).alias("total_usage"),
+        F.min("ts").alias("block_time"),
+    )
+
+
+def run_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    blacklist: list[str] | None = None,
+) -> dict[str, str]:
+    """One availableNow pass of the full pipeline: source -> decode ->
+    filter -> multi-sink foreachBatch (append log + state MERGE +
+    rollups). Returns the sink paths.
+
+    foreachBatch is the reference's indexer worker (§3.2 step 4): each
+    micro-batch is one "bulk", idempotent via natural keys, with the
+    updateByBlock guard inside the state merge.
+    """
+    log_path = os.path.join(out_dir, "action_log")
+    state = ParquetStateStore(
+        spark,
+        os.path.join(out_dir, "user_state"),
+        keys=["user_id"],
+        block_col="event_id",
+    )
+    rollup_path = os.path.join(out_dir, "block_rollups")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            # S5: append-only log, partitioned for pruning, sorted for top-K
+            (
+                batch.repartition("block_part")
+                .sortWithinPartitions("event_id")
+                .write.mode("append")
+                .partitionBy("block_part")
+                .parquet(log_path)
+            )
+            # S6: latest-state upsert per user (updateByBlock semantics)
+            state.apply_batch(batch)
+            # A13: block rollups appended per batch (batch-local blocks —
+            # the feed is block-ordered like the reference's queues)
+            block_rollups(batch).write.mode("append").parquet(rollup_path)
+        finally:
+            batch.unpersist()
+
+    stream = read_event_stream(spark, sf_dir)
+    decoded = decode_and_enrich(stream, blacklist=blacklist)
+    q = (
+        decoded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "action_log": log_path,
+        "user_state": os.path.join(out_dir, "user_state", "snapshot"),
+        "block_rollups": rollup_path,
+    }

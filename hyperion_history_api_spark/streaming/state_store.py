@@ -1,0 +1,161 @@
+"""Mergeable current-state tables (SURVEY §2.1 S6-S8, S11-S12).
+
+Hyperion maintains mutable state (accounts/voters/proposals/permissions/
+dynamic contract tables) via Elasticsearch scripted upserts and Mongo
+bulkWrite:
+
+- ``updateByBlock`` guard: an incoming doc is applied only if its
+  ``block_num`` >= the stored one (stale replays are dropped) —
+  reference ``src/indexer/definitions/updateByBlock.painless.ts:3-30``,
+  wired at ``src/indexer/helpers/elastic-routes.ts:23-28``.
+- ``present == 0`` deletes the row (table-row removal) —
+  ``elastic-routes.ts:30-34,118-126``.
+- Fork rollback deletes everything from forked block ids —
+  ``src/indexer/workers/state-reader.ts:469-599,863-890`` (S11).
+- Retention pruning drops partitions older than ``max_retained_blocks``
+  — ``src/indexer/modules/lifecycleManager.ts`` (S12).
+
+Spark-first re-expression: state = ``merge`` of (current snapshot ∪
+update batch) reduced to the max-block row per natural key — a
+shuffle-on-key window dedup, the exact logical plan a Delta ``MERGE
+WHEN MATCHED AND s.block_num >= t.block_num`` compiles to. On a real
+lake this writes Delta; here the ``ParquetStateStore`` snapshots to
+parquet per micro-batch (atomic swap via write-then-rename), which is
+the same plan shape at any scale: the merge shuffles only on the
+natural key, AQE handles skewed keys, and the snapshot stays
+partitioned by key hash.
+
+Divergence note: the painless script merges field-by-field and removes
+null fields; we replace the whole row (columnar world — partial-doc
+updates don't exist in a fixed-schema lake). Reference rows are always
+full docs in practice (mongo-routes.ts builds complete documents), so
+results match.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_update_by_block(
+    current: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    *,
+    block_col: str = "block_num",
+    present_col: str | None = None,
+) -> DataFrame:
+    """Apply one update batch to the current state snapshot.
+
+    Winner per key = highest ``block_col``; on a tie the update wins
+    (the painless guard is ``>=``, updateByBlock.painless.ts:5-9).
+    Rows whose winning version has ``present_col == 0`` are deleted
+    (elastic-routes.ts:30-34).
+
+    Scale: one hash shuffle on ``keys``; map-side the window is a
+    partial top-1, so this is the minimal plan for keyed last-writer-
+    wins. Updates within a batch also dedup here (the reference relies
+    on queue ordering instead).
+    """
+    tagged = updates.withColumn("__is_update", F.lit(1))
+    if current is not None:
+        cur = current.withColumn("__is_update", F.lit(0))
+        tagged = cur.unionByName(tagged, allowMissingColumns=False)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(block_col).desc(), F.col("__is_update").desc())
+    )
+    out = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__is_update")
+    )
+    if present_col is not None:
+        out = out.where(F.col(present_col) != 0)
+    return out
+
+
+def fork_retract(
+    df: DataFrame, forked: DataFrame, on: str = "block_id"
+) -> DataFrame:
+    """Remove all rows written by forked blocks (S11).
+
+    ``state-reader.ts:863-890`` issues a deleteByQuery per forked
+    block id across action/delta/block indices; the Spark form is a
+    broadcast anti-join (the fork set is tiny — a few blocks around the
+    fork point), so no shuffle of the big side.
+    """
+    return df.join(F.broadcast(forked.select(on).distinct()), on=on, how="left_anti")
+
+
+def prune_retention(
+    df: DataFrame,
+    head_block: int,
+    max_retained_blocks: int,
+    *,
+    block_col: str = "block_num",
+) -> DataFrame:
+    """Keep only blocks newer than head - max_retained_blocks (S12,
+    lifecycleManager.ts). On a partitioned lake this predicate prunes
+    whole partitions (block_part = floor(block/P))."""
+    return df.where(F.col(block_col) > F.lit(head_block - max_retained_blocks))
+
+
+class ParquetStateStore:
+    """A MERGE-maintained state table snapshotted to parquet.
+
+    The ``foreachBatch`` target for streaming ingest (SURVEY §3.2 step
+    4): each micro-batch merges via :func:`merge_update_by_block` and
+    atomically swaps the snapshot directory. On a production lake the
+    same ``apply_batch`` body is a Delta ``MERGE`` — the store isolates
+    that choice behind one class.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        *,
+        block_col: str = "block_num",
+        present_col: str | None = None,
+        num_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.block_col = block_col
+        self.present_col = present_col
+        self.num_buckets = num_buckets
+
+    def current(self) -> DataFrame | None:
+        live = os.path.join(self.path, "snapshot")
+        if not os.path.exists(live):
+            return None
+        return self.spark.read.parquet(live)
+
+    def apply_batch(self, updates: DataFrame) -> None:
+        merged = merge_update_by_block(
+            self.current(),
+            updates,
+            self.keys,
+            block_col=self.block_col,
+            present_col=self.present_col,
+        )
+        # repartition on key => co-located future merges and point reads
+        merged = merged.repartition(self.num_buckets, *self.keys)
+        tmp = os.path.join(self.path, f"tmp-{uuid.uuid4().hex}")
+        merged.write.mode("overwrite").parquet(tmp)
+        live = os.path.join(self.path, "snapshot")
+        old = os.path.join(self.path, f"old-{uuid.uuid4().hex}")
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(tmp, live)
+        if os.path.exists(old):
+            shutil.rmtree(old)

@@ -1,0 +1,101 @@
+"""History replay -> live switchover (SURVEY §2.9 T2-T4).
+
+A reference stream subscription with ``start_from`` in the past first
+replays history (ES scroll in block_num asc order, batches of
+``stream_scroll_batch``=500 with client acks), then attaches the live
+feed from ``lastTransmittedBlock`` — ``src/api/socketManager.ts:
+547-640``, ``src/api/helpers/functions.ts:79-318``.
+
+Spark-first: the history phase is a sorted batch query served in keyset
+pages (no offset-scan: each page seeks ``seq > cursor``, which prunes
+partitions and row groups); the live phase is a streaming query
+filtered to ``seq > last_transmitted``. The gap-healing re-run of
+history from ``lastTransmittedBlock`` (socketManager.ts:584-615) is the
+cursor handoff between the two phases.
+
+Relative offsets (T3, ``start_from: -N`` = head-N,
+functions.ts:725-777) resolve against the current head before the
+history phase.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# api.stream_scroll_batch default (functions.ts:20)
+SCROLL_BATCH = 500
+
+
+def resolve_start_from(df: DataFrame, seq_col: str, start_from: int) -> int:
+    """T3: negative start_from is relative to head (head - N)."""
+    if start_from >= 0:
+        return start_from
+    head = df.agg(F.max(seq_col)).first()[0]
+    return max(int(head) + start_from, 0)
+
+
+@dataclass
+class ReplayResult:
+    pages: Iterator[list]
+    last_transmitted: list  # mutable cell [int]
+
+
+def replay_history(
+    df: DataFrame,
+    seq_col: str,
+    start_from: int,
+    read_until: int | None = None,
+    predicate: Column | None = None,
+    batch: int = SCROLL_BATCH,
+) -> ReplayResult:
+    """History phase: keyset-paged ascending replay.
+
+    Each page filters ``seq > cursor`` and takes the next ``batch``
+    rows — the scroll loop of functions.ts:158-318 with the ack
+    boundary between pages. ``last_transmitted`` updates per page so a
+    live attach can start exactly after the final replayed row.
+    """
+    start = resolve_start_from(df, seq_col, start_from)
+    base = df.where(F.col(seq_col) >= start)
+    if read_until is not None and read_until != 0:
+        base = base.where(F.col(seq_col) < read_until)
+    if predicate is not None:
+        base = base.where(predicate)
+    cell = [start - 1]
+
+    def gen() -> Iterator[list]:
+        cursor = start - 1
+        while True:
+            page = (
+                base.where(F.col(seq_col) > cursor)
+                .orderBy(F.col(seq_col).asc())
+                .limit(batch)
+                .collect()
+            )
+            if not page:
+                return
+            cursor = page[-1][seq_col]
+            cell[0] = cursor
+            yield page
+
+    return ReplayResult(pages=gen(), last_transmitted=cell)
+
+
+def attach_live(
+    stream_df: DataFrame,
+    seq_col: str,
+    last_transmitted: int,
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Live phase: the streaming source filtered to strictly after the
+    last replayed row — the Kafka earliest->latest switchover pattern.
+    Together with :func:`replay_history` the client sees every row
+    exactly once, in order."""
+    out = stream_df.where(F.col(seq_col) > last_transmitted)
+    if predicate is not None:
+        out = out.where(predicate)
+    return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -36,6 +37,27 @@ TABLE_NAMES = (
 # Small dimensions that should always broadcast in joins (each is O(10-1k)
 # rows at any scale factor; region/nation are fixed-size).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+# Explicit read schema for the raw events feed (streaming sources need
+# one; file ships TIMESTAMP(NANOS) which we read as long — see
+# _ns_timestamp_cols).
+EVENTS_SCHEMA_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Restore TimestampType on a raw-schema events frame (ns long ->
+    micros, the same truncation the batch loader applies)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _ns_timestamp_cols(path: str) -> list[str]:

@@ -1,0 +1,255 @@
+"""Streaming-half tests (SURVEY §2.9/§2.1): subscription routing,
+updateByBlock merge guards, end-to-end Structured Streaming ingest,
+stateful missed-block detection, and history->live switchover."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.streaming.filters import (
+    RequestFilter,
+    StreamRequest,
+    StreamSchema,
+    compile_filter,
+    compile_request,
+    route_to_subscribers,
+)
+from hyperion_history_api_spark.streaming.ingest import (
+    BLOCK_SIZE,
+    decode_and_enrich,
+    run_ingest,
+)
+from hyperion_history_api_spark.streaming.missed_blocks import (
+    detect_missed_stateful,
+    find_missing_ranges,
+)
+from hyperion_history_api_spark.streaming.state_store import (
+    fork_retract,
+    merge_update_by_block,
+    prune_retention,
+)
+from hyperion_history_api_spark.streaming.switchover import (
+    attach_live,
+    replay_history,
+    resolve_start_from,
+)
+from hyperion_history_api_spark.tables import load_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- filters
+
+
+def _sample(spark):
+    rows = [
+        (1, "transfer", 3, 10.5, '{"k": 7, "memo": "hello world"}'),
+        (2, "transfer", 4, 200.0, '{"k": 3, "memo": "refund"}'),
+        (3, "vote", 3, 50.0, '{"k": 7}'),
+        (4, "error", 9, 0.5, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, value double, props string"
+    )
+
+
+def _ids(df):
+    return sorted(r.event_id for r in df.collect())
+
+
+def test_filter_operators(spark):
+    df = _sample(spark)
+    cases = [
+        (RequestFilter("event_type", "transfer", "eq"), [1, 2]),
+        (RequestFilter("event_type", "transfer", "ne"), [3, 4]),
+        (RequestFilter("value", 50.0, "gte"), [2, 3]),
+        (RequestFilter("value", 50.0, "lt"), [1, 4]),
+        (RequestFilter("event_type", "vo", "starts_with"), [3]),
+        (RequestFilter("event_type", "or", "ends_with"), [4]),
+        # JSON fallback: memo is not a column -> resolves into props
+        (RequestFilter("memo", "world", "contains"), [1]),
+        (RequestFilter("k", 7, "eq"), [1, 3]),
+        # missing JSON field never matches (null => no match)
+        (RequestFilter("absent", 1, "eq"), []),
+    ]
+    for flt, expect in cases:
+        got = _ids(df.where(compile_filter(df, flt)))
+        assert got == expect, f"{flt}: {got} != {expect}"
+
+
+def test_filter_asset_compare(spark):
+    df = _sample(spark).withColumn(
+        "quantity",
+        F.when(F.col("event_id") == 1, "10.5000 EOS").otherwise("900.0000 SYS"),
+    )
+    # symbol-gated: huge SYS amounts don't match an EOS filter
+    flt = RequestFilter("quantity", 5, "gt", asset="EOS")
+    assert _ids(df.where(compile_filter(df, flt))) == [1]
+    flt2 = RequestFilter("quantity", 20, "gt", asset="EOS")
+    assert _ids(df.where(compile_filter(df, flt2))) == []
+
+
+def test_request_and_or(spark):
+    df = _sample(spark)
+    schema = StreamSchema(action_col=None)
+    both = StreamRequest(
+        contract="transfer",
+        filters=(RequestFilter("value", 100, "gt"), RequestFilter("k", 3, "eq")),
+    )
+    assert _ids(df.where(compile_request(df, both, schema))) == [2]
+    either = StreamRequest(
+        contract="transfer",
+        filter_op="or",
+        filters=(RequestFilter("value", 100, "gt"), RequestFilter("k", 7, "eq")),
+    )
+    assert _ids(df.where(compile_request(df, either, schema))) == [1, 2]
+
+
+def test_route_to_subscribers(spark):
+    df = _sample(spark)
+    reqs = {
+        "u1": StreamRequest(contract="transfer"),
+        "u2": StreamRequest(account="3"),
+        "u3": StreamRequest(contract="nope"),
+    }
+    routed = route_to_subscribers(df, reqs)
+    got = {r.event_id: sorted(r.matching_requests) for r in routed.collect()}
+    assert got == {1: ["u1", "u2"], 2: ["u1"], 3: ["u2"]}
+
+
+# ------------------------------------------------------------- state store
+
+
+def test_merge_update_by_block_guard(spark):
+    cur = spark.createDataFrame(
+        [(1, 100, "a"), (2, 50, "b")], "key long, block_num long, val string"
+    )
+    # stale update for key 1 (block 90 < 100) must be dropped; equal block
+    # wins for key 2 (painless guard is >=); key 3 is an insert
+    upd = spark.createDataFrame(
+        [(1, 90, "stale"), (2, 50, "b2"), (3, 10, "new")],
+        "key long, block_num long, val string",
+    )
+    out = merge_update_by_block(cur, upd, ["key"])
+    got = {r.key: (r.block_num, r.val) for r in out.collect()}
+    assert got == {1: (100, "a"), 2: (50, "b2"), 3: (10, "new")}
+
+
+def test_merge_present_delete(spark):
+    cur = spark.createDataFrame([(1, 10, 1), (2, 10, 1)], "key long, block_num long, present int")
+    upd = spark.createDataFrame([(1, 20, 0)], "key long, block_num long, present int")
+    out = merge_update_by_block(cur, upd, ["key"], present_col="present")
+    assert {r.key for r in out.collect()} == {2}
+
+
+def test_fork_retract_and_prune(spark):
+    df = spark.createDataFrame(
+        [(i, f"b{i // 10}") for i in range(100)], "block_num long, block_id string"
+    )
+    forked = spark.createDataFrame([("b3",), ("b7",)], "block_id: string")
+    kept = fork_retract(df, forked)
+    assert kept.count() == 80
+    pruned = prune_retention(df, head_block=99, max_retained_blocks=20)
+    assert pruned.count() == 20 and pruned.agg(F.min("block_num")).first()[0] == 80
+
+
+# ------------------------------------------------------------------ ingest
+
+
+def test_run_ingest_end_to_end(spark, tmp_path):
+    paths = run_ingest(spark, SF_DIR, str(tmp_path), blacklist=["error"])
+    ev = load_tables(spark, SF_DIR)["events"]
+    expected = decode_and_enrich(ev, blacklist=["error"])
+
+    log = spark.read.parquet(paths["action_log"])
+    assert log.count() == expected.count()
+    # partition column exists and prunes
+    parts = [r.block_part for r in log.select("block_part").distinct().collect()]
+    assert len(parts) > 0
+
+    # state = latest non-blacklisted event per user
+    state = spark.read.parquet(paths["user_state"])
+    exp_state = {
+        r.user_id: r.event_id
+        for r in expected.groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .collect()
+    }
+    got_state = {r.user_id: r.event_id for r in state.collect()}
+    assert got_state == exp_state
+
+    # rollups: per-block counts match a batch recompute
+    roll = spark.read.parquet(paths["block_rollups"])
+    exp_roll = {
+        r.block_num: r.n
+        for r in expected.groupBy("block_num").agg(F.count("*").alias("n")).collect()
+    }
+    got_roll = {r.block_num: r.trx_count for r in roll.collect()}
+    assert got_roll == exp_roll
+    # block grouping sanity
+    assert all(b * BLOCK_SIZE <= BLOCK_SIZE * (b + 1) for b in got_roll)
+
+
+# ------------------------------------------------------- missed blocks (T8)
+
+
+def test_find_missing_ranges(spark):
+    df = spark.createDataFrame(
+        [(s,) for s in [1, 2, 3, 7, 8, 12]], "seq: long"
+    )
+    got = [
+        (r.gap_start, r.gap_end, r.missing)
+        for r in find_missing_ranges(df, "seq").orderBy("gap_start").collect()
+    ]
+    assert got == [(4, 6, 3), (9, 11, 3)]
+
+
+def test_detect_missed_stateful(spark, tmp_path):
+    src = str(tmp_path / "slots")
+    spark.createDataFrame(
+        [("alice", s) for s in [1, 2, 5]] + [("bob", s) for s in [1, 2, 3]],
+        "producer string, slot long",
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("producer string, slot long").parquet(src)
+    )
+    out = detect_missed_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("missed_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.producer: (r.missed, r.up_to) for r in spark.sql("select * from missed_t").collect()}
+    assert rows == {"alice": (2, 5)}  # slots 3,4 missed; bob contiguous
+
+
+# -------------------------------------------------------------- switchover
+
+
+def test_replay_then_live_exactly_once(spark):
+    ev = load_tables(spark, SF_DIR)["events"]
+    head = ev.agg(F.max("event_id")).first()[0]
+    start = resolve_start_from(ev, "event_id", -300)
+    assert start == head - 300
+
+    replay = replay_history(ev, "event_id", start_from=-300, batch=100)
+    replayed: list[int] = []
+    for i, page in enumerate(replay.pages):
+        ids = [r.event_id for r in page]
+        assert ids == sorted(ids)
+        replayed.extend(ids)
+        if i == 1:  # "live attach" happens after two acked pages
+            break
+    last = replay.last_transmitted[0]
+    assert last == replayed[-1]
+
+    live = attach_live(ev, "event_id", last)  # batch stand-in for the stream
+    live_ids = [r.event_id for r in live.select("event_id").collect()]
+    assert min(live_ids) == last + 1
+    assert sorted(replayed + live_ids) == list(range(start, head + 1))
