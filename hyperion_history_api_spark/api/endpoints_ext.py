@@ -1,0 +1,504 @@
+"""Remaining SURVEY §2.11 endpoint families — v2-history tail
+(get_deltas / get_blocks / get_created_accounts / get_schedule /
+check_transaction / v1-trace get_block) and the v2-state family
+(get_tokens / get_voters / get_links / get_proposals /
+get_key_accounts / get_controlled_accounts / get_account /
+get_table_rows), plus the health rollup.
+
+Table mapping follows registry.py: ``events`` is the action/delta log,
+``orders``/``lineitem`` the transaction→trace hierarchy,
+``customer``/``supplier`` mutable account-state, ``part`` a dynamic
+contract table, ``nation`` the creator/controller dimension.
+
+Scale notes (100 TB): every lookup-by-key query here keeps its filter
+at the scan (PushedFilters), dimension joins are explicit
+``broadcast()``; the only shuffles are the group-bys on the natural
+aggregation keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, _t
+
+
+@register(
+    "get_deltas_by_scope",
+    """
+    SELECT event_id, user_id, event_type, props,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS payer
+    FROM events
+    WHERE event_type = 'purchase'
+      AND user_id BETWEEN 2 AND 6
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+    ORDER BY event_id DESC LIMIT 100
+    """,
+    "get_deltas code/table/payer/scope terms (v2-history/get_deltas.ts:6-91,48-52)",
+)
+def get_deltas_by_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta query: (code,table) -> event_type, scope -> user_id range,
+    payer -> props.k. All three predicates reach the parquet scan; the
+    JSON extraction happens only on surviving rows."""
+    ev = _t(spark, sf_dir)["events"]
+    payer = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").between(2, 6)
+        )
+        .withColumn("payer", payer)
+        .where(F.col("payer") >= 10)
+        .orderBy(F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "props", "payer")
+    )
+
+
+@register(
+    "get_blocks_range",
+    """
+    SELECT event_id // 100 AS block_num,
+           CAST(count(*) AS BIGINT) AS trx_count,
+           round(sum(value), 4) AS cpu_usage,
+           CAST(max(event_id) AS BIGINT) AS last_seq
+    FROM events
+    WHERE event_id BETWEEN 100 AND 699
+    GROUP BY event_id // 100
+    ORDER BY block_num DESC
+    """,
+    "get_blocks headers + per-block rollups (v2-history/get_blocks.ts:6-161; A13 deserializer.ts:317-415)",
+)
+def get_blocks_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-range query: light headers with per-block usage rollups.
+    The range predicate prunes before the single groupBy shuffle; at
+    scale the block_num grouping key is also the lake partition key, so
+    partial aggregation is near-total map-side."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.where(F.col("event_id").between(100, 699))
+        .groupBy((F.col("event_id") / 100).cast("long").alias("block_num"))
+        .agg(
+            F.count("*").alias("trx_count"),
+            F.round(F.sum("value"), 4).alias("cpu_usage"),
+            F.max("event_id").alias("last_seq"),
+        )
+        .orderBy(F.col("block_num").desc())
+    )
+
+
+@register(
+    "get_created_accounts",
+    """
+    SELECT c.c_custkey AS account, c.c_name AS account_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = 'CHINA'
+    ORDER BY c.c_custkey DESC LIMIT 100
+    """,
+    "get_created_accounts by creator (v2-history/get_created_accounts.ts:5-50)",
+)
+def get_created_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts created by one creator (nation = creator dimension).
+    Broadcast the 25-row dimension; the fact side stays partition-local."""
+    t = _t(spark, sf_dir)
+    creator = F.broadcast(t["nation"].where(F.col("n_name") == "CHINA"))
+    return (
+        t["customer"]
+        .join(creator, F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("c_custkey").desc())
+        .limit(100)
+        .select(F.col("c_custkey").alias("account"), F.col("c_name").alias("account_name"))
+    )
+
+
+@register(
+    "get_schedule_asof",
+    """
+    SELECT event_id AS version_seq, user_id AS producer_slot, ts AS active_since
+    FROM events
+    WHERE event_type = 'signup' AND event_id <= 600
+    ORDER BY event_id DESC LIMIT 1
+    """,
+    "get_schedule latest version as-of block (v2-history/get_schedule.ts:9-59)",
+)
+def get_schedule_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest producer-schedule version with sequence <= N: top-1 over a
+    pushed-down filter (TakeOrderedAndProject, no full sort)."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.where((F.col("event_type") == "signup") & (F.col("event_id") <= 600))
+        .orderBy(F.col("event_id").desc())
+        .limit(1)
+        .select(
+            F.col("event_id").alias("version_seq"),
+            F.col("user_id").alias("producer_slot"),
+            F.col("ts").alias("active_since"),
+        )
+    )
+
+
+@register(
+    "check_transaction",
+    """
+    SELECT o.o_orderkey AS trx_id, o.o_orderstatus AS status,
+           CAST(count(l.l_orderkey) AS BIGINT) AS action_count,
+           round(o.o_totalprice, 4) AS total
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey = 42
+    GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    """,
+    "check_transaction existence probe (v2-history/check_transaction.ts:4-27)",
+)
+def check_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction existence check: key lookup + trace count. The
+    orderkey predicate pushes into BOTH scans (join-key inference), so
+    at 100 TB this touches one partition per side."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderkey") == 42)
+    li = t["lineitem"].where(F.col("l_orderkey") == 42)
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("action_count"))
+        .select(
+            F.col("o_orderkey").alias("trx_id"),
+            F.col("o_orderstatus").alias("status"),
+            "action_count",
+            F.round("o_totalprice", 4).alias("total"),
+        )
+    )
+
+
+@register(
+    "v1_trace_get_block",
+    """
+    SELECT o.o_orderkey AS trx_id, o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_traces,
+           string_agg(CAST(l.l_linenumber AS VARCHAR), ',' ORDER BY l.l_linenumber)
+             AS ordinals,
+           round(sum(l.l_extendedprice), 4) AS volume
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey BETWEEN 1 AND 160
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    ORDER BY trx_id
+    """,
+    "v1-trace get_block nested reconstruction (v1-trace/get_block.ts:30-90)",
+)
+def v1_trace_get_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block reconstruction: header joined to its traces, traces
+    re-nested in canonical ordinal order (array_sort, not shuffle
+    order). Range predicate prunes both sides before the join."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderkey").between(1, 160))
+    li = t["lineitem"].where(F.col("l_orderkey").between(1, 160))
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_traces"),
+            F.array_join(
+                F.array_sort(F.collect_list("l_linenumber")).cast("array<string>"), ","
+            ).alias("ordinals"),
+            F.round(F.sum("l_extendedprice"), 4).alias("volume"),
+        )
+        .select(
+            F.col("o_orderkey").alias("trx_id"),
+            F.col("o_orderstatus").alias("status"),
+            "n_traces",
+            "ordinals",
+            "volume",
+        )
+        .orderBy("trx_id")
+    )
+
+
+# --- v2-state -----------------------------------------------------------
+
+
+@register(
+    "get_tokens",
+    """
+    SELECT p.p_brand AS symbol,
+           round(sum(l.l_quantity), 4) AS amount,
+           CAST(count(*) AS BIGINT) AS holdings
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE o.o_custkey = 1
+    GROUP BY p.p_brand
+    ORDER BY symbol
+    """,
+    "get_tokens per-account token list (v2-state/get_tokens.ts:8-94)",
+)
+def get_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens held by one account: the account predicate prunes orders
+    first, the tiny surviving set broadcasts into lineitem, and part
+    resolves symbol metadata (precision recovery, get_tokens.ts:63-72)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].where(F.col("o_custkey") == 1).select("o_orderkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("symbol"))
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("amount"),
+            F.count("*").alias("holdings"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "get_voters",
+    """
+    SELECT c_custkey AS voter, round(c_acctbal, 4) AS weight
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+    ORDER BY weight DESC, voter ASC LIMIT 50
+    """,
+    "get_voters filtered state table (v2-state/get_voters.ts:6-74)",
+)
+def get_voters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voter listing: filter + sort by vote weight desc + page. The
+    segment/positive-balance predicates push to the scan; TakeOrdered
+    keeps it a top-K, never a full sort."""
+    cust = _t(spark, sf_dir)["customer"]
+    return (
+        cust.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+        .select(
+            F.col("c_custkey").alias("voter"),
+            F.round("c_acctbal", 4).alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("voter").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "get_voter_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS voter_count
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+    """,
+    "A15 mongo countDocuments (get_voters.ts:44, get_proposals.ts:83)",
+)
+def get_voter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir)["customer"]
+    return (
+        cust.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+        .agg(F.count("*").alias("voter_count"))
+    )
+
+
+@register(
+    "get_links",
+    """
+    SELECT user_id AS account, event_type AS action,
+           CAST(min(event_id) AS BIGINT) AS linked_at
+    FROM events
+    WHERE user_id BETWEEN 1 AND 5
+    GROUP BY user_id, event_type
+    ORDER BY account, action
+    """,
+    "get_links permission links per account (v2-state/get_links.ts:5-64)",
+)
+def get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permission-link listing: (account, action) pairs with earliest
+    link sequence — groupBy after a pushed account-range filter."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.where(F.col("user_id").between(1, 5))
+        .groupBy(
+            F.col("user_id").alias("account"), F.col("event_type").alias("action")
+        )
+        .agg(F.min("event_id").alias("linked_at"))
+        .orderBy("account", "action")
+    )
+
+
+@register(
+    "get_proposals",
+    """
+    SELECT o_orderkey AS proposal_id, o_custkey AS proposer,
+           o_orderdate AS proposed_at, round(o_totalprice, 4) AS stake
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 40
+    """,
+    "get_proposals msig listing (v2-state/get_proposals.ts:4-96)",
+)
+def get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pending-proposal listing: status filter + newest-first page with
+    a unique tiebreaker for deterministic pagination."""
+    o = _t(spark, sf_dir)["orders"]
+    return (
+        o.where(F.col("o_orderstatus") == "P")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(40)
+        .select(
+            F.col("o_orderkey").alias("proposal_id"),
+            F.col("o_custkey").alias("proposer"),
+            F.col("o_orderdate").alias("proposed_at"),
+            F.round("o_totalprice", 4).alias("stake"),
+        )
+    )
+
+
+@register(
+    "get_key_accounts",
+    """
+    SELECT DISTINCT o.o_custkey AS account
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_brand = 'Brand#13'
+    ORDER BY account
+    """,
+    "get_key_accounts accounts-by-key (v2-state/get_key_accounts.ts:16-174)",
+)
+def get_key_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts reachable from one public key (key -> brand): the key
+    predicate shrinks part to a broadcastable sliver, lineitem never
+    shuffles for that join, and the final distinct is the only
+    key-partitioned exchange."""
+    t = _t(spark, sf_dir)
+    keyed_parts = F.broadcast(
+        t["part"].where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    )
+    return (
+        t["lineitem"]
+        .join(keyed_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("account"))
+        .distinct()
+        .orderBy("account")
+    )
+
+
+@register(
+    "get_controlled_accounts",
+    """
+    SELECT DISTINCT s_suppkey AS controlled
+    FROM supplier WHERE s_nationkey = 7
+    ORDER BY controlled
+    """,
+    "get_controlled_accounts dedup (v1-history/get_controlled_accounts.ts:4-64,60-62)",
+)
+def get_controlled_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir)["supplier"]
+    return (
+        sup.where(F.col("s_nationkey") == 7)
+        .select(F.col("s_suppkey").alias("controlled"))
+        .distinct()
+        .orderBy("controlled")
+    )
+
+
+@register(
+    "get_account",
+    """
+    SELECT c.c_custkey AS account, c.c_name AS account_name,
+           round(c.c_acctbal, 4) AS balance,
+           CAST(count(o.o_orderkey) AS BIGINT) AS total_trx,
+           round(coalesce(sum(o.o_totalprice), 0), 4) AS total_volume,
+           CAST(max(o.o_orderkey) AS BIGINT) AS last_trx
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey = 7
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    """,
+    "get_account 3-call composition (v2-state/get_account.ts:56-87)",
+)
+def get_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_account composes account row + activity rollup + last action
+    — one plan instead of the reference's three serial calls; both
+    scans are key-pruned."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].where(F.col("c_custkey") == 7)
+    o = t["orders"].where(F.col("o_custkey") == 7)
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").alias("total_trx"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_volume"
+            ),
+            F.max("o_orderkey").alias("last_trx"),
+        )
+        .select(
+            F.col("c_custkey").alias("account"),
+            F.col("c_name").alias("account_name"),
+            F.round("c_acctbal", 4).alias("balance"),
+            "total_trx",
+            "total_volume",
+            "last_trx",
+        )
+    )
+
+
+@register(
+    "get_table_rows",
+    """
+    SELECT p_partkey AS primary_key, p_name, p_size,
+           round(p_retailprice, 4) AS price
+    FROM part
+    WHERE p_brand = 'Brand#13' AND p_size >= 10
+    ORDER BY price DESC, primary_key ASC LIMIT 30
+    """,
+    "get_table_rows dynamic-table find+sort+page (v2-state/get_table_rows.ts:6-177)",
+)
+def get_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic contract-table query: equality + range predicate, sort by
+    a configured index column, page. Mirrors the per-table index config
+    (hyperionConfig.ts:224-237) as a plain pushed-down scan + top-K."""
+    p = _t(spark, sf_dir)["part"]
+    return (
+        p.where((F.col("p_brand") == "Brand#13") & (F.col("p_size") >= 10))
+        .select(
+            F.col("p_partkey").alias("primary_key"),
+            "p_name",
+            "p_size",
+            F.round("p_retailprice", 4).alias("price"),
+        )
+        .orderBy(F.col("price").desc(), F.col("primary_key").asc())
+        .limit(30)
+    )
+
+
+@register(
+    "health_rollup",
+    """
+    SELECT * FROM (
+        SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS total,
+               CAST(max(c_custkey) AS BIGINT) AS head FROM customer
+        UNION ALL
+        SELECT 'events', CAST(count(*) AS BIGINT), CAST(max(event_id) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'orders', CAST(count(*) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+        FROM orders
+    ) ORDER BY tbl
+    """,
+    "health service counters (v2/health.ts:1-369)",
+)
+def health_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health endpoint: per-store document counts + head sequence.
+    Count-star over parquet resolves from footer metadata — no row
+    scan even at 100 TB."""
+    t = _t(spark, sf_dir)
+
+    def one(name: str, key: str) -> DataFrame:
+        return t[name].agg(
+            F.lit(name).alias("tbl"),
+            F.count("*").alias("total"),
+            F.max(key).cast("long").alias("head"),
+        )
+
+    return (
+        one("customer", "c_custkey")
+        .unionAll(one("events", "event_id"))
+        .unionAll(one("orders", "o_orderkey"))
+        .orderBy("tbl")
+    )
