@@ -168,10 +168,22 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup: embedding-cosine near-duplicate pairs (threshold 0.5)",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine as _cos
+    """All-pairs cosine >= 0.5. The O(n^2) scoring leg is the exact
+    baseline the LSH/IVF variants approximate; what scales here is the
+    per-pair cost: norms are computed ONCE per row before the join
+    (not 2x per pair) and the streamed side is explicitly partitioned.
+    The division keeps the oracle's exact arithmetic shape
+    dot/(sqrt_na*sqrt_nb) so round(.,4) can't diverge in the last
+    decimal."""
+    from ..operators.similarity import dot as _dot
 
-    emb = _t(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    emb = (
+        _t(spark, sf_dir)["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .repartition(npart, F.col("vec_id"))
+        .withColumn("n", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .repartition(npart, F.col("vec_id"))
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -179,7 +191,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            _cos(F.col("a.e"), F.col("b.e")).alias("__c"),
+            (_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))).alias(
+                "__c"
+            ),
         )
         .where(F.col("__c") >= 0.5)
         .select("id_a", "id_b", F.round("__c", 4).alias("cosine"))

@@ -55,6 +55,19 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     )
 
 
+# The k MinHash permutations derive from ONE base hash per shingle:
+# h_i(s) = xxhash64(i, h(s)). Hashing each shingle STRING once and
+# re-hashing the 8-byte long per permutation is far cheaper than k
+# string hashes — higher-order array functions are interpreted (no
+# codegen) so the constant factor matters. (Arithmetic universal
+# hashing a_i*h+b_i would be cheaper still but overflows under ANSI
+# mode, the Spark 4 default.)
+def _permuted_min(hashed: Column, i: int) -> Column:
+    return F.array_min(
+        F.transform(hashed, lambda h: F.xxhash64(F.lit(i).cast("long"), h))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -74,25 +87,51 @@ def minhash_lsh_pairs(
     scan. Candidate dedup uses the (id_a < id_b) canonical orientation.
     """
     rows = num_hashes // bands
-    base = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n)
-    sig = base.withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
-    banded = sig.select(
+    # Two exchanges bracket the signature pass, deliberately:
+    # 1. repartition the RAW (id, text) rows so the interpreted
+    #    higher-order shingle/hash expressions run on every core — a
+    #    single small parquet file would otherwise serialize the whole
+    #    pass onto one task (file layout must not dictate compute
+    #    parallelism);
+    # 2. repartition again AFTER hashing so the exchange materializes
+    #    __h: projection collapse would otherwise re-inline the whole
+    #    shingle pipeline into each of the 24 permutation expressions,
+    #    and ReuseExchange lets the three downstream consumers (banding
+    #    + both verify sides) share one computation of this subtree.
+    # Explicit partition count: AQE coalesces a count-less
+    # repartition(col) down to one partition when the shuffle is small,
+    # which would re-serialize the compute-bound pass.
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    raw = df.select(F.col(id_col), F.col(text_col)).repartition(npart, F.col(id_col))
+    hashed = (
+        with_shingles(raw, text_col, shingle_n)
+        .select(
+            F.col(id_col),
+            F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
+        )
+        .repartition(npart, F.col(id_col))
+    )
+
+    # Banding on slim rows only — (id, band_id, band_hash), 20 bytes/row
+    # through the explode and the bucket-join shuffle; shingle arrays
+    # never ride the LSH exchange (they'd multiply shuffle volume x
+    # bands at 100 TB).
+    banded = hashed.select(
         F.col(id_col),
-        F.col("__shingles"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
-                            *[F.col("__sig").getItem(b * rows + r) for r in range(rows)]
+                            *[_permuted_min(F.col("__h"), b * rows + r) for r in range(rows)]
                         ).alias("band_val"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "__shingles", "band.band_id", "band.band_val")
+    ).select(id_col, "band.band_id", "band.band_val")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -106,13 +145,20 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__shingles").alias("sh_a"),
-            F.col("b.__shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification fetches each side's hashed-shingle set by key.
+    # Jaccard over distinct 64-bit shingle hashes equals Jaccard over
+    # the shingle strings (collision odds ~ |union|^2 / 2^64 per pair —
+    # negligible), and shuffles 8 bytes per shingle instead of the
+    # string payload.
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))
     return (
-        cand.withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", F.round(_jaccard(F.col("h_a"), F.col("h_b")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -129,9 +175,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs (or probe-restricted) n-gram Jaccard — the
     brute-force baseline MinHash approximates; also the verifier leg.
-    At scale, restrict the left side (probes) or feed LSH candidates."""
-    sh = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, shingle_n)
-    left = sh.where(probe_pred) if probe_pred is not None else sh
+    At scale, restrict the left side (probes) or feed LSH candidates.
+
+    Plan shape: probes broadcast into a nested-loop join whose streamed
+    (corpus) side is explicitly repartitioned — parallelism comes from
+    the corpus partitioning, not the file count — and the shingle
+    arrays are materialized by the exchange so the three references in
+    the Jaccard expression don't re-run the shingle pipeline."""
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    raw = df.select(F.col(id_col), F.col(text_col)).repartition(npart, F.col(id_col))
+    sh = (
+        with_shingles(raw, text_col, shingle_n)
+        .select(F.col(id_col), "__shingles")
+        .repartition(npart, F.col(id_col))
+    )
+    # Only a restricted probe set is safely broadcastable; the full
+    # all-pairs form (debug/small-n only) keeps a partitioned join.
+    left = F.broadcast(sh.where(probe_pred)) if probe_pred is not None else sh
     a, b = left.alias("a"), sh.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -146,13 +206,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text_col: Column) -> Column:
-    """64-bit SimHash from whitespace tokens, pure column algebra:
-    per-bit vote = sum over tokens of +/-1 by that bit of
-    xxhash64(token); bit set iff vote > 0. Built as aggregate() over
-    the token array — single projection, no explode/shuffle."""
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from an array of 64-bit token hashes, pure column
+    algebra: per-bit vote = sum over tokens of +/-1 by that bit; bit
+    set iff vote > 0. Built as aggregate() over the array — single
+    projection, no explode/shuffle. Feed it a MATERIALIZED hash array
+    (post-exchange): the 64 per-bit aggregates are interpreted, so an
+    inlined token pipeline would be recomputed per bit."""
 
     def bit(b: int) -> Column:
         # (1 << 63) overflows a long literal; shiftleft stays in-range
@@ -171,6 +231,14 @@ def simhash64(text_col: Column) -> Column:
     return out
 
 
+def simhash64(text_col: Column) -> Column:
+    """SimHash straight from text — convenience form for small frames;
+    the scaled path in simhash_pairs materializes token hashes first."""
+    return simhash64_from_hashes(
+        F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -184,7 +252,21 @@ def simhash_pairs(
     chunks; any pair within hamming<=6 shares at least one exact chunk
     when distance spreads over <=3 chunks (standard SimHash recall
     argument) — join per chunk, verify exact popcount distance."""
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    # Same two-exchange shape as minhash_lsh_pairs: distribute the raw
+    # text regardless of file layout, then materialize token hashes so
+    # the 64 interpreted bit-vote aggregates read an array instead of
+    # re-running tokenize+hash per bit.
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    raw = df.select(F.col(id_col), F.col(text_col)).repartition(npart, F.col(id_col))
+    hashed = raw.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("__th"),
+    ).repartition(npart, F.col(id_col))
+    sig = hashed.select(
+        F.col(id_col), simhash64_from_hashes(F.col("__th")).alias("sim")
+    )
     chunks = sig.select(
         id_col,
         "sim",
