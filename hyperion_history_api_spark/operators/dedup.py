@@ -206,37 +206,29 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64_from_hashes(hashes: Column) -> Column:
-    """64-bit SimHash from an array of 64-bit token hashes, pure column
-    algebra: per-bit vote = sum over tokens of +/-1 by that bit; bit
-    set iff vote > 0. Built as aggregate() over the array — single
-    projection, no explode/shuffle. Feed it a MATERIALIZED hash array
-    (post-exchange): the 64 per-bit aggregates are interpreted, so an
-    inlined token pipeline would be recomputed per bit."""
+def simhash64_from_hashes(hashes_col: str) -> Column:
+    """64-bit SimHash from an array<long> column of token hashes:
+    per-bit vote = sum over tokens of +/-1 by that bit; bit set iff
+    vote > 0. Single projection, no explode/shuffle.
 
-    def bit(b: int) -> Column:
-        # (1 << 63) overflows a long literal; shiftleft stays in-range
-        return F.shiftleft(F.lit(1).cast("long"), b)
-
-    def bit_vote(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(bit(b)) != 0, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out + F.when(bit_vote(b) > 0, bit(b)).otherwise(F.lit(0).cast("long"))
-    return out
-
-
-def simhash64(text_col: Column) -> Column:
-    """SimHash straight from text — convenience form for small frames;
-    the scaled path in simhash_pairs materializes token hashes first."""
-    return simhash64_from_hashes(
-        F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
-    )
+    Emitted as ONE SQL expression string: building the 64 per-bit
+    aggregates as PySpark Column objects costs hundreds of py4j
+    round-trips (~seconds of driver time per query); one expr() parse
+    is milliseconds. Feed it a MATERIALIZED hash array (post-exchange)
+    — the per-bit aggregates are interpreted, so an inlined token
+    pipeline would be recomputed per bit."""
+    # shiftleft keeps bit 63 in long range (a 1<<63 literal would not
+    # parse); adding it last keeps the running sum inside [-2^63, 2^63).
+    votes = [
+        f"aggregate({hashes_col}, 0, (acc, h) -> acc + "
+        f"if((h & shiftleft(cast(1 as bigint), {b})) != 0, 1, -1))"
+        for b in range(64)
+    ]
+    bits = [
+        f"if({votes[b]} > 0, shiftleft(cast(1 as bigint), {b}), cast(0 as bigint))"
+        for b in range(64)
+    ]
+    return F.expr(" + ".join(["cast(0 as bigint)"] + bits))
 
 
 def simhash_pairs(
@@ -265,7 +257,7 @@ def simhash_pairs(
         ).alias("__th"),
     ).repartition(npart, F.col(id_col))
     sig = hashed.select(
-        F.col(id_col), simhash64_from_hashes(F.col("__th")).alias("sim")
+        F.col(id_col), simhash64_from_hashes("__th").alias("sim")
     )
     chunks = sig.select(
         id_col,

@@ -100,19 +100,28 @@ def _plane_weights(dims: int, planes: int) -> list[list[float]]:
     ]
 
 
-def hyperplane_signature(vec: Column, dims: int, planes: int) -> Column:
-    """Random-hyperplane LSH signature (int bitmask): the sign of each
-    plane projection sets one bit. Pure column algebra."""
+def hyperplane_signature(vec_col: str, dims: int, planes: int) -> Column:
+    """Random-hyperplane LSH signature (int bitmask) for an
+    array<double> column: the sign of each plane projection sets one
+    bit. Emitted as ONE SQL expression string — building planes*dims
+    multiply-add Column objects costs ~2 s of py4j round-trips per
+    call; one expr() parse is milliseconds. The +/-1 weights make each
+    projection a signed sum, evaluated in a single zip_with/aggregate
+    pass per plane."""
     weights = _plane_weights(dims, planes)
-    sig = F.lit(0).cast("long")
-    for p in range(planes):
-        proj = F.lit(0.0)
-        for d in range(dims):
-            proj = proj + F.element_at(vec, d + 1) * F.lit(weights[p][d])
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    projs = [
+        (
+            f"aggregate(zip_with({vec_col}, "
+            f"array({', '.join(f'{w:.1f}D' for w in weights[p])}), "
+            "(x, w) -> x * w), cast(0.0 as double), (a, x) -> a + x)"
         )
-    return sig
+        for p in range(planes)
+    ]
+    bits = [
+        f"if({projs[p]} > 0, cast({1 << p} as bigint), cast(0 as bigint))"
+        for p in range(planes)
+    ]
+    return F.expr(" + ".join(["cast(0 as bigint)"] + bits))
 
 
 def lsh_topk(
@@ -128,8 +137,8 @@ def lsh_topk(
     signature computed with the same planes). Recall rises with more
     bands (re-run with different plane seeds and union) — single-band
     here; the oracle-checked exact variants bound correctness."""
-    c = corpus.withColumn("__sig", hyperplane_signature(F.col("e"), dims, planes))
-    p = probes.withColumn("__sig", hyperplane_signature(F.col("pe"), dims, planes))
+    c = corpus.withColumn("__sig", hyperplane_signature("e", dims, planes))
+    p = probes.withColumn("__sig", hyperplane_signature("pe", dims, planes))
     scored = (
         c.join(F.broadcast(p), on="__sig")
         .where(F.col(id_col) != F.col("probe_id"))
