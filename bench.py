@@ -41,6 +41,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Ingest throughput (BASELINE part B: >= 10k events/s/core): one
+    # batch backfill pass of the raw feed into the partitioned lake.
+    import shutil
+    import tempfile
+
+    from hyperion_history_api_spark.streaming.ingest import batch_backfill
+
+    tmp = tempfile.mkdtemp(prefix="hyperion_ingest_bench_")
+    try:
+        batch_backfill(spark, sf_dir, tmp)  # warm
+        t0 = time.perf_counter()
+        rows = batch_backfill(spark, sf_dir, tmp)
+        ingest_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -50,6 +66,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_sec": round(ingest_sec, 4),
+                "ingest_events_per_sec": round(rows / ingest_sec),
             }
         )
     )

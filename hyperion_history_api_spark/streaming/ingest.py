@@ -106,6 +106,38 @@ def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataF
     )
 
 
+def batch_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    blacklist: list[str] | None = None,
+) -> int:
+    """S2 parallel range backfill: the batch twin of run_ingest for
+    historical ranges (master.ts:934-966 assigns block ranges to N
+    readers; here the range split IS the partitioning).
+
+    One narrow pass: scan -> decode -> repartitionByRange on the block
+    partition key -> per-partition sort -> partitioned write. The only
+    exchange is the range partitioner, which is also what makes output
+    files align with partition boundaries (block-pruned reads later).
+    Returns rows written.
+    """
+    raw = normalize_events(
+        spark.read.schema(EVENTS_SCHEMA_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    decoded = decode_and_enrich(raw, blacklist=blacklist)
+    log_path = os.path.join(out_dir, "action_log")
+    (
+        decoded.repartitionByRange("block_part", "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .partitionBy("block_part")
+        .parquet(log_path)
+    )
+    return spark.read.parquet(log_path).count()
+
+
 def run_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -18,6 +18,7 @@ from hyperion_history_api_spark.streaming.filters import (
     route_to_subscribers,
 )
 from hyperion_history_api_spark.streaming.ingest import (
+    batch_backfill,
     BLOCK_SIZE,
     decode_and_enrich,
     run_ingest,
@@ -191,6 +192,37 @@ def test_run_ingest_end_to_end(spark, tmp_path):
     assert got_roll == exp_roll
     # block grouping sanity
     assert all(b * BLOCK_SIZE <= BLOCK_SIZE * (b + 1) for b in got_roll)
+
+
+def test_batch_backfill_matches_stream_ingest(spark, tmp_path):
+    """S2: the batch backfill writes the same partitioned log the
+    streaming pipeline appends — same rows, same partition scheme,
+    sorted within partitions."""
+    n = batch_backfill(spark, SF_DIR, str(tmp_path), blacklist=["error"])
+    ev = load_tables(spark, SF_DIR)["events"]
+    expected = decode_and_enrich(ev, blacklist=["error"])
+    assert n == expected.count()
+
+    log = spark.read.parquet(str(tmp_path) + "/action_log")
+    assert log.count() == n
+    assert "block_part" in log.columns
+    # partition pruning: one partition dir per block_part value
+    import os as _os
+
+    dirs = [
+        d
+        for d in _os.listdir(str(tmp_path) + "/action_log")
+        if d.startswith("block_part=")
+    ]
+    assert len(dirs) == expected.select("block_part").distinct().count()
+    # sorted within each partition by event_id
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.monotonically_increasing_id()
+    )
+    seq = log.select("event_id", F.lag("event_id").over(w).alias("prev"))
+    assert seq.where(F.col("prev") > F.col("event_id")).count() == 0
 
 
 # ------------------------------------------------------- missed blocks (T8)
