@@ -468,6 +468,61 @@ def get_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "get_actions_code_action_filter",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE (event_type = 'signup' AND user_id = 3) OR event_type = 'purchase'
+    ORDER BY event_id DESC LIMIT 100
+    """,
+    "P8 code:action OR-list with wildcards (get_actions/functions.ts:205-231)",
+)
+def get_actions_code_action_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter=signup:3,purchase:*` compiled to an OR of (code AND
+    name) conjunctions — one pushed disjunctive predicate, no union of
+    scans."""
+    from ..plans.predicates import compile_code_action_filter
+
+    ev = _t(spark, sf_dir)["events"]
+    pred = compile_code_action_filter(
+        F.col("event_type"), F.col("user_id").cast("string"), "signup:3,purchase:*"
+    )
+    return (
+        ev.where(pred)
+        .orderBy(F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+@register(
+    "exists_filter_no_orders",
+    """
+    SELECT c.c_custkey AS account
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL
+    ORDER BY account
+    """,
+    "P11 exists/missing-field filter (get_schedule.ts:20,43) as anti-join",
+)
+def exists_filter_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts with NO activity — the `exists: false` shape. Spark
+    plans a broadcast/shuffled ANTI join: no null-padding rows ever
+    materialize, unlike the literal LEFT JOIN + IS NULL."""
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(
+            t["orders"],
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .select(F.col("c_custkey").alias("account"))
+        .orderBy("account")
+    )
+
+
+@register(
     "health_rollup",
     """
     SELECT * FROM (
