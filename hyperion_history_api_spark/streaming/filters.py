@@ -70,30 +70,50 @@ class StreamRequest:
 
 
 def _resolve_field(
-    df: DataFrame, dotted: str, json_fallback_col: str | None
-) -> tuple[Column, bool]:
+    df: DataFrame,
+    dotted: str,
+    json_fallback_col: str | None,
+    action_col: str | None = None,
+) -> tuple[Column, bool, Column | None]:
     """Resolve a dotted field to a Column.
 
-    Returns (column, is_json): real (possibly nested) columns are used
-    directly; unknown fields fall back to ``get_json_object`` on the
-    JSON payload column, mirroring the reference's ``data.*`` /
-    ``@field`` fallback (common_functions.ts:265-283). ``@`` prefixes
-    strip to the payload root.
+    Returns (column, is_json, gate): real (possibly nested) columns are
+    used directly; unknown fields fall back to ``get_json_object`` on
+    the JSON payload column, mirroring the reference's ``data.*`` /
+    ``@field`` fallback (common_functions.ts:265-283).
+
+    A promoted-field prefix ``@name.field`` only resolves into the
+    payload when the row's action/table name equals ``name`` — the
+    reference checks ``_source.act.name === actName``
+    (common_functions.ts:266-279). ``gate`` carries that extra
+    predicate; with no action column in the schema the gate is
+    never-match (the reference would find no ``@name`` object either).
     """
     root = dotted.split(".", 1)[0]
     if root in df.columns:
-        return F.col(dotted), False
+        return F.col(dotted), False, None
     path = dotted[1:] if dotted.startswith("@") else dotted
-    # drop the promoted-table/action prefix: "@transfer.amount" -> data.amount
+    gate: Column | None = None
+    # promoted-table/action prefix: "@transfer.amount" -> data.amount,
+    # gated on act.name == "transfer"
     if dotted.startswith("@") and "." in path:
-        path = path.split(".", 1)[1]
+        name, path = path.split(".", 1)
+        gate = (
+            F.col(action_col) == F.lit(name)
+            if action_col and action_col in df.columns
+            else F.lit(False)
+        )
     if json_fallback_col is None:
         raise ValueError(f"unknown field {dotted!r} and no JSON fallback column")
-    return F.get_json_object(F.col(json_fallback_col), f"$.{path}"), True
+    return F.get_json_object(F.col(json_fallback_col), f"$.{path}"), True, gate
 
 
 def compile_filter(
-    df: DataFrame, flt: RequestFilter, *, json_fallback_col: str | None = "props"
+    df: DataFrame,
+    flt: RequestFilter,
+    *,
+    json_fallback_col: str | None = "props",
+    action_col: str | None = None,
 ) -> Column:
     """Compile one RequestFilter to a boolean Column.
 
@@ -103,7 +123,7 @@ def compile_filter(
     """
     if flt.operator not in _OPERATORS:
         raise ValueError(f"unknown operator {flt.operator!r}")
-    col, is_json = _resolve_field(df, flt.field, json_fallback_col)
+    col, is_json, gate = _resolve_field(df, flt.field, json_fallback_col, action_col)
     value: Column = F.lit(flt.value)
     if flt.asset:
         # "<amount> <symbol>": numeric compare gated on symbol equality
@@ -133,7 +153,10 @@ def compile_filter(
     else:  # ends_with
         pred = col.cast("string").endswith(str(flt.value))
     # NULL field => no match (reference: missing field fails a truthy value)
-    return F.coalesce(pred, F.lit(False))
+    pred = F.coalesce(pred, F.lit(False))
+    if gate is not None:
+        pred = gate & pred
+    return pred
 
 
 @dataclass(frozen=True)
@@ -176,10 +199,17 @@ def compile_request(
     if req.start_from is not None:
         preds.append(F.col(schema.seq_col) >= F.lit(req.start_from))
     if req.read_until is not None and req.read_until != 0:
-        preds.append(F.col(schema.seq_col) < F.lit(req.read_until))
+        # inclusive, like the reference's blockRange lte
+        # (functions.ts:758-768 addBlockRangeOpts)
+        preds.append(F.col(schema.seq_col) <= F.lit(req.read_until))
     if req.filters:
         fps = [
-            compile_filter(df, f, json_fallback_col=schema.json_col)
+            compile_filter(
+                df,
+                f,
+                json_fallback_col=schema.json_col,
+                action_col=schema.action_col,
+            )
             for f in req.filters
         ]
         combined = fps[0]

@@ -138,20 +138,39 @@ def batch_backfill(
     return spark.read.parquet(log_path).count()
 
 
-def run_ingest(
-    spark: SparkSession,
-    sf_dir: str,
-    out_dir: str,
-    *,
-    blacklist: list[str] | None = None,
-) -> dict[str, str]:
-    """One availableNow pass of the full pipeline: source -> decode ->
-    filter -> multi-sink foreachBatch (append log + state MERGE +
-    rollups). Returns the sink paths.
+def read_block_rollups(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Merge the per-batch partial rollups to final per-block totals.
 
-    foreachBatch is the reference's indexer worker (§3.2 step 4): each
-    micro-batch is one "bulk", idempotent via natural keys, with the
-    updateByBlock guard inside the state merge.
+    A block straddling a micro-batch boundary emits one partial row per
+    batch; the read-time combine (one hash agg on block_num) makes the
+    stored partials safe to sum — the same split the reference has
+    between per-queue partial counters and the indexed block doc.
+    """
+    return (
+        spark.read.parquet(rollup_path)
+        .groupBy("block_num")
+        .agg(
+            F.sum("trx_count").alias("trx_count"),
+            F.round(F.sum("total_usage"), 4).alias("total_usage"),
+            F.min("block_time").alias("block_time"),
+        )
+    )
+
+
+def make_ingest_sink(
+    spark: SparkSession, out_dir: str
+) -> "tuple[callable, dict[str, str]]":
+    """Build the foreachBatch sink and its output paths.
+
+    foreachBatch is at-least-once: on failure/restart Spark replays the
+    whole micro-batch with the SAME batch_id. Every append target is
+    therefore written to a ``ingest_batch=<id>`` subdirectory with
+    mode=overwrite — a replay overwrites its own (possibly partial)
+    prior attempt instead of double-appending, which makes the append
+    sinks idempotent per batch (on a production lake this is a Delta
+    txn keyed by batch_id; the directory swap is the parquet-only
+    equivalent). The state merge is already idempotent through the
+    updateByBlock >= guard.
     """
     log_path = os.path.join(out_dir, "action_log")
     state = ParquetStateStore(
@@ -165,22 +184,52 @@ def run_ingest(
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
-            # S5: append-only log, partitioned for pruning, sorted for top-K
+            # S5: append-only log, partitioned for pruning, sorted for
+            # top-K; per-batch subdir => replay-idempotent
             (
                 batch.repartition("block_part")
                 .sortWithinPartitions("event_id")
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("block_part")
-                .parquet(log_path)
+                .parquet(os.path.join(log_path, f"ingest_batch={batch_id}"))
             )
             # S6: latest-state upsert per user (updateByBlock semantics)
             state.apply_batch(batch)
-            # A13: block rollups appended per batch (batch-local blocks —
-            # the feed is block-ordered like the reference's queues)
-            block_rollups(batch).write.mode("append").parquet(rollup_path)
+            # A13: per-batch PARTIAL rollups (a block can straddle batch
+            # boundaries); read_block_rollups combines them at read time
+            (
+                block_rollups(batch)
+                .write.mode("overwrite")
+                .parquet(os.path.join(rollup_path, f"ingest_batch={batch_id}"))
+            )
         finally:
             batch.unpersist()
 
+    paths = {
+        "action_log": log_path,
+        "user_state": os.path.join(out_dir, "user_state", "snapshot"),
+        "block_rollups": rollup_path,
+    }
+    return sink, paths
+
+
+def run_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    blacklist: list[str] | None = None,
+) -> dict[str, str]:
+    """One availableNow pass of the full pipeline: source -> decode ->
+    filter -> multi-sink foreachBatch (append log + state MERGE +
+    rollups). Returns the sink paths.
+
+    foreachBatch is the reference's indexer worker (§3.2 step 4): each
+    micro-batch is one "bulk", idempotent per batch_id (see
+    :func:`make_ingest_sink`), with the updateByBlock guard inside the
+    state merge.
+    """
+    sink, paths = make_ingest_sink(spark, out_dir)
     stream = read_event_stream(spark, sf_dir)
     decoded = decode_and_enrich(stream, blacklist=blacklist)
     q = (
@@ -190,8 +239,4 @@ def run_ingest(
         .start()
     )
     q.awaitTermination()
-    return {
-        "action_log": log_path,
-        "user_state": os.path.join(out_dir, "user_state", "snapshot"),
-        "block_rollups": rollup_path,
-    }
+    return paths

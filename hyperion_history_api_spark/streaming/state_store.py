@@ -50,6 +50,7 @@ def merge_update_by_block(
     *,
     block_col: str = "block_num",
     present_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply one update batch to the current state snapshot.
 
@@ -58,23 +59,39 @@ def merge_update_by_block(
     Rows whose winning version has ``present_col == 0`` are deleted
     (elastic-routes.ts:30-34).
 
+    Two same-key same-block updates within one batch resolve in batch
+    order — the reference applies updates in queue order (deterministic
+    last-write-wins). ``order_col`` names the monotonic within-batch
+    sequence; when absent we synthesize one from the updates frame's
+    row order (stable for a deterministic source, e.g. a file read),
+    so the tiebreak chain ``(block desc, is_update desc, seq desc)``
+    is total.
+
     Scale: one hash shuffle on ``keys``; map-side the window is a
     partial top-1, so this is the minimal plan for keyed last-writer-
     wins. Updates within a batch also dedup here (the reference relies
     on queue ordering instead).
     """
-    tagged = updates.withColumn("__is_update", F.lit(1))
+    seq = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    tagged = updates.withColumn("__is_update", F.lit(1)).withColumn("__seq", seq)
     if current is not None:
-        cur = current.withColumn("__is_update", F.lit(0))
+        cur = (
+            current.withColumn("__is_update", F.lit(0))
+            .withColumn("__seq", F.lit(-1).cast("long"))
+        )
         tagged = cur.unionByName(tagged, allowMissingColumns=False)
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col(block_col).desc(), F.col("__is_update").desc())
+        .orderBy(
+            F.col(block_col).desc(),
+            F.col("__is_update").desc(),
+            F.col("__seq").desc(),
+        )
     )
     out = (
         tagged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "__is_update")
+        .drop("__rn", "__is_update", "__seq")
     )
     if present_col is not None:
         out = out.where(F.col(present_col) != 0)

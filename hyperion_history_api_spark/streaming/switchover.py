@@ -62,7 +62,9 @@ def replay_history(
     start = resolve_start_from(df, seq_col, start_from)
     base = df.where(F.col(seq_col) >= start)
     if read_until is not None and read_until != 0:
-        base = base.where(F.col(seq_col) < read_until)
+        # inclusive bound, matching the reference's blockRange lte
+        # (functions.ts:758-768)
+        base = base.where(F.col(seq_col) <= read_until)
     if predicate is not None:
         base = base.where(predicate)
     cell = [start - 1]

@@ -21,6 +21,8 @@ from hyperion_history_api_spark.streaming.ingest import (
     batch_backfill,
     BLOCK_SIZE,
     decode_and_enrich,
+    make_ingest_sink,
+    read_block_rollups,
     run_ingest,
 )
 from hyperion_history_api_spark.streaming.missed_blocks import (
@@ -146,6 +148,17 @@ def test_merge_present_delete(spark):
     assert {r.key for r in out.collect()} == {2}
 
 
+def test_merge_same_block_batch_order_tiebreak(spark):
+    """Two updates for one key at the SAME block resolve in batch order
+    (the reference applies updates in queue order) — ADVICE r1 item."""
+    upd = spark.createDataFrame(
+        [(1, 10, "first"), (1, 10, "second"), (1, 10, "third")],
+        "key long, block_num long, val string",
+    ).coalesce(1)
+    out = merge_update_by_block(None, upd, ["key"])
+    assert [(r.key, r.val) for r in out.collect()] == [(1, "third")]
+
+
 def test_fork_retract_and_prune(spark):
     df = spark.createDataFrame(
         [(i, f"b{i // 10}") for i in range(100)], "block_num long, block_id string"
@@ -182,8 +195,9 @@ def test_run_ingest_end_to_end(spark, tmp_path):
     got_state = {r.user_id: r.event_id for r in state.collect()}
     assert got_state == exp_state
 
-    # rollups: per-block counts match a batch recompute
-    roll = spark.read.parquet(paths["block_rollups"])
+    # rollups: per-block counts match a batch recompute (read-time
+    # combine merges per-batch partials)
+    roll = read_block_rollups(spark, paths["block_rollups"])
     exp_roll = {
         r.block_num: r.n
         for r in expected.groupBy("block_num").agg(F.count("*").alias("n")).collect()
@@ -192,6 +206,51 @@ def test_run_ingest_end_to_end(spark, tmp_path):
     assert got_roll == exp_roll
     # block grouping sanity
     assert all(b * BLOCK_SIZE <= BLOCK_SIZE * (b + 1) for b in got_roll)
+
+
+def test_ingest_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch replays a failed micro-batch with the same
+    batch_id; the per-batch-subdir overwrite must not double-append
+    (ADVICE r1: at-least-once append sinks)."""
+    sink, paths = make_ingest_sink(spark, str(tmp_path))
+    ev = load_tables(spark, SF_DIR)["events"]
+    batch = decode_and_enrich(ev).limit(500)
+    sink(batch, 0)
+    sink(batch, 0)  # simulated replay of the same micro-batch
+    log = spark.read.parquet(paths["action_log"])
+    assert log.count() == 500
+    roll = read_block_rollups(spark, paths["block_rollups"])
+    n = batch.groupBy("block_num").count().count()
+    assert roll.count() == n
+
+
+def test_read_until_inclusive(spark):
+    """read_until=N includes block/seq N (reference blockRange lte,
+    functions.ts:758-768) — ADVICE r1 off-by-one."""
+    df = _sample(spark)
+    req = StreamRequest(read_until=3)
+    assert _ids(df.where(compile_request(df, req, StreamSchema()))) == [1, 2, 3]
+    replay = replay_history(df, "event_id", start_from=1, read_until=3, batch=10)
+    got = [r.event_id for page in replay.pages for r in page]
+    assert got == [1, 2, 3]
+
+
+def test_promoted_field_gated_on_action_name(spark):
+    """'@transfer.amount' only resolves into the payload for rows whose
+    action column equals 'transfer' (common_functions.ts:266-279) —
+    ADVICE r1: ungated fallback matched ANY action with that field."""
+    rows = [
+        (1, "transfer", '{"amount": 100}'),
+        (2, "buyram", '{"amount": 100}'),  # same field, wrong action
+        (3, "transfer", '{"amount": 5}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, act_name string, props string")
+    flt = RequestFilter("@transfer.amount", 50, "gt")
+    got = _ids(df.where(compile_filter(df, flt, action_col="act_name")))
+    assert got == [1]
+    # no action column in schema => promoted prefix can never match
+    got2 = _ids(df.where(compile_filter(df, flt, action_col=None)))
+    assert got2 == []
 
 
 def test_batch_backfill_matches_stream_ingest(spark, tmp_path):
