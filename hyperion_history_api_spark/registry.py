@@ -77,3 +77,4 @@ from .api import dedup_sim as _dedup_sim  # noqa: E402,F401
 from .api import multimodal_q as _multimodal_q  # noqa: E402,F401
 from .api import streamq as _streamq  # noqa: E402,F401
 from .api import endpoints_ext as _endpoints_ext  # noqa: E402,F401
+from .api import nested as _nested  # noqa: E402,F401

@@ -1,0 +1,353 @@
+"""The REAL Hyperion row shapes, materialized (SURVEY §1.1-§1.2,
+FIXTURES.md §1-§2).
+
+Round-1 verdict: every operator was proven on flat proxy columns while
+the reference's core row is an action with nested ``receipts[]``
+(each with ``auth_sequence[]``), ``act.authorization[]``,
+``notified[]`` and promoted ``@transfer`` structs —
+``src/indexer/definitions/index-templates.ts:52-178``. This module
+materializes those shapes as a deterministic enrichment of the
+driver's ``events`` parquet, so the get_actions/P7/P4/J3 family can be
+proven on the actual nested schema with a DuckDB oracle.
+
+Design for oracle parity: every SCALAR derivation is one SQL snippet
+(in ``_SCALARS``) that parses identically in Spark SQL and DuckDB;
+only the array/struct wrapping differs per dialect (Spark
+``named_struct``/``array`` vs DuckDB ``{..}``/``[..]``), and both
+wrappers are generated from the same Python builders so the two
+engines construct bit-identical nested tables. The Spark side is a
+pure narrow projection (no UDF, no shuffle, whole-stage codegen) —
+at 100 TB this enrichment is the map stage of ingest, and the nested
+table is what lands in the lake partitioned by block range.
+
+Nested-shape cardinalities (mirroring the e2e LoadGenerator's
+notification coverage, tests/e2e/lib/load-generator.ts:44-49):
+- receipts: 1-3 per action (contract self-receipt + up to two
+  notified counterparties, keyed on event_id mod 2 / mod 5);
+- act.authorization: 1-2 actors (second actor every third action);
+- notified: exactly the receipt receivers (ES keeps them in sync,
+  ds-pool.ts:556-569);
+- @transfer: non-null iff act.name = 'transfer', with memos drawn
+  from a fixed phrase list (fuzzy-match coverage) plus one >256-char
+  variant (noBinary truncation coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Layer 1: scalar derivations — ONE snippet per column, valid in BOTH
+# Spark SQL and DuckDB (shared subset: ||, CAST AS STRING, CASE, md5,
+# floor, round, repeat, %).
+# ---------------------------------------------------------------------------
+
+_SCALARS: list[tuple[str, str]] = [
+    ("global_sequence", "event_id"),
+    ("block_num", "CAST(floor(event_id / 5) AS BIGINT) + 1"),
+    (
+        "block_id",
+        "substr(md5('blk' || CAST(CAST(floor(event_id / 5) AS BIGINT) + 1 "
+        "AS STRING)), 1, 16)",
+    ),
+    (
+        "trx_id",
+        "substr(md5('trx' || CAST(CAST(floor(event_id / 3) AS BIGINT) "
+        "AS STRING)), 1, 16)",
+    ),
+    (
+        "producer",
+        "'prod' || CAST((CAST(floor(event_id / 5) AS BIGINT) + 1) % 21 AS STRING)",
+    ),
+    (
+        "act_account",
+        "CASE event_type WHEN 'purchase' THEN 'eosio.token' "
+        "WHEN 'error' THEN 'mycontract' ELSE 'eosio' END",
+    ),
+    (
+        "act_name",
+        "CASE event_type WHEN 'purchase' THEN 'transfer' "
+        "WHEN 'signup' THEN 'newaccount' WHEN 'view' THEN 'voteproducer' "
+        "WHEN 'click' THEN 'delegatebw' ELSE 'doit' END",
+    ),
+    ("actor", "'user' || CAST(user_id AS STRING)"),
+    ("actor2", "'user' || CAST((user_id + 7) % 150 AS STRING)"),
+    ("cp", "'user' || CAST((user_id + 1) % 150 AS STRING)"),
+    ("third", "'user' || CAST((user_id + 13) % 150 AS STRING)"),
+    # action trees of depth <=2: ordinal 1 is the root (creator 0),
+    # ordinals 2-4 are children of the root (action-dedup.ts semantics)
+    ("action_ordinal", "event_id % 4 + 1"),
+    ("creator_action_ordinal", "CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END"),
+    # digest: equal for the notification pair within a trx (same digest
+    # slot), distinct for inline actions (action-dedup.ts:44-57) — a trx
+    # spans 3 consecutive event_ids, so the %2 slot yields real pairs
+    (
+        "act_digest",
+        "substr(md5('act' || CAST(CAST(floor(event_id / 3) AS BIGINT) "
+        "AS STRING) || ':' || CAST(event_id % 2 AS STRING)), 1, 16)",
+    ),
+    # usage billed only on the first action of a trx (base-parser.ts:72-92)
+    (
+        "cpu_usage_us",
+        "CASE WHEN event_id % 3 = 0 THEN CAST(round(value * 10, 0) AS BIGINT) "
+        "ELSE 0 END",
+    ),
+    (
+        "net_usage_words",
+        "CASE WHEN event_id % 3 = 0 THEN CAST(round(value, 0) AS BIGINT) "
+        "ELSE 0 END",
+    ),
+    ("amount", "round(value, 4)"),
+    ("symbol", "CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END"),
+    (
+        "memo",
+        "CASE user_id % 5 WHEN 0 THEN 'payment for model run' "
+        "WHEN 1 THEN 'refund for order' "
+        "WHEN 2 THEN 'tip for madel service' "
+        "WHEN 3 THEN 'monthly subscription fee ' || repeat('x', 280) "
+        "ELSE 'gift transfer memo' END",
+    ),
+]
+
+_SCALAR_SQL = ", ".join(f"{expr} AS {name}" for name, expr in _SCALARS)
+
+# ---------------------------------------------------------------------------
+# Layer 2: nested wrapping — per-dialect builders over the layer-1 names.
+# ---------------------------------------------------------------------------
+
+
+def _receipt(dialect: str, recv: str, idx: int) -> str:
+    gs = f"global_sequence * 8 + {idx}"
+    rs = f"CAST(floor(global_sequence / 7) AS BIGINT) + {idx}"
+    if dialect == "spark":
+        return (
+            f"named_struct('receiver', {recv}, 'global_sequence', {gs}, "
+            f"'recv_sequence', {rs}, 'auth_sequence', "
+            f"array(named_struct('account', actor, 'sequence', global_sequence)))"
+        )
+    return (
+        f"{{'receiver': {recv}, 'global_sequence': {gs}, "
+        f"'recv_sequence': {rs}, 'auth_sequence': "
+        f"[{{'account': actor, 'sequence': global_sequence}}]}}"
+    )
+
+
+def _branch4(arr3: str, arr2a: str, arr2b: str, arr1: str) -> str:
+    """receipts/notified cardinality: mod 10 -> 3 elems; mod 2 -> 2;
+    mod 5 -> 2 (other pair); else 1."""
+    return (
+        f"CASE WHEN global_sequence % 10 = 0 THEN {arr3} "
+        f"WHEN global_sequence % 2 = 0 THEN {arr2a} "
+        f"WHEN global_sequence % 5 = 0 THEN {arr2b} "
+        f"ELSE {arr1} END"
+    )
+
+
+def _receipts_expr(dialect: str) -> str:
+    r0 = _receipt(dialect, "act_account", 0)
+    r1 = _receipt(dialect, "cp", 1)
+    r2 = _receipt(dialect, "third", 2)
+    if dialect == "spark":
+        return _branch4(
+            f"array({r0}, {r1}, {r2})",
+            f"array({r0}, {r1})",
+            f"array({r0}, {r2})",
+            f"array({r0})",
+        )
+    return _branch4(
+        f"[{r0}, {r1}, {r2}]", f"[{r0}, {r1}]", f"[{r0}, {r2}]", f"[{r0}]"
+    )
+
+
+def _notified_expr(dialect: str) -> str:
+    if dialect == "spark":
+        return _branch4(
+            "array(act_account, cp, third)",
+            "array(act_account, cp)",
+            "array(act_account, third)",
+            "array(act_account)",
+        )
+    return _branch4(
+        "[act_account, cp, third]",
+        "[act_account, cp]",
+        "[act_account, third]",
+        "[act_account]",
+    )
+
+
+def _auth_expr(dialect: str) -> str:
+    if dialect == "spark":
+        a1 = "named_struct('actor', actor, 'permission', 'active')"
+        a2 = "named_struct('actor', actor2, 'permission', 'owner')"
+        return (
+            f"CASE WHEN global_sequence % 3 = 0 THEN array({a1}, {a2}) "
+            f"ELSE array({a1}) END"
+        )
+    a1 = "{'actor': actor, 'permission': 'active'}"
+    a2 = "{'actor': actor2, 'permission': 'owner'}"
+    return (
+        f"CASE WHEN global_sequence % 3 = 0 THEN [{a1}, {a2}] ELSE [{a1}] END"
+    )
+
+
+def _act_expr(dialect: str) -> str:
+    auth = _auth_expr(dialect)
+    if dialect == "spark":
+        return (
+            f"named_struct('account', act_account, 'name', act_name, "
+            f"'authorization', {auth}, 'data', props)"
+        )
+    return (
+        f"{{'account': act_account, 'name': act_name, "
+        f"'authorization': {auth}, 'data': props}}"
+    )
+
+
+def _transfer_expr(dialect: str) -> str:
+    if dialect == "spark":
+        st = (
+            "named_struct('from_account', actor, 'to_account', cp, "
+            "'amount', amount, 'symbol', symbol, 'memo', memo)"
+        )
+    else:
+        st = (
+            "{'from_account': actor, 'to_account': cp, "
+            "'amount': amount, 'symbol': symbol, 'memo': memo}"
+        )
+    return f"CASE WHEN act_name = 'transfer' THEN {st} ELSE NULL END"
+
+
+_NESTED_COLS = [
+    ("act", _act_expr),
+    ("receipts", _receipts_expr),
+    ("notified", _notified_expr),
+    ("transfer", _transfer_expr),
+]
+
+
+def build_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested ``actions`` table (index-templates.ts:52-178 shape).
+
+    Narrow two-stage projection over the events parquet: scalars, then
+    nested wrapping — no UDF, no shuffle; Catalyst collapses both into
+    one whole-stage-codegen map over the scan.
+    """
+    from ..tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    scalars = ev.selectExpr("ts", "user_id", "event_type", "value", "props",
+                            *[f"{expr} AS {name}" for name, expr in _SCALARS])
+    nested = scalars.selectExpr(
+        "*", *[f"{fn('spark')} AS {name}" for name, fn in _NESTED_COLS]
+    )
+    return nested
+
+
+# The DuckDB twin: a WITH-prefix reproducing the same nested table from
+# the registered ``events`` view. Append query SQL after this prefix.
+ACTIONS_CTE = (
+    "WITH _hyp_scalars AS (SELECT ts, user_id, event_type, value, props, "
+    f"{_SCALAR_SQL} FROM events), "
+    "actions AS (SELECT *, "
+    + ", ".join(f"{fn('duckdb')} AS {name}" for name, fn in _NESTED_COLS)
+    + " FROM _hyp_scalars)"
+)
+
+
+# ---------------------------------------------------------------------------
+# deltas: contract table-row versions with promoted @accounts/@voters
+# structs (index-templates.ts:193-259; FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+_DELTA_SCALARS: list[tuple[str, str]] = [
+    ("block_num", "CAST(floor(event_id / 5) AS BIGINT) + 1"),
+    (
+        "block_id",
+        "substr(md5('blk' || CAST(CAST(floor(event_id / 5) AS BIGINT) + 1 "
+        "AS STRING)), 1, 16)",
+    ),
+    (
+        "code",
+        "CASE event_type WHEN 'purchase' THEN 'eosio.token' "
+        "WHEN 'click' THEN 'eosio.token' ELSE 'eosio' END",
+    ),
+    (
+        "table_name",
+        "CASE event_type WHEN 'purchase' THEN 'accounts' "
+        "WHEN 'click' THEN 'accounts' WHEN 'view' THEN 'voters' "
+        "WHEN 'signup' THEN 'voters' ELSE 'global' END",
+    ),
+    ("scope", "'user' || CAST(user_id AS STRING)"),
+    ("payer", "'user' || CAST(user_id AS STRING)"),
+    ("primary_key", "CAST(user_id % 50 AS STRING)"),
+    ("present", "CASE WHEN event_id % 37 = 0 THEN 0 ELSE 1 END"),
+    ("amount", "round(value, 4)"),
+    ("symbol", "CASE WHEN user_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END"),
+    ("is_proxy", "user_id % 10 = 0"),
+    ("last_vote_weight", "round(value * 1000, 4)"),
+    ("staked", "round(value * 2, 4)"),
+    ("prod_a", "'prod' || CAST(user_id % 21 AS STRING)"),
+    ("prod_b", "'prod' || CAST((user_id + 3) % 21 AS STRING)"),
+    ("prod_c", "'prod' || CAST((user_id + 9) % 21 AS STRING)"),
+]
+
+_DELTA_SCALAR_SQL = ", ".join(f"{expr} AS {name}" for name, expr in _DELTA_SCALARS)
+
+
+def _accounts_struct(dialect: str) -> str:
+    st = (
+        "named_struct('amount', amount, 'symbol', symbol)"
+        if dialect == "spark"
+        else "{'amount': amount, 'symbol': symbol}"
+    )
+    return f"CASE WHEN table_name = 'accounts' THEN {st} ELSE NULL END"
+
+
+def _voters_struct(dialect: str) -> str:
+    prods = (
+        "CASE WHEN user_id % 2 = 0 THEN array(prod_a, prod_b, prod_c) "
+        "ELSE array(prod_a, prod_b) END"
+        if dialect == "spark"
+        else "CASE WHEN user_id % 2 = 0 THEN [prod_a, prod_b, prod_c] "
+        "ELSE [prod_a, prod_b] END"
+    )
+    if dialect == "spark":
+        st = (
+            f"named_struct('is_proxy', is_proxy, 'producers', {prods}, "
+            f"'last_vote_weight', last_vote_weight, 'staked', staked)"
+        )
+    else:
+        st = (
+            f"{{'is_proxy': is_proxy, 'producers': {prods}, "
+            f"'last_vote_weight': last_vote_weight, 'staked': staked}}"
+        )
+    return f"CASE WHEN table_name = 'voters' THEN {st} ELSE NULL END"
+
+
+_DELTA_NESTED = [("accounts_data", _accounts_struct), ("voters_data", _voters_struct)]
+
+
+def build_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested ``deltas`` table (index-templates.ts:193-259 shape):
+    several versions per (code, table, scope, primary_key) across
+    blocks, ~3% deletions (present=0), per-table promoted structs."""
+    from ..tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    scalars = ev.selectExpr(
+        "ts", "event_id", "user_id", "value",
+        *[f"{expr} AS {name}" for name, expr in _DELTA_SCALARS],
+    )
+    return scalars.selectExpr(
+        "*", *[f"{fn('spark')} AS {name}" for name, fn in _DELTA_NESTED]
+    )
+
+
+DELTAS_CTE = (
+    "WITH _hyp_dscalars AS (SELECT ts, event_id, user_id, value, "
+    f"{_DELTA_SCALAR_SQL} FROM events), "
+    "deltas AS (SELECT *, "
+    + ", ".join(f"{fn('duckdb')} AS {name}" for name, fn in _DELTA_NESTED)
+    + " FROM _hyp_dscalars)"
+)
