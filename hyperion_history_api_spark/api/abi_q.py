@@ -1,0 +1,171 @@
+"""Oracle-backed queries for the binary ABI decode family (SURVEY
+§2.10 UDF family, §2.2 P16) — round-2 judge priority #2.
+
+The Spark path round-trips REAL Antelope binary: deterministic scalars
+-> encode (fixture UDF) -> strict decode UDF with the
+as-of/previous-version fallback chain -> auto-blacklist anti-join.
+The DuckDB oracle states the expected output directly from the same
+scalar derivations — so a decode that silently mis-parses any field
+(name base-32, asset symbol/precision, varuint string) hash-mismatches.
+The codec itself is additionally pinned by unit tests against the
+public Antelope test vectors (tests/test_abi_decode.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.abi_pipeline import (
+    abi_version_table,
+    apply_blacklist,
+    auto_blacklist_windows,
+    build_binary_actions,
+    decode_actions,
+)
+from ..registry import register
+
+_BLOCK = "CAST(floor(event_id / 5) AS BIGINT) + 1"
+_FROM = (
+    "'user' || translate(CAST(user_id AS STRING), '0123456789', 'a12345bcde')"
+)
+_TO = (
+    "'user' || translate(CAST((user_id + 1) % 150 AS STRING), "
+    "'0123456789', 'a12345bcde')"
+)
+
+
+@register(
+    "abi_binary_decode",
+    f"""
+    SELECT event_id AS global_sequence,
+           {_FROM} AS from_account,
+           {_TO} AS to_account,
+           round(CAST(round(value * 10000, 0) AS BIGINT) / 10000.0, 4) AS amount,
+           CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS symbol,
+           CASE WHEN {_BLOCK} >= 1210 THEN 2 ELSE 1 END AS used_version
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY global_sequence LIMIT 500
+    """,
+    "§2.10 abieos hex->JSON decode UDF (deserializer.ts:893-906) incl. "
+    "the previous-version fallback for in-flight transactions across an "
+    "ABI upgrade (base-parser.ts:193-196)",
+)
+def abi_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfers decoded from real binary. Rows in the [1200,1210)
+    old-format window must come back with used_version=1 (fallback hit)
+    while post-upgrade rows decode as v2 first try — the oracle derives
+    both from the block number alone."""
+    d = decode_actions(build_binary_actions(spark, sf_dir))
+    return (
+        d.where(F.col("action_name") == "transfer")
+        .select(
+            "global_sequence",
+            F.col("decoded.from_account").alias("from_account"),
+            F.col("decoded.to_account").alias("to_account"),
+            F.round("decoded.amount", 4).alias("amount"),
+            F.col("decoded.symbol").alias("symbol"),
+            F.col("decoded.used_version").alias("used_version"),
+        )
+        .orderBy("global_sequence")
+        .limit(500)
+    )
+
+
+@register(
+    "abi_decode_errors",
+    f"""
+    SELECT event_id AS global_sequence,
+           {_BLOCK} AS block_num,
+           ({_BLOCK} >= 101 AND {_BLOCK} < 1001) AS ds_error,
+           CASE WHEN {_BLOCK} >= 101 AND {_BLOCK} < 1001 THEN NULL
+                WHEN {_BLOCK} >= 1001 THEN 2 ELSE 1 END AS used_version
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY global_sequence LIMIT 500
+    """,
+    "§2.10 decode failure path: corrupted blobs exhaust the fallback "
+    "chain and mark ds_error (base-parser.ts:214-230)",
+)
+def abi_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = decode_actions(build_binary_actions(spark, sf_dir))
+    return (
+        d.where(F.col("action_name") == "doit")
+        .select(
+            "global_sequence",
+            "block_num",
+            F.col("decoded.ds_error").alias("ds_error"),
+            F.col("decoded.used_version").alias("used_version"),
+        )
+        .orderBy("global_sequence")
+        .limit(500)
+    )
+
+
+@register(
+    "abi_auto_blacklist_window",
+    f"""
+    WITH fail_blocks AS (
+        SELECT DISTINCT {_BLOCK} AS block_num
+        FROM events
+        WHERE event_type = 'error'
+          AND {_BLOCK} >= 101 AND {_BLOCK} < 1001
+    ),
+    windows(contract, valid_from, valid_until) AS (
+        VALUES ('mycontract', CAST(1 AS BIGINT), CAST(1001 AS BIGINT)),
+               ('mycontract', CAST(1001 AS BIGINT), CAST(0 AS BIGINT))
+    )
+    SELECT DISTINCT contract, valid_from, valid_until
+    FROM windows w
+    WHERE EXISTS (SELECT 1 FROM fail_blocks f
+                  WHERE f.block_num >= w.valid_from
+                    AND (w.valid_until = 0 OR f.block_num < w.valid_until))
+    ORDER BY contract, valid_from
+    """,
+    "P16 auto-blacklist window registration from decode failures "
+    "(registerAutoBlacklist, deserializer.ts:760-776)",
+)
+def abi_auto_blacklist_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failing contract's ABI validity window(s) — derived from
+    actual decode failures, not from the injection rule."""
+    d = decode_actions(build_binary_actions(spark, sf_dir))
+    windows = auto_blacklist_windows(d, abi_version_table(spark))
+    return windows.orderBy("contract", "valid_from")
+
+
+@register(
+    "abi_blacklist_applied",
+    f"""
+    SELECT contract, action_name, count(*) AS n
+    FROM (
+        SELECT CASE event_type WHEN 'purchase' THEN 'eosio.token'
+                    ELSE 'mycontract' END AS contract,
+               CASE event_type WHEN 'purchase' THEN 'transfer'
+                    ELSE 'doit' END AS action_name,
+               {_BLOCK} AS block_num
+        FROM events WHERE event_type IN ('purchase', 'error')
+    )
+    WHERE NOT (contract = 'mycontract'
+               AND block_num >= 1 AND block_num < 1001)
+    GROUP BY contract, action_name
+    ORDER BY contract, action_name
+    """,
+    "P16 blacklist enforcement: ingest skips the whole blacklisted "
+    "validity window, incl. rows that decoded fine inside it "
+    "(checkBlacklist, deserializer.ts:869-885)",
+)
+def abi_blacklist_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join of the decodable stream against the auto-registered
+    windows: ALL of mycontract's v1 window [1,1001) is skipped — even
+    blocks [1,101) whose blobs were intact — matching the reference's
+    whole-window semantics."""
+    d = decode_actions(build_binary_actions(spark, sf_dir))
+    windows = auto_blacklist_windows(d, abi_version_table(spark))
+    decodable = d.where(F.col("abi_blob").isNotNull())
+    kept = apply_blacklist(decodable, windows)
+    return (
+        kept.groupBy("contract", "action_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("contract", "action_name")
+    )
