@@ -41,19 +41,44 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    # Ingest throughput (BASELINE part B: >= 10k events/s/core): one
-    # batch backfill pass of the raw feed into the partitioned lake.
+    # Ingest throughput (BASELINE part B: >= 10k events/s/core).
+    # Round-1 advice applied: (a) amortize fixed per-pass costs by
+    # replicating the feed to a ~2M-row job, (b) keep the verification
+    # count OUT of the timed region (backfill_write only), (c) report
+    # events/s/core.
     import shutil
     import tempfile
 
-    from hyperion_history_api_spark.streaming.ingest import batch_backfill
+    from pyspark.sql import functions as F
+
+    from hyperion_history_api_spark.streaming.ingest import (
+        backfill_write,
+        decode_and_enrich,
+    )
+    from hyperion_history_api_spark.tables import load_tables
+
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = int(cpus_env) if cpus_env.isdigit() else 32
+    base = load_tables(spark, sf_dir)["events"]
+    base_n = base.count()  # outside the timed region
+    copies = max(1, 2_000_000 // max(base_n, 1))
+    span = base.agg(F.max("event_id")).first()[0] + 1
+    feed = base
+    for i in range(1, copies):
+        feed = feed.unionAll(
+            base.withColumn("event_id", F.col("event_id") + F.lit(i * span))
+        )
+    decoded = decode_and_enrich(feed)
+    rows = base_n * copies
 
     tmp = tempfile.mkdtemp(prefix="hyperion_ingest_bench_")
     try:
-        batch_backfill(spark, sf_dir, tmp)  # warm
+        backfill_write(decoded, os.path.join(tmp, "warm"))  # warm
         t0 = time.perf_counter()
-        rows = batch_backfill(spark, sf_dir, tmp)
+        backfill_write(decoded, os.path.join(tmp, "timed"))
         ingest_sec = time.perf_counter() - t0
+        written = spark.read.parquet(os.path.join(tmp, "timed")).count()
+        assert written == rows, f"ingest wrote {written} != {rows}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -67,7 +92,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_sec": round(ingest_sec, 4),
+                "ingest_rows": rows,
                 "ingest_events_per_sec": round(rows / ingest_sec),
+                "ingest_events_per_sec_per_core": round(rows / ingest_sec / cpus),
             }
         )
     )

@@ -106,28 +106,11 @@ def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataF
     )
 
 
-def batch_backfill(
-    spark: SparkSession,
-    sf_dir: str,
-    out_dir: str,
-    *,
-    blacklist: list[str] | None = None,
-) -> int:
-    """S2 parallel range backfill: the batch twin of run_ingest for
-    historical ranges (master.ts:934-966 assigns block ranges to N
-    readers; here the range split IS the partitioning).
-
-    One narrow pass: scan -> decode -> repartitionByRange on the block
+def backfill_write(decoded: DataFrame, log_path: str) -> None:
+    """The backfill write path alone: repartitionByRange on the block
     partition key -> per-partition sort -> partitioned write. The only
-    exchange is the range partitioner, which is also what makes output
-    files align with partition boundaries (block-pruned reads later).
-    Returns rows written.
-    """
-    raw = normalize_events(
-        spark.read.schema(EVENTS_SCHEMA_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
-    )
-    decoded = decode_and_enrich(raw, blacklist=blacklist)
-    log_path = os.path.join(out_dir, "action_log")
+    exchange is the range partitioner, which also aligns output files
+    with partition boundaries (block-pruned reads later)."""
     (
         decoded.repartitionByRange("block_part", "event_id")
         .sortWithinPartitions("event_id")
@@ -135,6 +118,34 @@ def batch_backfill(
         .partitionBy("block_part")
         .parquet(log_path)
     )
+
+
+def batch_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    blacklist: list[str] | None = None,
+    verify: bool = True,
+) -> int:
+    """S2 parallel range backfill: the batch twin of run_ingest for
+    historical ranges (master.ts:934-966 assigns block ranges to N
+    readers; here the range split IS the partitioning).
+
+    One narrow pass: scan -> decode -> :func:`backfill_write`. With
+    ``verify`` a read-back count confirms rows written (NOT part of
+    ingest itself — callers timing ingest pass verify=False and count
+    separately, per round-1 bench advice). Returns rows written, or -1
+    when unverified.
+    """
+    raw = normalize_events(
+        spark.read.schema(EVENTS_SCHEMA_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    decoded = decode_and_enrich(raw, blacklist=blacklist)
+    log_path = os.path.join(out_dir, "action_log")
+    backfill_write(decoded, log_path)
+    if not verify:
+        return -1
     return spark.read.parquet(log_path).count()
 
 
