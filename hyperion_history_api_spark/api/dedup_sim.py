@@ -40,16 +40,17 @@ WITH w AS (
                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
     FROM sh a JOIN sh b ON b.doc_id > a.doc_id
     WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
     ORDER BY id_a, id_b
     """,
     "dedup: MinHash+LSH near-dup pairs, exact-Jaccard verified "
-    "(oracle = brute-force all-pairs; LSH miss prob < 1e-8 at j>=0.9)",
+    "(oracle = brute-force all-pairs; deterministic gate: banding miss "
+    "prob at the j=0.7 threshold is (1-0.49)^24 ~ 1e-7)",
     headline=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir)["documents"]
-    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7).orderBy(
         "id_a", "id_b"
     )
 
