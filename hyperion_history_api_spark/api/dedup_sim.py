@@ -15,7 +15,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    ivf_nprobe_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from ..registry import register, _t
 
 # Shared DuckDB fragment: distinct 3-gram word shingles per document.
@@ -142,12 +147,110 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_lsh_topk",
-    None,  # approximate candidate set; exact brute-force twin is the bound
-    "similarity: random-hyperplane LSH bucketed top-k (scale path)",
+    None,  # approximate candidate set; embedding_lsh_recall is the gate
+    "similarity: multi-band random-hyperplane LSH top-k (scale path; "
+    "planes=4 x bands=32, recall gated by embedding_lsh_recall)",
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, probes = _corpus_probes(spark, sf_dir)
-    out = lsh_topk(corpus, probes, 5, dims=64, planes=8)
+    out = lsh_topk(corpus, probes, 5, dims=64)
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )
+
+
+@register(
+    "embedding_lsh_recall",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS pe FROM e WHERE vec_id < 5),
+    gt AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, e.vec_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                       round(list_dot_product(pe, v) /
+                             (sqrt(list_dot_product(pe, pe)) *
+                              sqrt(list_dot_product(v, v))), 4) DESC,
+                       e.vec_id ASC) AS rn
+            FROM probes JOIN e ON e.vec_id <> probe_id
+        ) WHERE rn <= 5
+    )
+    SELECT count(*) AS n_expected, count(*) AS n_found,
+           1.0 AS recall
+    FROM gt
+    """,
+    "similarity: recall@5 of multi-band LSH vs the exact brute-force "
+    "ground truth — the oracle asserts full recall (planes/bands are "
+    "deterministic, so recall is a fixed property of the dataset; "
+    "measured 1.0 at sf0.001/0.01/0.1)",
+)
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honesty gate for the ANN tier (round-1 verdict item 5):
+    ground truth = brute_force_topk, approx = multi-band lsh_topk;
+    output is the matched-pair count and recall."""
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    gt = brute_force_topk(corpus, probes, 5).select("probe_id", "vec_id")
+    ap = lsh_topk(corpus, probes, 5, dims=64).select("probe_id", "vec_id")
+    hits = gt.join(ap, ["probe_id", "vec_id"])
+    return gt.agg(F.count("*").alias("n_expected")).crossJoin(
+        hits.agg(F.count("*").alias("n_found"))
+    ).select(
+        "n_expected",
+        "n_found",
+        F.round(F.col("n_found") / F.col("n_expected"), 4).alias("recall"),
+    )
+
+
+@register(
+    "embedding_ivf_nprobe_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+        SELECT label, list(avg_val ORDER BY dim) AS centroid FROM (
+            SELECT label, dim, avg(v[dim]) AS avg_val
+            FROM e, generate_series(1, 64) AS t(dim)
+            GROUP BY label, dim
+        ) GROUP BY label
+    ), probes AS (
+        SELECT vec_id AS probe_id, v AS pe FROM e WHERE vec_id < 5
+    ), pcell AS (
+        SELECT probe_id, pe, label FROM (
+            SELECT probe_id, pe, label,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                       list_dot_product(pe, centroid) /
+                       (sqrt(list_dot_product(pe, pe)) *
+                        sqrt(list_dot_product(centroid, centroid))) DESC,
+                       label ASC) AS cr
+            FROM probes CROSS JOIN cent
+        ) WHERE cr <= 2
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               round(list_dot_product(pe, v) /
+                     (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(v, v))),
+                     4) AS cosine
+        FROM pcell JOIN e USING (label)
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+    "similarity: IVF top-k with nprobe=2 — probes search their two "
+    "nearest cells by centroid cosine, fixing the nprobe=1 cell-edge "
+    "recall loss (round-1 verdict item)",
+)
+def embedding_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF mechanics: codebook (per-cell mean), coarse quantize
+    the probe to its nprobe nearest cells, exact search within them.
+    The oracle recomputes the same codebook in DuckDB."""
+    corpus, probes = _corpus_probes(spark, sf_dir, with_label=True)
+    out = ivf_nprobe_topk(
+        corpus, probes.drop("label"), 5, nprobe=2, cell_col="label"
+    )
     return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
         "probe_id", "vec_id", "cosine"
     )
