@@ -236,19 +236,11 @@ def simhash64_from_hashes(hashes_col: str) -> Column:
     return F.expr(" + ".join(["cast(0 as bigint)"] + bits))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    *,
-    max_hamming: int = 6,
+def simhash_chunks(
+    df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= k.
-
-    Pigeonhole banding: split the 64-bit signature into 4 x 16-bit
-    chunks; any pair within hamming<=6 shares at least one exact chunk
-    when distance spreads over <=3 chunks (standard SimHash recall
-    argument) — join per chunk, verify exact popcount distance."""
+    """(id, sim, chunk_id, chunk_val) rows: 64-bit SimHash split into
+    4 x 16-bit pigeonhole chunks."""
     # Same two-exchange shape as minhash_lsh_pairs: distribute the raw
     # text regardless of file layout, then materialize token hashes so
     # the 64 interpreted bit-vote aggregates read an array instead of
@@ -264,7 +256,7 @@ def simhash_pairs(
     sig = hashed.select(
         F.col(id_col), simhash64_from_hashes("__th").alias("sim")
     )
-    chunks = sig.select(
+    return sig.select(
         id_col,
         "sim",
         F.explode(
@@ -281,13 +273,79 @@ def simhash_pairs(
             )
         ).alias("ch"),
     ).select(id_col, "sim", "ch.chunk_id", "ch.chunk_val")
-    a, b = chunks.alias("a"), chunks.alias("b")
+
+
+def salted_chunks(
+    chunks: DataFrame, id_col: str, *, max_bucket: int
+) -> DataFrame:
+    """Attach (g, salt) to each chunk row: buckets over ``max_bucket``
+    rows split into g = ceil(m / max_bucket) deterministic salt groups.
+    One count pass + one key-shuffle join — both on the slim chunk
+    rows."""
+    sizes = chunks.groupBy("chunk_id", "chunk_val").agg(F.count("*").alias("__m"))
+    return (
+        chunks.join(sizes, on=["chunk_id", "chunk_val"])
+        .withColumn("g", F.ceil(F.col("__m") / F.lit(max_bucket)).cast("int"))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("g")).cast("int"))
+        .drop("__m")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 6,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= k.
+
+    Pigeonhole banding: split the 64-bit signature into 4 x 16-bit
+    chunks; any pair within hamming<=6 shares at least one exact chunk
+    when distance spreads over <=3 chunks (standard SimHash recall
+    argument) — join per chunk, verify exact popcount distance.
+
+    Skew guard (round-1 verdict item 6): a hot chunk value (e.g. the
+    all-zero chunks of near-empty documents) would put O(m^2) pairs in
+    ONE reducer task. Buckets over ``max_bucket`` rows are
+    triangle-salted: rows get salt = hash(id) mod g with
+    g = ceil(m/max_bucket), the a-side replicates each row over the g
+    partner salts as (salt, other) and the b-side as (other, salt), so
+    the join key (chunk, chunk_val, salt_a, salt_b) spreads the
+    bucket's pairs over g^2 keys of ~max_bucket^2 pairs each (hash
+    salting is uniform in expectation) — every pair still produced
+    exactly once per chunk, no straggler.
+    Cold buckets have g=1 and pay nothing but two constant key ints.
+    """
+    chunks = salted_chunks(
+        simhash_chunks(df, text_col, id_col), id_col, max_bucket=max_bucket
+    )
+    a = chunks.select(
+        F.col(id_col),
+        "sim",
+        "chunk_id",
+        "chunk_val",
+        F.col("salt").alias("salt_a"),
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("salt_b"),
+    )
+    b = chunks.select(
+        F.col(id_col),
+        "sim",
+        "chunk_id",
+        "chunk_val",
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("salt_a"),
+        F.col("salt").alias("salt_b"),
+    )
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     return (
-        a.join(
-            b,
+        a.alias("a")
+        .join(
+            b.alias("b"),
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.salt_a") == F.col("b.salt_a"))
+            & (F.col("a.salt_b") == F.col("b.salt_b"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

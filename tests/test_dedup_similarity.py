@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from hyperion_history_api_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    salted_chunks,
+    simhash_chunks,
     simhash_pairs,
 )
 from hyperion_history_api_spark.operators.similarity import (
@@ -70,6 +72,34 @@ def test_simhash_identical_token_sets_collide(docs):
         for r in simhash_pairs(docs, "text", "doc_id", max_hamming=0).collect()
     }
     assert exact_token_dups <= zero_ham
+
+
+def test_simhash_hot_bucket_salting(spark):
+    """Skew guard: a fixture of many near-empty docs (identical
+    signatures => one hot chunk bucket) must (a) split hot buckets so
+    no (chunk, salt_a, salt_b) cell exceeds the cap, and (b) still
+    produce the complete pair set."""
+    rows = [(i, "common words here") for i in range(60)] + [
+        (100 + i, f"totally different text number{i} payload{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = salted_chunks(simhash_chunks(df, "text", "doc_id"), "doc_id", max_bucket=10)
+    # hot bucket split into ceil(60/10)=6 salt groups, each <= cap
+    per_cell = (
+        chunks.groupBy("chunk_id", "chunk_val", "salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # hash salting is uniform in expectation; 2x cap slack vs the 60-row
+    # unsalted bucket it replaces
+    assert per_cell <= 20
+    assert chunks.agg(F.max("g")).first()[0] >= 6
+    # completeness: the 60 identical docs form all C(60,2) hamming-0 pairs
+    pairs = simhash_pairs(df, "text", "doc_id", max_hamming=0, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(a, b) for a in range(60) for b in range(60) if a < b}
+    assert expected <= got
 
 
 def test_lsh_topk_subset_of_bruteforce_corpus(emb):
