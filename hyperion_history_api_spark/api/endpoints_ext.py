@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.predicates import QueryParams, apply_query, compile_predicate
 from ..registry import register, _t
 
 
@@ -39,21 +40,25 @@ from ..registry import register, _t
 )
 def get_deltas_by_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta query: (code,table) -> event_type, scope -> user_id range,
-    payer -> props.k. All three predicates reach the parquet scan; the
-    JSON extraction happens only on surviving rows."""
-    ev = _t(spark, sf_dir)["events"]
-    payer = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.where(
-            (F.col("event_type") == "purchase")
-            & F.col("user_id").between(2, 6)
-        )
-        .withColumn("payer", payer)
-        .where(F.col("payer") >= 10)
-        .orderBy(F.col("event_id").desc())
-        .limit(100)
-        .select("event_id", "user_id", "event_type", "props", "payer")
+    payer -> props.k — all compiled through the predicate compiler
+    (QueryParams -> apply_query), so the oracle row tests the compiler,
+    not per-query code. The scan-pushable predicates reach parquet; the
+    JSON payer extraction runs only on surviving rows."""
+    ev = _t(spark, sf_dir)["events"].withColumn(
+        "payer", F.get_json_object("props", "$.k").cast("long")
     )
+    out = apply_query(
+        ev,
+        QueryParams(
+            terms={"event_type": "purchase", "user_id": "2-6", "payer": "10-999999"},
+            limit=100,
+        ),
+        default_sort_field="event_id",
+        tiebreaker="event_id",
+        numeric_fields=frozenset({"user_id", "payer"}),
+        seq_field="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type", "props", "payer")
 
 
 @register(
@@ -76,8 +81,11 @@ def get_blocks_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the block_num grouping key is also the lake partition key, so
     partial aggregation is near-total map-side."""
     ev = _t(spark, sf_dir)["events"]
+    pred = compile_predicate(
+        ev, QueryParams(after="100", before="699"), seq_field="event_id"
+    )
     return (
-        ev.where(F.col("event_id").between(100, 699))
+        ev.where(pred)
         .groupBy((F.col("event_id") / 100).cast("long").alias("block_num"))
         .agg(
             F.count("*").alias("trx_count"),
@@ -124,12 +132,16 @@ def get_created_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def get_schedule_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest producer-schedule version with sequence <= N: top-1 over a
-    pushed-down filter (TakeOrderedAndProject, no full sort)."""
+    pushed-down filter (TakeOrderedAndProject, no full sort). Routed
+    through the predicate compiler (term + before-sequence bound)."""
     ev = _t(spark, sf_dir)["events"]
     return (
-        ev.where((F.col("event_type") == "signup") & (F.col("event_id") <= 600))
-        .orderBy(F.col("event_id").desc())
-        .limit(1)
+        apply_query(
+            ev,
+            QueryParams(terms={"event_type": "signup"}, before="600", limit=1),
+            default_sort_field="event_id",
+            seq_field="event_id",
+        )
         .select(
             F.col("event_id").alias("version_seq"),
             F.col("user_id").alias("producer_slot"),
@@ -261,18 +273,25 @@ def get_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "get_voters filtered state table (v2-state/get_voters.ts:6-74)",
 )
 def get_voters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Voter listing: filter + sort by vote weight desc + page. The
-    segment/positive-balance predicates push to the scan; TakeOrdered
-    keeps it a top-K, never a full sort."""
+    """Voter listing: filter + sort by vote weight desc + page, routed
+    through the predicate compiler (segment term + positive-balance
+    range on 2-decimal data). TakeOrdered keeps it a top-K, never a
+    full sort."""
     cust = _t(spark, sf_dir)["customer"]
-    return (
-        cust.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
-        .select(
-            F.col("c_custkey").alias("voter"),
-            F.round("c_acctbal", 4).alias("weight"),
-        )
-        .orderBy(F.col("weight").desc(), F.col("voter").asc())
-        .limit(50)
+    out = apply_query(
+        cust,
+        QueryParams(
+            terms={"c_mktsegment": "BUILDING", "c_acctbal": "0.01-9999999"},
+            sorted_by="c_acctbal:desc",
+            limit=50,
+        ),
+        default_sort_field="c_acctbal",
+        tiebreaker="c_custkey",
+        numeric_fields=frozenset({"c_acctbal"}),
+    )
+    return out.select(
+        F.col("c_custkey").alias("voter"),
+        F.round("c_acctbal", 4).alias("weight"),
     )
 
 
@@ -306,10 +325,16 @@ def get_voter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permission-link listing: (account, action) pairs with earliest
-    link sequence — groupBy after a pushed account-range filter."""
+    link sequence — groupBy after a compiler-built account-range
+    filter."""
     ev = _t(spark, sf_dir)["events"]
+    pred = compile_predicate(
+        ev,
+        QueryParams(terms={"user_id": "1-5"}),
+        numeric_fields=frozenset({"user_id"}),
+    )
     return (
-        ev.where(F.col("user_id").between(1, 5))
+        ev.where(pred)
         .groupBy(
             F.col("user_id").alias("account"), F.col("event_type").alias("action")
         )
@@ -325,24 +350,28 @@ def get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate AS proposed_at, round(o_totalprice, 4) AS stake
     FROM orders
     WHERE o_orderstatus = 'P'
-    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 40
+    ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 40
     """,
     "get_proposals msig listing (v2-state/get_proposals.ts:4-96)",
 )
 def get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pending-proposal listing: status filter + newest-first page with
-    a unique tiebreaker for deterministic pagination."""
+    a unique tiebreaker for deterministic pagination — QueryParams ->
+    apply_query."""
     o = _t(spark, sf_dir)["orders"]
-    return (
-        o.where(F.col("o_orderstatus") == "P")
-        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-        .limit(40)
-        .select(
-            F.col("o_orderkey").alias("proposal_id"),
-            F.col("o_custkey").alias("proposer"),
-            F.col("o_orderdate").alias("proposed_at"),
-            F.round("o_totalprice", 4).alias("stake"),
-        )
+    out = apply_query(
+        o,
+        QueryParams(
+            terms={"o_orderstatus": "P"}, sorted_by="o_orderdate:desc", limit=40
+        ),
+        default_sort_field="o_orderdate",
+        tiebreaker="o_orderkey",
+    )
+    return out.select(
+        F.col("o_orderkey").alias("proposal_id"),
+        F.col("o_custkey").alias("proposer"),
+        F.col("o_orderdate").alias("proposed_at"),
+        F.round("o_totalprice", 4).alias("stake"),
     )
 
 
@@ -451,19 +480,26 @@ def get_account(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def get_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic contract-table query: equality + range predicate, sort by
-    a configured index column, page. Mirrors the per-table index config
-    (hyperionConfig.ts:224-237) as a plain pushed-down scan + top-K."""
+    a configured index column, page — QueryParams -> apply_query.
+    Mirrors the per-table index config (hyperionConfig.ts:224-237) as a
+    plain pushed-down scan + top-K."""
     p = _t(spark, sf_dir)["part"]
-    return (
-        p.where((F.col("p_brand") == "Brand#13") & (F.col("p_size") >= 10))
-        .select(
-            F.col("p_partkey").alias("primary_key"),
-            "p_name",
-            "p_size",
-            F.round("p_retailprice", 4).alias("price"),
-        )
-        .orderBy(F.col("price").desc(), F.col("primary_key").asc())
-        .limit(30)
+    out = apply_query(
+        p,
+        QueryParams(
+            terms={"p_brand": "Brand#13", "p_size": "10-9999"},
+            sorted_by="p_retailprice:desc",
+            limit=30,
+        ),
+        default_sort_field="p_retailprice",
+        tiebreaker="p_partkey",
+        numeric_fields=frozenset({"p_size"}),
+    )
+    return out.select(
+        F.col("p_partkey").alias("primary_key"),
+        "p_name",
+        "p_size",
+        F.round("p_retailprice", 4).alias("price"),
     )
 
 

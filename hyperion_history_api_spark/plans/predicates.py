@@ -99,7 +99,7 @@ def compile_value(col: Column, raw: str, *, numeric: bool = False, array: bool =
 
 
 def compile_time_filter(
-    col_ts: Column,
+    col_ts: Column | None,
     col_seq: Column | None,
     after: str | None,
     before: str | None,
@@ -111,6 +111,8 @@ def compile_time_filter(
         if bound is None or bound == "":
             continue
         if _ISO_RE.match(bound):
+            if col_ts is None:
+                raise QueryGuardError(f"ISO bound {bound!r} without ts column")
             target = col_ts
             lit = F.to_timestamp(F.lit(bound))
         else:
@@ -187,7 +189,7 @@ def compile_predicate(
             )
         )
     tf = compile_time_filter(
-        df[ts_field],
+        df[ts_field] if ts_field in df.columns else None,
         df[seq_field] if seq_field else None,
         params.after,
         params.before,

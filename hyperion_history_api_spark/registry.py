@@ -79,3 +79,4 @@ from .api import streamq as _streamq  # noqa: E402,F401
 from .api import endpoints_ext as _endpoints_ext  # noqa: E402,F401
 from .api import nested as _nested  # noqa: E402,F401
 from .api import abi_q as _abi_q  # noqa: E402,F401
+from .api import envelope as _envelope  # noqa: E402,F401

@@ -99,3 +99,34 @@ def test_pagination_disjoint(events):
     ids1 = {r[0] for r in p1.select("event_id").collect()}
     ids2 = {r[0] for r in p2.select("event_id").collect()}
     assert len(ids1) == 20 and len(ids2) == 20 and not ids1 & ids2
+
+
+def test_get_actions_with_envelope(spark):
+    """Serving boundary: the reference's envelope dict shape
+    (get_actions.ts:88-131) — total/relation, page under limit,
+    last_indexed_block = head of log."""
+    from hyperion_history_api_spark.api.envelope import get_actions_with_envelope
+    from hyperion_history_api_spark.plans.predicates import QueryParams
+    from hyperion_history_api_spark.tables import load_tables
+    import os
+
+    ev = load_tables(
+        spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    )["events"]
+    resp = get_actions_with_envelope(
+        spark,
+        ev,
+        QueryParams(terms={"user_id": "7"}, limit=10),
+        seq_field="event_id",
+        default_sort_field="event_id",
+        tiebreaker="event_id",
+        numeric_fields=frozenset({"user_id"}),
+        simple=True,
+    )
+    assert resp["total"]["relation"] == "eq"
+    assert resp["cached"] is False
+    assert len(resp["simple_actions"]) <= 10
+    assert resp["total"]["value"] >= len(resp["simple_actions"])
+    head = ev.agg({"event_id": "max"}).first()[0]
+    assert resp["last_indexed_block"] == head
+    assert "query_time_ms" in resp and "last_indexed_block_time" in resp
