@@ -1,0 +1,104 @@
+"""v2 misc endpoints — get_filters + explorer_metadata (SURVEY §2.11
+'v2' row; closes the round-1 checklist gap).
+
+Both are config-reflection endpoints in the reference:
+
+- ``get_filters`` parses the operator's ingest whitelist/blacklist
+  strings ``chain::contract::action`` into structured rows
+  (``src/api/routes/v2/get_filters/get_filters.ts`` filterToObj);
+- ``explorer_metadata`` returns provider/chain config
+  (``src/api/routes/v2/explorer_metadata/explorer_metadata.ts``).
+
+Spark-first: the filter parse is the same split logic the ingest-side
+P15 filters compile from, expressed as Column ops over a config-backed
+DataFrame, so the oracle hash-checks the parse. Metadata is a one-row
+constant frame."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# fixture operator config (hyperionConfig.ts:201-210 shape): the chain
+# prefix gates which entries apply, '*' wildcards pass through
+FILTER_CONFIG: dict[str, list[str]] = {
+    "action_blacklist": [
+        "mainnet::spammer::*",
+        "mainnet::eosio.token::noisyact",
+        "testnet::other::thing",
+    ],
+    "action_whitelist": ["mainnet::gooddapp::play", "mainnet::gooddapp::move"],
+    "delta_blacklist": ["mainnet::spammer::junktable"],
+}
+CHAIN = "mainnet"
+
+EXPLORER_METADATA = {
+    "provider": "hyperion-spark",
+    "provider_url": "https://example.invalid",
+    "chain_name": CHAIN,
+    "chain_id": "0" * 64,
+    "custom_core_token": "",
+    "oracle_price_histogram": False,
+}
+
+
+def get_filters_df(spark: SparkSession) -> DataFrame:
+    """filterToObj as a DataFrame transform: keep entries for this
+    chain, split ``chain::contract::action``, tag list + kind."""
+    rows = [
+        (kind, entry)
+        for kind, entries in FILTER_CONFIG.items()
+        for entry in entries
+    ]
+    raw = spark.createDataFrame(rows, "kind string, entry string")
+    parts = F.split("entry", "::")
+    return (
+        raw.where(parts.getItem(0) == CHAIN)
+        .select(
+            "kind",
+            parts.getItem(1).alias("contract"),
+            parts.getItem(2).alias("action_or_table"),
+        )
+    )
+
+
+@register(
+    "get_filters",
+    """
+    SELECT kind, string_split(entry, '::')[2] AS contract,
+           string_split(entry, '::')[3] AS action_or_table
+    FROM (VALUES
+        ('action_blacklist', 'mainnet::spammer::*'),
+        ('action_blacklist', 'mainnet::eosio.token::noisyact'),
+        ('action_blacklist', 'testnet::other::thing'),
+        ('action_whitelist', 'mainnet::gooddapp::play'),
+        ('action_whitelist', 'mainnet::gooddapp::move'),
+        ('delta_blacklist', 'mainnet::spammer::junktable')
+    ) AS t(kind, entry)
+    WHERE string_split(entry, '::')[1] = 'mainnet'
+    ORDER BY kind, contract, action_or_table
+    """,
+    "v2 get_filters: chain-gated filter-string parse "
+    "(get_filters.ts filterToObj)",
+)
+def get_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return get_filters_df(spark).orderBy("kind", "contract", "action_or_table")
+
+
+@register(
+    "explorer_metadata",
+    """
+    SELECT 'hyperion-spark' AS provider, 'mainnet' AS chain_name,
+           repeat('0', 64) AS chain_id, false AS oracle_price_histogram
+    """,
+    "v2 explorer_metadata: config reflection (explorer_metadata.ts)",
+)
+def explorer_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = EXPLORER_METADATA
+    return spark.createDataFrame(
+        [(m["provider"], m["chain_name"], m["chain_id"], m["oracle_price_histogram"])],
+        "provider string, chain_name string, chain_id string, "
+        "oracle_price_histogram boolean",
+    )

@@ -70,18 +70,26 @@ def replay_history(
     cell = [start - 1]
 
     def gen() -> Iterator[list]:
-        cursor = start - 1
-        while True:
-            page = (
-                base.where(F.col(seq_col) > cursor)
-                .orderBy(F.col(seq_col).asc())
-                .limit(batch)
-                .collect()
-            )
-            if not page:
-                return
-            cursor = page[-1][seq_col]
-            cell[0] = cursor
+        # ONE global sort (range partitioner), then stream partitions to
+        # the driver in order — round-1 verdict fix: the old keyset loop
+        # re-planned a full TakeOrdered per page, costing N scans for an
+        # N-page replay. toLocalIterator fetches one sorted partition at
+        # a time, so driver memory stays one partition, and the ack
+        # boundary (a page yield) still throttles delivery. cursor/
+        # last_transmitted updates per page keep the live-attach handoff
+        # identical.
+        it = base.orderBy(F.col(seq_col).asc()).toLocalIterator(
+            prefetchPartitions=False
+        )
+        page: list = []
+        for row in it:
+            page.append(row)
+            if len(page) == batch:
+                cell[0] = page[-1][seq_col]
+                yield page
+                page = []
+        if page:
+            cell[0] = page[-1][seq_col]
             yield page
 
     return ReplayResult(pages=gen(), last_transmitted=cell)
