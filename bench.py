@@ -74,9 +74,11 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="hyperion_ingest_bench_")
     try:
         backfill_write(decoded, os.path.join(tmp, "warm"))  # warm
-        t0 = time.perf_counter()
-        backfill_write(decoded, os.path.join(tmp, "timed"))
-        ingest_sec = time.perf_counter() - t0
+        ingest_sec = float("inf")
+        for i in range(2):  # best-of-2, same policy as the queries
+            t0 = time.perf_counter()
+            backfill_write(decoded, os.path.join(tmp, "timed"))
+            ingest_sec = min(ingest_sec, time.perf_counter() - t0)
         written = spark.read.parquet(os.path.join(tmp, "timed")).count()
         assert written == rows, f"ingest wrote {written} != {rows}"
     finally:
