@@ -51,6 +51,7 @@ _TO = (
     "§2.10 abieos hex->JSON decode UDF (deserializer.ts:893-906) incl. "
     "the previous-version fallback for in-flight transactions across an "
     "ABI upgrade (base-parser.ts:193-196)",
+    headline=True,
 )
 def abi_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transfers decoded from real binary. Rows in the [1200,1210)

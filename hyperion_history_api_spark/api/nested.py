@@ -48,6 +48,7 @@ from ..sources.hyperion_model import (
     "P7 account involvement: should over [notified, receipts.receiver, "
     "act.authorization.actor] on the REAL nested arrays "
     "(get_actions/functions.ts:195-203, definitions.ts:1-5)",
+    headline=True,
 )
 def hyp_actions_account_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``account=user7`` -> triple disjunction over the nested

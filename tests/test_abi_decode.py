@@ -127,3 +127,27 @@ def test_auto_blacklist_windows_and_apply(spark):
         kept.where(F.col("contract") == "eosio.token").count()
         == decodable.where(F.col("contract") == "eosio.token").count()
     )
+
+
+def test_run_decode_ingest_end_to_end(spark, tmp_path):
+    """Full streaming flow: binary feed -> decode -> auto-blacklist
+    window store -> anti-join -> decoded log."""
+    from pyspark.sql import functions as F2
+
+    from hyperion_history_api_spark.streaming.decode_ingest import run_decode_ingest
+
+    paths = run_decode_ingest(spark, SF_DIR, str(tmp_path))
+    bl = spark.read.parquet(paths["blacklist"])
+    assert {(r.contract, r.valid_from, r.valid_until) for r in bl.collect()} == {
+        ("mycontract", 1, 1001)
+    }
+    log = spark.read.parquet(paths["decoded_log"])
+    # whole blacklisted window absent
+    assert log.where(
+        (F2.col("contract") == "mycontract") & (F2.col("block_num") < 1001)
+    ).count() == 0
+    # transfers survived, decoded clean with real values
+    t = log.where(F2.col("action_name") == "transfer")
+    assert t.count() > 0
+    assert t.where(F2.col("decoded.ds_error")).count() == 0
+    assert t.where(F2.col("decoded.from_account") != F2.col("abi_from")).count() == 0

@@ -130,3 +130,37 @@ def test_get_actions_with_envelope(spark):
     head = ev.agg({"event_id": "max"}).first()[0]
     assert resp["last_indexed_block"] == head
     assert "query_time_ms" in resp and "last_indexed_block_time" in resp
+
+
+def test_plugin_registry(spark):
+    """§2.10 plugin hooks: registered transforms compose into the plan,
+    gated on their contract; wildcard plugins see every row."""
+    from pyspark.sql import functions as F
+
+    from hyperion_history_api_spark.functions.plugins import (
+        apply_plugins,
+        clear_plugins,
+        gated,
+        register_plugin,
+    )
+
+    clear_plugins()
+    try:
+        register_plugin(
+            "action",
+            "eosio.token",
+            gated("eosio.token", "usd_value", lambda df: F.col("amount") * 2),
+        )
+        register_plugin(
+            "action", "*", gated("*", "seen_by_plugin", lambda df: F.lit(True))
+        )
+        df = spark.createDataFrame(
+            [("eosio.token", 5.0), ("other", 7.0)], "contract string, amount double"
+        )
+        out = apply_plugins(df, "action")
+        rows = {r.contract: (r.usd_value, r.seen_by_plugin) for r in out.collect()}
+        assert rows == {"eosio.token": (10.0, True), "other": (None, True)}
+        # delta-kind plugins don't fire on the action path
+        assert apply_plugins(df, "delta").columns == df.columns
+    finally:
+        clear_plugins()
