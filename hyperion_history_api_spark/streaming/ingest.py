@@ -69,11 +69,14 @@ def read_event_stream(
 def decode_and_enrich(
     raw: DataFrame, *, blacklist: list[str] | None = None
 ) -> DataFrame:
-    """S4 + P15: promote JSON payload to typed columns, derive block
-    keys, drop blacklisted "contracts" (event_types).
+    """S4 + P15 + §2.10 plugin hook: promote JSON payload to typed
+    columns, derive block keys, drop blacklisted "contracts"
+    (event_types), then chain any registered action plugins into the
+    plan (the processActionData hook point, ds-pool.ts:183-185).
 
     All narrow, whole-stage-codegen operations — the hot path has no
-    Python and no shuffle.
+    Python and no shuffle; plugins are plan transforms, not row
+    callbacks.
     """
     out = (
         raw.withColumn("props_t", F.from_json("props", PROPS_SCHEMA))
@@ -86,7 +89,9 @@ def decode_and_enrich(
     )
     if blacklist:
         out = out.where(~F.col("event_type").isin(blacklist))  # P15 must_not
-    return out
+    from ..functions.plugins import apply_plugins
+
+    return apply_plugins(out, "action", contract_col="event_type")
 
 
 def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:

@@ -1,0 +1,75 @@
+"""Physical-plan audits: the scale properties the bench can't see at
+small SF — pushdown, broadcast choice, codegen, absence of needless
+exchanges. These assertions encode "the plan you'd want at 100 TB"
+(SURVEY §4) so a regression shows up as a test failure, not as a
+production straggler.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(name: str, spark):
+    return registry.all_specs()[name].spark_fn(spark, SF_DIR)
+
+
+def test_get_actions_pushdown_and_topk(spark):
+    """P1 page query: filter reaches the parquet scan (PushedFilters)
+    and the sort+limit compiles to TakeOrdered, not a global sort."""
+    plan = _plan(_q("get_actions_by_account", spark))
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:120]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # top-K merges partition results driver-side
+
+
+def test_tpch_q5_broadcasts_dimensions(spark):
+    """Small dims must broadcast — a shuffle join on region/nation at
+    100 TB would shuffle the fact table for nothing."""
+    plan = _plan(_q("tpch_q5_region_volume", spark))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nested_disjunction_stays_jvm(spark):
+    """P7 nested involvement predicate: higher-order functions stay
+    JVM-side (no Python eval) and the filter is a narrow map."""
+    plan = _plan(_q("hyp_actions_account_disjunction", spark))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_abi_decode_is_arrow_batched(spark):
+    """The one true UDF family must run as Arrow-batched pandas eval,
+    never row-at-a-time python."""
+    plan = _plan(_q("abi_binary_decode", spark))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time pickle path
+
+
+def test_latest_state_single_shuffle(spark):
+    """W1 latest-state: exactly one exchange (the window partition-by);
+    a second exchange would mean the dedup re-shuffles."""
+    plan = _plan(_q("get_table_state_latest", spark))
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_blacklist_antijoin_broadcasts(spark):
+    """P16 enforcement: the window set broadcasts into the log scan —
+    the log side must not shuffle for the anti-join."""
+    plan = _plan(_q("abi_blacklist_applied", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fork_retraction_broadcast_antijoin(spark):
+    plan = _plan(_q("fork_retraction", spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
