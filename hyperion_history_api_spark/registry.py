@@ -82,3 +82,4 @@ from .api import abi_q as _abi_q  # noqa: E402,F401
 from .api import envelope as _envelope  # noqa: E402,F401
 from .api import table_handlers_q as _table_handlers_q  # noqa: E402,F401
 from .api import misc_endpoints as _misc_endpoints  # noqa: E402,F401
+from .api import curation as _curation  # noqa: E402,F401
