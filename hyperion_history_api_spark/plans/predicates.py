@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 MAX_SKIP = 10_000
 # hyperionConfig.ts:112-126 — default per-route row cap
 DEFAULT_MAX_LIMIT = 1_000
+# functions.ts:269-298 + hyperionConfig.ts:170 — ascending scans must
+# be bounded to a recent window (an unbounded asc scan walks the whole
+# history from genesis before reaching the page)
+MAX_ASC_WINDOW_DAYS = 90
 
 _RANGE_RE = re.compile(r"^(-?\d+(?:\.\d+)?)-(-?\d+(?:\.\d+)?)$")
 _ISO_RE = re.compile(r"^\d{4}-\d{2}-\d{2}")
@@ -232,6 +236,26 @@ def apply_query(
         direction = d or direction
     if direction not in ("asc", "desc"):
         raise QueryGuardError(f"invalid sort dir {direction!r}")  # getSortDir guard
+    if direction == "asc" and sort_field == default_sort_field:
+        # O2 asc-scan cost guard (functions.ts:269-298): require a
+        # range bound, and if both bounds are dates cap the window
+        if not params.after and not params.before:
+            raise QueryGuardError("sort=asc requires an after/before bound")
+        if (
+            params.after
+            and params.before
+            and _ISO_RE.match(params.after)
+            and _ISO_RE.match(params.before)
+        ):
+            from datetime import datetime
+
+            fmt = "%Y-%m-%d"
+            a = datetime.strptime(params.after[:10], fmt)
+            b = datetime.strptime(params.before[:10], fmt)
+            if (b - a).days > MAX_ASC_WINDOW_DAYS:
+                raise QueryGuardError(
+                    f"asc window {(b - a).days}d > {MAX_ASC_WINDOW_DAYS}d"
+                )
     order = [F.col(sort_field).asc() if direction == "asc" else F.col(sort_field).desc()]
     if tiebreaker and tiebreaker != sort_field:
         # total order => deterministic pages (pagination disjointness,

@@ -164,3 +164,37 @@ def test_plugin_registry(spark):
         assert apply_plugins(df, "delta").columns == df.columns
     finally:
         clear_plugins()
+
+
+def test_asc_window_guard(spark):
+    """O2: sort=asc demands a range bound; ISO windows over 90 days are
+    rejected (functions.ts:269-298)."""
+    import pytest as _pytest
+
+    from hyperion_history_api_spark.plans.predicates import (
+        QueryGuardError,
+        QueryParams,
+        apply_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "event_id long, ts_s string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts_s"))
+    with _pytest.raises(QueryGuardError):
+        apply_query(
+            df, QueryParams(sort="asc"), default_sort_field="event_id",
+            seq_field="event_id",
+        )
+    with _pytest.raises(QueryGuardError):
+        apply_query(
+            df,
+            QueryParams(sort="asc", after="2024-01-01", before="2024-06-01"),
+            default_sort_field="event_id",
+            seq_field="event_id",
+        )
+    # bounded asc is fine
+    out = apply_query(
+        df, QueryParams(sort="asc", after="0", before="10"),
+        default_sort_field="event_id", seq_field="event_id",
+    )
+    assert out.count() == 1
