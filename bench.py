@@ -89,6 +89,51 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Streaming micro-batch latency (BASELINE part B: <= 2 s trigger-to-
+    # visible): split the feed into 8 files -> 8 micro-batches through
+    # the full sink (append + state MERGE + rollups); steady state =
+    # max of the last 4 batches (first batches pay JVM/stage warmup).
+    from hyperion_history_api_spark.streaming.ingest import make_ingest_sink
+    from hyperion_history_api_spark.tables import (
+        EVENTS_SCHEMA_RAW,
+        normalize_events,
+    )
+
+    mb_out = tempfile.mkdtemp(prefix="hyperion_mb_bench_")
+    try:
+        feed_dir = os.path.join(mb_out, "feed")
+        raw = spark.read.schema(EVENTS_SCHEMA_RAW).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        raw.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(feed_dir)
+        sink, _ = make_ingest_sink(spark, mb_out)
+        latencies: list[float] = []
+
+        def timed_sink(batch, batch_id):
+            t0 = time.perf_counter()
+            sink(batch, batch_id)
+            latencies.append(time.perf_counter() - t0)
+
+        stream = normalize_events(
+            spark.readStream.schema(EVENTS_SCHEMA_RAW)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(feed_dir)
+        )
+        from hyperion_history_api_spark.streaming.ingest import decode_and_enrich
+
+        q = (
+            decode_and_enrich(stream)
+            .writeStream.foreachBatch(timed_sink)
+            .option("checkpointLocation", os.path.join(mb_out, "_cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        microbatch_sec = max(latencies[-4:]) if len(latencies) >= 4 else max(latencies)
+    finally:
+        shutil.rmtree(mb_out, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -102,6 +147,7 @@ def main() -> None:
                 "ingest_rows": rows,
                 "ingest_events_per_sec": round(rows / ingest_sec),
                 "ingest_events_per_sec_per_core": round(rows / ingest_sec / cpus),
+                "stream_microbatch_sec": round(microbatch_sec, 4),
             }
         )
     )
