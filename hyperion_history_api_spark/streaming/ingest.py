@@ -112,13 +112,24 @@ def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataF
 
 
 def backfill_write(decoded: DataFrame, log_path: str) -> None:
-    """The backfill write path alone: repartitionByRange on the block
-    partition key -> per-partition sort -> partitioned write. The only
-    exchange is the range partitioner, which also aligns output files
-    with partition boundaries (block-pruned reads later)."""
+    """The backfill write path alone: hash-repartition on the block
+    partition key -> per-partition sort -> partitioned write.
+
+    Hash instead of range on block_part (round-2 measurement, ~20%
+    faster): ``repartitionByRange`` runs a sampling job that re-executes
+    the whole upstream (scan -> decode -> enrich) once before the real
+    shuffle, and buys nothing here — directory partitioning by
+    ``block_part`` already aligns files with block ranges for pruning,
+    and the within-partition sort keyed (block_part, event_id) keeps
+    each file internally ordered for top-K/min-max skipping. Without
+    the repartition each task writes every block_part directory
+    (tasks x parts small files, measured 6x slower)."""
+    npart = int(
+        decoded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     (
-        decoded.repartitionByRange("block_part", "event_id")
-        .sortWithinPartitions("event_id")
+        decoded.repartition(npart, "block_part")
+        .sortWithinPartitions("block_part", "event_id")
         .write.mode("overwrite")
         .partitionBy("block_part")
         .parquet(log_path)
