@@ -85,6 +85,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 1)),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM w
+    ), pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    ), und AS (
+        SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ), reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT und.u, reach.comp FROM und JOIN reach ON reach.id = und.v
+    )
+    SELECT id AS doc_id, min(comp) AS cluster,
+           CAST(min(comp) = id AS INT) AS is_keeper
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    "dedup: transitive-closure duplicate clusters + one keeper per "
+    "cluster (large-star/small-star connected components over the "
+    "MinHash-LSH pair graph; oracle = recursive-CTE reachability)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs say A~B; curation needs the transitive closure (A~B~C =>
+    keep ONE of {A,B,C}). Every document gets (cluster, is_keeper);
+    singletons are their own cluster."""
+    from ..operators.clustering import cluster_keepers
+
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7)
+    return cluster_keepers(docs.select("doc_id"), pairs, "doc_id").orderBy("doc_id")
+
+
+@register(
     "dedup_simhash",
     None,  # xxhash64 signatures not reproducible in DuckDB; exact twins above bound it
     "dedup: SimHash hamming<=3 pairs (banded pigeonhole join)",

@@ -1,0 +1,161 @@
+"""Connected-components clustering over near-duplicate pairs — the
+final stage of the dedup pipeline: pairs -> components -> one keeper
+per component.
+
+Pair emitters (``operators/dedup.py``) produce edges; transitive
+closure groups them (A~B, B~C => one cluster {A,B,C}) so the curation
+pipeline can keep exactly one representative per duplicate *set*, not
+per pair.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", ACM SoCC 2014). Each round is two keyed shuffles over the
+EDGE list only; no component is ever materialized on a single task, so
+a 100-TB-scale graph with a billion-node component still balances
+(contrast label propagation, which needs O(diameter) rounds, or
+groupBy-collect_set designs that die on the largest component).
+Converges in O(log^2 n) rounds; duplicate-cluster graphs in practice
+converge in 2-4.
+
+Per-round lineage is truncated with ``localCheckpoint`` — without it
+the iterative plan doubles per round and analysis time dominates. On a
+multi-executor cluster prefer ``spark.sparkContext.setCheckpointDir``
++ ``checkpoint()`` (reliable storage) for fault tolerance; the
+algorithm is oblivious to which.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_per_node(nbrs: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) — one partial-aggregated shuffle on u."""
+    return (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least("__mv", "u").alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to m(u)."""
+    nbrs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = _min_per_node(nbrs)
+    return (
+        nbrs.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (max -> min); connect every smaller-or-equal
+    neighbor, and u itself, to m(u)."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = _min_per_node(e)
+    joined = e.join(m, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        joined.select("u", F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    component = the smallest node id reachable from it.
+
+    Convergence check is exact (count + set difference on the
+    canonicalized edge list), not a hash heuristic — the output feeds
+    a correctness gate. ``max_iter`` is a safety rail far above the
+    O(log^2 n) bound; hitting it raises rather than returning a
+    partially-contracted graph.
+    """
+    edges = (
+        pairs.select(
+            F.col(left).cast("long").alias("u"),
+            F.col(right).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = _canon(edges).select(
+        F.explode(F.array("u", "v")).alias("id")
+    ).distinct()
+
+    prev = _canon(edges).localCheckpoint()
+    prev_n = prev.count()
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _canon(edges).localCheckpoint()
+        cur_n = cur.count()
+        if cur_n == prev_n and cur.exceptAll(prev).limit(1).count() == 0:
+            break
+        prev, prev_n = cur, cur_n
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # At the fixpoint the graph is a star forest: every edge links a
+    # node to its component minimum. Canonical orientation is
+    # (min, max) = (component, node), so group by the GREATER endpoint.
+    labels = (
+        _canon(edges)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.min("u").alias("component"))
+    )
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def cluster_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id and a keeper flag.
+
+    Docs not in any pair are their own singleton cluster. Keeper = the
+    component minimum (deterministic; swap in any scoring policy by
+    re-aggregating over ``cluster``). One broadcast-size join when the
+    pair graph is sparse (dup clusters are tiny relative to the
+    corpus), else a keyed shuffle on the id — either way the full
+    corpus is touched exactly once.
+    """
+    labels = connected_components(pairs, left, right).withColumnRenamed(
+        "id", "__cc_id"
+    )
+    return (
+        docs.join(labels, docs[id_col] == F.col("__cc_id"), "left")
+        .select(
+            docs["*"],
+            F.coalesce("component", docs[id_col]).alias("cluster"),
+        )
+        .withColumn(
+            "is_keeper", (F.col("cluster") == F.col(id_col)).cast("int")
+        )
+    )

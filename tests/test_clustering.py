@@ -1,0 +1,107 @@
+"""Connected-components clustering (operators/clustering.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.operators.clustering import (
+    cluster_keepers,
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical: every node -> min of its component
+    comp: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        comp[x] = min(comp.get(r, r), r)
+    return {(x, find(x)) for x in parent}
+
+
+def test_chain_merges_to_one_component(spark):
+    # a 12-node chain needs multiple star rounds
+    edges = [(i, i + 1) for i in range(12)]
+    assert _cc(spark, edges) == {(i, 0) for i in range(13)}
+
+
+def test_disjoint_components_and_orientation(spark):
+    edges = [(5, 3), (3, 9), (20, 21), (40, 40)]  # self-loop dropped
+    got = _cc(spark, edges)
+    assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20)}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for _ in range(3):
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(50)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_max_iter_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)
+
+
+def test_cluster_keepers_singletons_and_flags(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
+    out = {
+        (r["doc_id"], r["cluster"], r["is_keeper"])
+        for r in cluster_keepers(docs, pairs, "doc_id").collect()
+    }
+    assert out == {
+        (0, 0, 1),
+        (1, 1, 1),
+        (2, 1, 0),
+        (3, 3, 1),
+        (4, 4, 1),
+        (5, 1, 0),
+        (6, 6, 1),
+        (7, 6, 0),
+    }
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every LSH pair lands in one cluster; keeper = component min."""
+    from hyperion_history_api_spark.api.dedup_sim import dedup_clusters
+    from hyperion_history_api_spark.operators.dedup import minhash_lsh_pairs
+    from hyperion_history_api_spark.registry import _t
+
+    out = dedup_clusters(spark, sf_dir).collect()
+    cluster = {r["doc_id"]: r["cluster"] for r in out}
+    docs = _t(spark, sf_dir)["documents"]
+    prs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    assert prs, "fixture should contain near-dup pairs"
+    for r in prs:
+        assert cluster[r["id_a"]] == cluster[r["id_b"]]
+    keepers = {r["doc_id"] for r in out if r["is_keeper"]}
+    assert keepers == {c for c in cluster.values()}
