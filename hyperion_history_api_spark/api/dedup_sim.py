@@ -126,6 +126,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_eval_overlap",
+    _DUCK_SHINGLES
+    + """
+    , ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 20 = 7),
+    tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 7)
+    SELECT tr.doc_id, count(DISTINCT tr.g) AS hit_ngrams,
+           count(DISTINCT ev.eval_id) AS hit_eval_docs
+    FROM tr JOIN ev ON ev.g = tr.g
+    GROUP BY tr.doc_id ORDER BY doc_id
+    """,
+    "decontamination: training docs sharing word n-grams with the "
+    "held-out eval slice (doc_id%20==7) — broadcast eval-gram join, "
+    "hits-only aggregation",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination over the documents table: the eval
+    set is a deterministic 5% slice; output = contaminated training
+    docs with overlap counts (operators/decontam.py)."""
+    from ..operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir)["documents"]
+    ev = docs.where(F.col("doc_id") % 20 == 7)
+    tr = docs.where(F.col("doc_id") % 20 != 7)
+    return decontaminate(tr, ev, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
     "dedup_simhash",
     None,  # xxhash64 signatures not reproducible in DuckDB; exact twins above bound it
     "dedup: SimHash hamming<=3 pairs (banded pigeonhole join)",

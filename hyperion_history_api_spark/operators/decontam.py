@@ -1,0 +1,87 @@
+"""Benchmark decontamination: flag training documents that share
+n-grams with an evaluation set.
+
+The standard training-data hygiene step (n-gram-overlap
+decontamination as described in the GPT-3 and PaLM papers' appendix
+methodology — public knowledge): a training doc is contaminated when
+it contains any n-gram that also occurs in a benchmark/eval document.
+
+Scale shape (the whole point):
+- the EVAL side is small by construction (benchmark suites are MBs) —
+  its distinct n-grams broadcast;
+- the corpus side is ONE narrow pass: shingle -> explode -> broadcast
+  hash join -> partially-aggregated groupBy(doc_id). No corpus-sized
+  shuffle of raw text; the only exchange carries (doc_id, matched
+  gram) rows, i.e. hits only.
+- ``hashed=True`` joins on ``xxhash64(gram)`` instead of the gram
+  string: 8-byte broadcast keys and join probes (use at 100 TB;
+  collision odds ~ |eval grams| * |corpus grams| / 2^64 — negligible,
+  but the oracle-gated query keeps string equality so the gate is
+  exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def _grams(df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool) -> DataFrame:
+    g = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g")
+    out = df.select(F.col(id_col), g)
+    if hashed:
+        out = out.select(id_col, F.xxhash64("g").alias("g"))
+    return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    eval_id_col: str | None = None,
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """Per contaminated training doc: how many distinct n-grams hit the
+    eval set (``hit_ngrams``) and how many distinct eval docs were hit
+    (``hit_eval_docs``). Docs with zero overlap are absent — anti-join
+    this result to get the clean corpus.
+    """
+    eval_id_col = eval_id_col or id_col
+    ev = _grams(eval_docs, text_col, eval_id_col, n, hashed).withColumnRenamed(
+        eval_id_col, "__eval_id"
+    )
+    tr = _grams(docs, text_col, id_col, n, hashed)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("hit_ngrams"),
+            F.countDistinct("__eval_id").alias("hit_eval_docs"),
+        )
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_hits: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """The filtering form: drop training docs with >= ``min_hits``
+    contaminated n-grams. Broadcast anti-join on the (small)
+    contaminated-id set — the corpus itself is never shuffled."""
+    hits = decontaminate(
+        docs, eval_docs, text_col, id_col, n=n, hashed=hashed
+    ).where(F.col("hit_ngrams") >= min_hits)
+    return docs.join(
+        F.broadcast(hits.select(id_col)), id_col, "left_anti"
+    )
