@@ -74,6 +74,106 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_full",
+    f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, text, lang,
+               {_TOKENS_SQL} AS tokens,
+               {_STOP_SQL} AS stop_ratio
+        FROM documents
+    ), kept AS (
+        SELECT * FROM scored
+        WHERE lang = 'en' AND tokens >= 30 AND stop_ratio >= 0.02
+    ), w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 1)),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM w
+    ), ev AS (
+        SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 20 = 7
+    ), trg AS (
+        SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 7
+    ), contaminated AS (
+        SELECT DISTINCT trg.doc_id FROM trg JOIN ev ON ev.g = trg.g
+    ), clean AS (
+        SELECT * FROM kept
+        WHERE doc_id % 20 <> 7
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM clean)
+          AND b.doc_id IN (SELECT doc_id FROM clean)
+          AND len(list_intersect(a.s, b.s)) * 1.0 /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    ), und AS (
+        SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ), reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM clean
+        UNION
+        SELECT und.u, reach.comp FROM und JOIN reach ON reach.id = und.v
+    ), keepers AS (
+        SELECT id FROM reach GROUP BY id HAVING min(comp) = id
+    )
+    SELECT {_SPLIT_SQL} AS split,
+           count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM clean
+    WHERE doc_id IN (SELECT id FROM keepers)
+    GROUP BY split ORDER BY split
+    """,
+    "curation v2: quality -> language -> benchmark decontamination "
+    "(eval slice doc_id%20==7) -> TRANSITIVE near-dup dedup (MinHash "
+    "clusters, keeper=component min) -> deterministic split rollup",
+)
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pretraining-data build: v1's exact-fingerprint
+    dedup upgraded to transitive near-duplicate clustering, plus the
+    decontamination stage. Stage costs at 100 TB: filters are narrow
+    and pushed; decontamination is a broadcast join (eval grams are
+    tiny); the LSH pair graph + star-contraction shuffles touch only
+    slim (id, hash) rows; the corpus text is scanned once."""
+    from ..operators.clustering import cluster_keepers
+    from ..operators.decontam import clean_corpus
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        token_count(F.col("text")).alias("tokens"),
+        stopword_ratio(F.col("text"), ["the", "a", "of", "and", "to"]).alias(
+            "stop_ratio"
+        ),
+    )
+    kept = scored.where(
+        (F.col("lang") == "en")
+        & (F.col("tokens") >= 30)
+        & (F.col("stop_ratio") >= 0.02)
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 7)
+    clean = clean_corpus(
+        kept.where(F.col("doc_id") % 20 != 7), ev, "text", "doc_id", hashed=False
+    )
+    pairs = minhash_lsh_pairs(clean, "text", "doc_id", threshold=0.7)
+    keepers = cluster_keepers(clean, pairs, "doc_id").where(F.col("is_keeper") == 1)
+    return (
+        hash_split(keepers, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("tokens").cast("long")).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "training_corpus_curation",
     f"""
     WITH scored AS (
