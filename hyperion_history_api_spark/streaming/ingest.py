@@ -94,6 +94,29 @@ def decode_and_enrich(
     return apply_plugins(out, "action", contract_col="event_type")
 
 
+def dedup_stream(
+    decoded: DataFrame,
+    *,
+    key_cols: "tuple[str, ...]" = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """S5 natural-key idempotence, stream-native: an at-least-once
+    source (SHIP reconnect replays, Kafka rebalance, file re-listing)
+    re-delivers rows; the reference absorbs duplicates via the ES
+    ``_id`` overwrite (elastic-routes.ts:60-65,94). The Spark-first
+    equivalent for the APPEND path is
+    ``dropDuplicatesWithinWatermark`` keyed by the natural key —
+    exactly-once output with state bounded by the watermark horizon
+    (a replayed block arrives within seconds of the original; state
+    holds only the horizon's keys, not history). Batch frames fall
+    back to plain ``dropDuplicates`` (same semantics, no state)."""
+    if not decoded.isStreaming:
+        return decoded.dropDuplicates(list(key_cols))
+    return decoded.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
     """A13: per-block totals (trx_count, usage sums) as a streaming agg.
 

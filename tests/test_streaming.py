@@ -344,3 +344,45 @@ def test_replay_then_live_exactly_once(spark):
     live_ids = [r.event_id for r in live.select("event_id").collect()]
     assert min(live_ids) == last + 1
     assert sorted(replayed + live_ids) == list(range(start, head + 1))
+
+
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """An at-least-once source re-delivers rows in a later micro-batch;
+    dropDuplicatesWithinWatermark keyed by the natural key must emit
+    each event exactly once (S5 _id idempotence, stream-native)."""
+    from hyperion_history_api_spark.streaming.ingest import dedup_stream
+
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", "click") for i in range(10)]
+    schema = "event_id long, ts_s string, event_type string"
+    feed = str(tmp_path / "feed")
+    mk = lambda r: (  # noqa: E731
+        spark.createDataFrame(r, schema).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    )
+    # batch 1: events 0-9; batch 2: re-delivery of 5-9 plus new 10-14
+    mk(rows).coalesce(1).write.mode("append").parquet(feed)
+    rows2 = [(i, f"2024-01-01 00:00:{i:02d}", "click") for i in range(5, 15)]
+    mk(rows2).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = dedup_stream(stream, key_cols=("event_id",), watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"] for r in spark.sql("select * from dedup_stream_t").collect()
+    )
+    assert got == list(range(15))
+
+    # batch fallback: plain dropDuplicates
+    batch = mk(rows + rows2)
+    assert dedup_stream(batch).count() == 15
