@@ -325,6 +325,44 @@ def embedding_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantized_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+        SELECT vec_id,
+               list_transform(v, x -> round(x / greatest(
+                   list_max(list_transform(v, y -> abs(y))) / 127.0, 1e-12))) AS qv
+        FROM e
+    ),
+    probes AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 5),
+    scored AS (
+        SELECT probe_id, q.vec_id,
+               round(list_dot_product(pq, qv) /
+                     (sqrt(list_dot_product(pq, pq)) * sqrt(list_dot_product(qv, qv))),
+                     4) AS cosine
+        FROM probes JOIN q ON q.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+    "similarity: int8-quantized cosine top-k — 8x smaller scan bytes; "
+    "scale-invariant integer scoring is bit-reproducible in the oracle",
+)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantized_topk
+
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    out = quantized_topk(corpus, probes, 5)
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )
+
+
+@register(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

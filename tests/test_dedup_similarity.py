@@ -149,3 +149,28 @@ def test_frame_sample_counts(spark, docs):
     for r in media.select("media_id", "meta.duration_ms").collect():
         expected = max(r.duration_ms // 1000, 1)
         assert per_doc[r.media_id] == expected
+
+
+def test_quantize_int8_bounds_and_recall(spark, sf_dir):
+    """Quantized values stay in [-127,127]; quantized top-5 recovers
+    most of the exact top-5 (scalar quantization is near-lossless for
+    cosine ranking)."""
+    from pyspark.sql import functions as F
+
+    from hyperion_history_api_spark.api.dedup_sim import _corpus_probes
+    from hyperion_history_api_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    q = quantize_int8(corpus)
+    mx = q.select(
+        F.max(F.array_max("q")).alias("hi"), F.min(F.array_min("q")).alias("lo")
+    ).first()
+    assert -127 <= mx["lo"] and mx["hi"] <= 127
+
+    exact = {(r["probe_id"], r["vec_id"]) for r in brute_force_topk(corpus, probes, 5).collect()}
+    quant = {(r["probe_id"], r["vec_id"]) for r in quantized_topk(corpus, probes, 5).collect()}
+    assert len(exact & quant) / len(exact) >= 0.8
