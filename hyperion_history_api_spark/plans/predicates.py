@@ -208,6 +208,40 @@ def compile_predicate(
     return out
 
 
+def partition_bounds_pred(
+    df: DataFrame,
+    params: QueryParams,
+    *,
+    part_col: str,
+    seq_per_part: int,
+) -> Column | None:
+    """Derive a partition-key predicate from the request's sequence
+    bounds — SURVEY §4's one custom pruning helper.
+
+    Hyperion routes ``get_transaction`` to a single ES index partition
+    from ``block_hint`` (get_transaction.ts:73-79) and computes
+    ``partition = ceil(block/index_partition_size)``
+    (elastic-routes.ts:484-486). The lake twin: the log is written
+    ``partitionBy(part_col)`` with ``part = floor(seq/P)``, so a
+    numeric after/before bound implies ``part BETWEEN floor(after/P)
+    AND floor(before/P)`` — a literal predicate on the partition
+    column that Catalyst turns into directory pruning
+    (PartitionFilters on the scan, whole partitions never listed).
+    Returns None when no numeric bound is present (ISO date bounds
+    prune via row-group stats instead)."""
+    preds: list[Column] = []
+    if params.after and not _ISO_RE.match(params.after):
+        preds.append(df[part_col] >= int(params.after) // seq_per_part)
+    if params.before and not _ISO_RE.match(params.before):
+        preds.append(df[part_col] <= int(params.before) // seq_per_part)
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
 def apply_query(
     df: DataFrame,
     params: QueryParams,
@@ -215,6 +249,8 @@ def apply_query(
     default_sort_field: str,
     tiebreaker: str | None = None,
     max_limit: int = DEFAULT_MAX_LIMIT,
+    part_col: str | None = None,
+    seq_per_part: int | None = None,
     **compile_kw,
 ) -> DataFrame:
     """Filter + sort + skip/limit, with Hyperion's cost guards.
@@ -230,6 +266,12 @@ def apply_query(
         raise QueryGuardError(f"limit {params.limit} > {max_limit}")
     pred = compile_predicate(df, params, **compile_kw)
     out = df.where(pred) if pred is not None else df
+    if part_col and seq_per_part and part_col in df.columns:
+        pp = partition_bounds_pred(
+            df, params, part_col=part_col, seq_per_part=seq_per_part
+        )
+        if pp is not None:
+            out = out.where(pp)
     sort_field, direction = default_sort_field, params.sort
     if params.sorted_by:
         sort_field, _, d = params.sorted_by.partition(":")
