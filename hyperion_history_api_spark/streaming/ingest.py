@@ -263,6 +263,36 @@ def make_ingest_sink(
     return sink, paths
 
 
+def compact_log(spark: SparkSession, log_path: str) -> int:
+    """S12 lifecycle: compact the streaming append sink's per-batch
+    layout (``ingest_batch=<id>/block_part=*``, one small file set per
+    micro-batch) into the canonical backfill layout (one consolidated
+    file set per ``block_part``, internally sorted).
+
+    The reference runs index lifecycle merges on ES segments
+    (lifecycleManager.ts); a Delta lake runs OPTIMIZE. The parquet-only
+    equivalent: one :func:`backfill_write` pass over the accumulated
+    batches (dropping the batch key), then an atomic directory swap —
+    readers see either the old layout or the new, never a mix. A tail
+    of small files otherwise dominates listing + task-scheduling cost
+    long before 100 TB. Returns the number of compacted rows."""
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(log_path)
+    if "ingest_batch" in df.columns:
+        df = df.drop("ingest_batch")
+    parent = os.path.dirname(log_path.rstrip("/"))
+    tmp = os.path.join(parent, f"compact-tmp-{uuid.uuid4().hex}")
+    backfill_write(df, tmp)
+    rows = spark.read.parquet(tmp).count()
+    old = os.path.join(parent, f"compact-old-{uuid.uuid4().hex}")
+    os.rename(log_path, old)
+    os.rename(tmp, log_path)
+    shutil.rmtree(old)
+    return rows
+
+
 def run_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -386,3 +386,28 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
     # batch fallback: plain dropDuplicates
     batch = mk(rows + rows2)
     assert dedup_stream(batch).count() == 15
+
+
+def test_compact_log_preserves_rows_and_cuts_files(spark, tmp_path):
+    """S12: compaction rewrites the per-batch append layout into one
+    consolidated file set per block_part with identical rows."""
+    import os as _os
+
+    from hyperion_history_api_spark.streaming.ingest import compact_log
+
+    paths = run_ingest(spark, SF_DIR, str(tmp_path))
+    log = paths["action_log"]
+    before = spark.read.parquet(log).drop("ingest_batch").collect()
+
+    def _nfiles(root):
+        return sum(
+            1 for _, _, fs in _os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
+    n_before = _nfiles(log)
+    rows = compact_log(spark, log)
+    assert rows == len(before)
+    after = spark.read.parquet(log).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    assert _nfiles(log) <= n_before
+    assert not [d for d in _os.listdir(log) if d.startswith("ingest_batch=")]
