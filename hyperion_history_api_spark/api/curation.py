@@ -128,6 +128,7 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation v2: quality -> language -> benchmark decontamination "
     "(eval slice doc_id%20==7) -> TRANSITIVE near-dup dedup (MinHash "
     "clusters, keeper=component min) -> deterministic split rollup",
+    headline=True,
 )
 def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete pretraining-data build: v1's exact-fingerprint

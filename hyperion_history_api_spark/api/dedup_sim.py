@@ -351,6 +351,7 @@ def embedding_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "similarity: int8-quantized cosine top-k — 8x smaller scan bytes; "
     "scale-invariant integer scoring is bit-reproducible in the oracle",
+    headline=True,
 )
 def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantized_topk

@@ -28,9 +28,24 @@ from pyspark.sql import functions as F
 from ..functions.text import word_shingles
 
 
-def _grams(df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool) -> DataFrame:
+def _grams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hashed: bool,
+    repartition: bool = False,
+) -> DataFrame:
+    src = df.select(F.col(id_col), F.col(text_col))
+    if repartition:
+        # compute parallelism must not be dictated by source file count
+        # (a single parquet file would serialize the shingle pass)
+        npart = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        src = src.repartition(npart, F.col(id_col))
     g = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g")
-    out = df.select(F.col(id_col), g)
+    out = src.select(F.col(id_col), g)
     if hashed:
         out = out.select(id_col, F.xxhash64("g").alias("g"))
     return out
@@ -55,7 +70,7 @@ def decontaminate(
     ev = _grams(eval_docs, text_col, eval_id_col, n, hashed).withColumnRenamed(
         eval_id_col, "__eval_id"
     )
-    tr = _grams(docs, text_col, id_col, n, hashed)
+    tr = _grams(docs, text_col, id_col, n, hashed, repartition=True)
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy(id_col)

@@ -235,7 +235,15 @@ def quantized_topk(
     (probes broadcast, one corpus scan), an eighth of the scan bytes.
     Pair with a full-precision re-rank of the top candidates when
     exact ordering matters."""
-    qc = quantize_int8(corpus).select(id_col, F.col("q").alias("e"))
+    npart = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # parallelism from partitioning, not file count; the exchange also
+    # materializes the quantized arrays once for the scoring pass
+    qc = (
+        quantize_int8(corpus.repartition(npart, F.col(id_col)))
+        .select(id_col, F.col("q").alias("e"))
+    )
     qp = quantize_int8(probes, "pe").select(
         "probe_id", F.col("q").alias("pe")
     )
