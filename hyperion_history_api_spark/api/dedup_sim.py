@@ -364,6 +364,53 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantized_rerank_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS probe_id, v AS pe FROM e WHERE vec_id < 5
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               round(list_dot_product(pe, v) /
+                     (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(v, v))),
+                     4) AS cosine
+        FROM probes JOIN e ON e.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+    "similarity: int8-quantized candidate scan (top-20) + full-precision "
+    "re-rank to top-5 — oracle is the EXACT brute force: the 4x-candidate "
+    "margin absorbs quantization error (recall 1.0 at sf0.001/0.01/0.1)",
+)
+def embedding_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN pattern at 100 TB: the corpus-wide scan reads
+    only the int8 column (8x fewer bytes); the exact cosine touches
+    just candidates x probes rows. Output matches exact brute force."""
+    from ..operators.similarity import _topk, cosine, quantized_topk
+
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    cand = quantized_topk(corpus, probes, 20).select("probe_id", "vec_id")
+    rer = (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("pe"), F.col("e")), 4).alias("cosine"),
+        )
+    )
+    return _topk(rer, 5).orderBy(
+        "probe_id", F.col("cosine").desc(), "vec_id"
+    ).select("probe_id", "vec_id", "cosine")
+
+
+@register(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

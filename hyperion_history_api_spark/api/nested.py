@@ -493,3 +493,52 @@ def hyp_table_state_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("scope", "primary_key")
         .limit(500)
     )
+
+
+@register(
+    "hyp_act_data_merge",
+    ACTIONS_CTE + """
+    , merged AS (
+        SELECT global_sequence,
+               CASE WHEN transfer IS NOT NULL
+                    THEN json_merge_patch(act.data, to_json(transfer))
+                    ELSE json(act.data) END AS md
+        FROM actions
+    )
+    SELECT global_sequence,
+           CAST(json_extract_string(md, '$.k') AS BIGINT) AS k,
+           json_extract_string(md, '$.from_account') AS from_account,
+           json_extract_string(md, '$.memo') AS memo
+    FROM merged ORDER BY global_sequence LIMIT 300
+    """,
+    "§2.8 mergeActionMeta: promoted @transfer struct merged back into "
+    "act.data for the response (functions.ts:842-852) — fields "
+    "extracted from the MERGED JSON so the union is what is checked",
+)
+def hyp_act_data_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference renders responses by lodash-merging the @action
+    struct over the stored act.data object. Spark-first: splice the
+    two JSON objects in one codegen'd string expression (keys are
+    disjoint by construction — promoted fields never collide with
+    payload fields), then read fields back from the merged document.
+    Narrow projection, no UDF, no shuffle."""
+    a = build_actions(spark, sf_dir)
+    merged = F.when(
+        F.col("transfer").isNotNull(),
+        F.concat(
+            F.expr("rtrim('}', act.data)"),
+            F.lit(","),
+            F.expr("ltrim('{', to_json(transfer))"),
+        ),
+    ).otherwise(F.col("act.data"))
+    return (
+        a.select("global_sequence", merged.alias("md"))
+        .select(
+            "global_sequence",
+            F.get_json_object("md", "$.k").cast("long").alias("k"),
+            F.get_json_object("md", "$.from_account").alias("from_account"),
+            F.get_json_object("md", "$.memo").alias("memo"),
+        )
+        .orderBy("global_sequence")
+        .limit(300)
+    )
