@@ -171,6 +171,83 @@ def repair_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repair_missing_actions",
+    """
+    WITH per_block AS (
+        SELECT CAST(floor(event_id / 5) AS BIGINT) + 1 AS block_num,
+               count(DISTINCT CAST(floor(event_id / 3) AS BIGINT))
+                   AS expected_trx,
+               count(DISTINCT CASE WHEN event_id % 97 <> 0
+                     THEN CAST(floor(event_id / 3) AS BIGINT) END)
+                   AS indexed_trx
+        FROM events GROUP BY 1
+    ), mismatch AS (
+        SELECT block_num, expected_trx - indexed_trx AS missing
+        FROM per_block WHERE expected_trx > indexed_trx
+    ), islands AS (
+        SELECT block_num, missing,
+               block_num - row_number() OVER (ORDER BY block_num) AS grp
+        FROM mismatch
+    )
+    SELECT min(block_num) AS range_start, max(block_num) AS range_end,
+           count(*) AS blocks, sum(missing) AS missing_actions
+    FROM islands GROUP BY grp ORDER BY range_start
+    """,
+    "repair CLI missing-action scan: get_trx_count?validate_actions=true "
+    "driven binary search (repair-cli/scan.ts:576-642) as one set-based "
+    "pass over expected-vs-indexed trx counts",
+)
+def repair_missing_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference narrows missing-action ranges by binary-searching
+    ``get_trx_count?validate_actions=true`` over block ranges (N API
+    round-trips, each a pair of ES counts). Set-based equivalent: ONE
+    aggregation computing expected and indexed distinct-trx counts per
+    block (simulating a lost ingest slice as event_id % 97 = 0), then a
+    gaps-and-islands merge of the mismatching blocks into contiguous
+    repair ranges — the same {start, end, missing_actions} rows the CLI
+    prints, in two shuffles total regardless of range width.
+
+    Scale: the heavy aggregation is per-block (high cardinality, even
+    keys); the single-partition window runs only on the mismatch set,
+    which is bounded by the number of damaged blocks, not history size.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    trx = F.floor(F.col("event_id") / 3).cast("long")
+    per_block = (
+        ev.select(
+            (F.floor(F.col("event_id") / 5).cast("long") + 1).alias("block_num"),
+            trx.alias("trx"),
+            (F.col("event_id") % 97 != 0).alias("kept"),
+        )
+        .groupBy("block_num")
+        .agg(
+            F.countDistinct("trx").alias("expected_trx"),
+            F.countDistinct(F.when(F.col("kept"), F.col("trx"))).alias(
+                "indexed_trx"
+            ),
+        )
+        .where(F.col("expected_trx") > F.col("indexed_trx"))
+        .select(
+            "block_num",
+            (F.col("expected_trx") - F.col("indexed_trx")).alias("missing"),
+        )
+    )
+    grp = F.col("block_num") - F.row_number().over(Window.orderBy("block_num"))
+    return (
+        per_block.withColumn("grp", grp)
+        .groupBy("grp")
+        .agg(
+            F.min("block_num").alias("range_start"),
+            F.max("block_num").alias("range_end"),
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("missing").alias("missing_actions"),
+        )
+        .select("range_start", "range_end", "blocks", "missing_actions")
+        .orderBy("range_start")
+    )
+
+
+@register(
     "state_merge_tombstones",
     """
     SELECT user_id, last_event_id, last_type, last_value
