@@ -54,6 +54,58 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pack_sequences",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, tokens,
+               sum(tokens) OVER (ORDER BY doc_id) AS running
+        FROM toks
+    )
+    SELECT CAST(floor((running - tokens) / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS docs,
+           CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM cum GROUP BY pack_id ORDER BY pack_id
+    """,
+    "curation: GPT-style sequence packing — concatenate the corpus in "
+    "doc order, slice into 2048-token context windows, report per-pack "
+    "fill; built on a two-phase distributed prefix sum, not a "
+    "single-partition window",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed 2048-token training sequences. The
+    oracle computes the running total with a global window; the Spark
+    plan uses :func:`operators.packing.pack_sequences` — range
+    partition, per-partition running sums, and an N-row broadcast of
+    cumulative partition offsets — so no stage ever funnels the corpus
+    through one task (the sf-independent design point; see
+    operators/packing.py docstring).
+    """
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("tokens")
+    )
+    packed = pack_sequences(
+        toks, "doc_id", F.col("tokens"), seq_len=2048, n_partitions=8
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+@register(
     "doc_hash_sample",
     f"""
     SELECT doc_id, lang FROM documents

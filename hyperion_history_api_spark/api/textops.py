@@ -115,6 +115,187 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_filter",
+    """
+    WITH words AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+    ), base AS (
+        SELECT doc_id, n_chars, len(w) AS total_words,
+               len(list_distinct(w)) AS distinct_words,
+               CASE WHEN len(w) >= 2 THEN
+                   list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+               ELSE [] END AS bigrams
+        FROM words
+    ), bg_counts AS (
+        SELECT doc_id, bigram, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM base)
+        GROUP BY 1, 2
+    ), top_bg AS (
+        SELECT doc_id, bigram AS top_bigram, cnt AS top_cnt FROM (
+            SELECT doc_id, bigram, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, bigram ASC) AS rn
+            FROM bg_counts
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.total_words, b.distinct_words,
+           round(1.0 - CAST(b.distinct_words AS DOUBLE) / b.total_words, 6)
+               AS dup_word_frac,
+           t.top_bigram, t.top_cnt,
+           round(CAST(t.top_cnt * length(t.top_bigram) AS DOUBLE) / b.n_chars,
+                 6) AS top_bigram_char_frac,
+           CAST(1.0 - CAST(b.distinct_words AS DOUBLE) / b.total_words <= 0.7
+                AND CAST(t.top_cnt * length(t.top_bigram) AS DOUBLE)
+                    / b.n_chars <= 0.2 AS BOOLEAN) AS keep
+    FROM base b JOIN top_bg t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "text-analysis: Gopher-style repetition quality rules (duplicate-word "
+    "fraction; fraction of characters in the most frequent 2-gram) — "
+    "Rae et al. 2021 'Scaling Language Models' C.1.2 repetition filters",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering for a training-data pipeline.
+
+    Per doc: duplicate-word fraction (1 - distinct/total) computed as a
+    pure array expression (no shuffle), and the top-2-gram character
+    fraction via explode -> per-(doc, bigram) count -> per-doc argmax.
+    A doc is kept when both are under the Gopher-style thresholds
+    (dup words <= 0.7, top-bigram chars <= 0.2).
+
+    Scale: the explode fans out ~|words| rows per doc but the count is
+    combiner-friendly (partial agg before the (doc_id, bigram) shuffle)
+    and the argmax window partitions by doc_id — even key distribution,
+    no global sort until the display ORDER BY. The array-only metrics
+    never shuffle at all.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    base = docs.selectExpr(
+        "doc_id",
+        "n_chars",
+        "split(text, ' ') AS w",
+    ).selectExpr(
+        "doc_id",
+        "n_chars",
+        "size(w) AS total_words",
+        "size(array_distinct(w)) AS distinct_words",
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i+1))) "
+        "ELSE array() END AS bigrams",
+    )
+    bg_counts = (
+        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    top_bg = (
+        bg_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    dup_frac = 1.0 - F.col("distinct_words").cast("double") / F.col("total_words")
+    top_frac = (
+        F.col("top_cnt") * F.length("top_bigram")
+    ).cast("double") / F.col("n_chars")
+    return (
+        base.join(top_bg, "doc_id")
+        .select(
+            "doc_id",
+            "total_words",
+            "distinct_words",
+            F.round(dup_frac, 6).alias("dup_word_frac"),
+            "top_bigram",
+            "top_cnt",
+            F.round(top_frac, 6).alias("top_bigram_char_frac"),
+            ((dup_frac <= 0.7) & (top_frac <= 0.2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_pii_redact",
+    """
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 20 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-0' || CAST(100 + doc_id % 900 AS VARCHAR)
+               ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+               AS emails_found,
+           CAST(len(regexp_extract_all(text,
+               '\\+1-[0-9]{3}-[0-9]{4}')) AS INT) AS phones_found,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'), '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    WHERE doc_id % 20 = 0 OR doc_id % 7 = 1
+    ORDER BY doc_id
+    """,
+    "text-analysis: PII detection + redaction (email/phone regex) over a "
+    "deterministically seeded corpus slice — training-pipeline scrub pass",
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub as pure JVM regexp expressions (no UDF): count and
+    redact emails/phone numbers. PII is injected deterministically into
+    every 20th doc so the match paths are actually exercised (the
+    synthetic corpus contains none); the %7 slice keeps clean docs in
+    the output to prove the no-op path.
+
+    Scale: regexp_replace/regexp_count are whole-stage-codegen
+    expressions over one scan — a pure map, no shuffle, no Python.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+1-[0-9]{3}-[0-9]{4}"
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-0"),
+                (100 + F.col("doc_id") % 900).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        seeded.where((F.col("doc_id") % 20 == 0) | (F.col("doc_id") % 7 == 1))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(email_re))
+            .cast("int")
+            .alias("emails_found"),
+            F.regexp_count(F.col("text"), F.lit(phone_re))
+            .cast("int")
+            .alias("phones_found"),
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+                phone_re,
+                "<PHONE>",
+            ).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "embedding_cosine_topk",
     """
     WITH probes AS (
