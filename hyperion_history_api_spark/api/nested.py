@@ -26,6 +26,8 @@ from ..registry import register
 from ..sources.hyperion_model import (
     ACTIONS_CTE,
     DELTAS_CTE,
+    LINKS_CTE,
+    PERMS_CTE,
     build_actions,
     build_deltas,
 )
@@ -541,4 +543,80 @@ def hyp_act_data_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_sequence")
         .limit(300)
+    )
+
+
+# ------------------------------------------------- permissions / links
+
+
+@register(
+    "hyp_key_accounts",
+    PERMS_CTE + """
+    SELECT owner FROM (
+        SELECT owner, perm_name, present, auth,
+               row_number() OVER (PARTITION BY owner, perm_name
+                                  ORDER BY event_id DESC) AS rn
+        FROM permissions
+    ) WHERE rn = 1 AND present = 1
+      AND len(list_filter(auth.keys,
+              k -> k.key = 'PUB_K1_' || substr(md5('key7'), 1, 12))) > 0
+    GROUP BY owner ORDER BY owner
+    """,
+    "get_key_accounts on the REAL permission objects: term query on "
+    "nested auth.keys.key over the upsert-maintained perm index "
+    "(get_key_accounts.ts:104-122; index-templates.ts:277-293)",
+)
+def hyp_key_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts holding a public key: latest version per (owner,
+    permission), tombstones dropped, then an ``exists`` over the
+    nested ``auth.keys[]`` — the reference's
+    ``term auth.keys.key.keyword`` against current state. Keys are
+    deliberately reused across accounts so the hit set is
+    multi-account. One shuffle (the latest-state window); the key
+    predicate is a codegen'd higher-order filter."""
+    from ..operators.latest_state import latest_row_per_key
+    from ..sources.hyperion_model import build_permissions
+
+    p = build_permissions(spark, sf_dir)
+    latest = latest_row_per_key(p, ["owner", "perm_name"], "event_id")
+    key = F.expr("'PUB_K1_' || substr(md5('key7'), 1, 12)")
+    return (
+        latest.where(F.col("present") == 1)
+        .where(F.exists("auth.keys", lambda k: k["key"] == key))
+        .select("owner")
+        .distinct()
+        .orderBy("owner")
+    )
+
+
+@register(
+    "hyp_get_links",
+    LINKS_CTE + """
+    SELECT account, code, action, permission, block_num FROM (
+        SELECT account, code, action, permission, block_num, present,
+               row_number() OVER (PARTITION BY account, code, action
+                                  ORDER BY event_id DESC) AS rn
+        FROM links
+    ) WHERE rn = 1 AND present = 1 AND code = 'eosio.token'
+    ORDER BY account, action LIMIT 200
+    """,
+    "get_links on the REAL link state rows: latest (account, code, "
+    "action) -> permission with present=0 exclusion "
+    "(v2-state/get_links; index-templates.ts:295-307)",
+)
+def hyp_get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permission links for a contract: latest version per link key,
+    tombstoned links excluded — the upsert/delete semantics the
+    indexer applies to the link index, answered as one latest-state
+    window + filter."""
+    from ..operators.latest_state import latest_row_per_key
+    from ..sources.hyperion_model import build_links
+
+    l = build_links(spark, sf_dir)
+    latest = latest_row_per_key(l, ["account", "code", "action"], "event_id")
+    return (
+        latest.where((F.col("present") == 1) & (F.col("code") == "eosio.token"))
+        .select("account", "code", "action", "permission", "block_num")
+        .orderBy("account", "action")
+        .limit(200)
     )

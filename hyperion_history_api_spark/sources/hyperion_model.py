@@ -351,3 +351,119 @@ DELTAS_CTE = (
     + ", ".join(f"{fn('duckdb')} AS {name}" for name, fn in _DELTA_NESTED)
     + " FROM _hyp_dscalars)"
 )
+
+
+# ---------------------------------------------------------------------------
+# permissions + links: upsert-maintained account-permission state
+# (index-templates.ts:277-307; FIXTURES.md §5). Public keys are REUSED
+# across accounts (user_id % 40 key groups) so get_key_accounts has
+# real multi-account hits; ~2.5% tombstones.
+# ---------------------------------------------------------------------------
+
+_PERM_SCALARS: list[tuple[str, str]] = [
+    ("block_num", "CAST(floor(event_id / 5) AS BIGINT) + 1"),
+    ("owner", "'user' || CAST(user_id AS STRING)"),
+    (
+        "perm_name",
+        "CASE event_id % 3 WHEN 0 THEN 'owner' WHEN 1 THEN 'active' "
+        "ELSE 'custom' END",
+    ),
+    (
+        "parent",
+        "CASE event_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'owner' "
+        "ELSE 'active' END",
+    ),
+    ("present", "CASE WHEN event_id % 41 = 0 THEN 0 ELSE 1 END"),
+    (
+        "key1",
+        "'PUB_K1_' || substr(md5('key' || CAST(user_id % 40 AS STRING)), 1, 12)",
+    ),
+    (
+        "key2",
+        "'PUB_K1_' || substr(md5('key' || CAST((user_id + 1) % 40 AS STRING)), "
+        "1, 12)",
+    ),
+    ("threshold", "1 + event_id % 2"),
+]
+
+_PERM_SCALAR_SQL = ", ".join(f"{expr} AS {name}" for name, expr in _PERM_SCALARS)
+
+
+def _perm_auth_expr(dialect: str) -> str:
+    if dialect == "spark":
+        k1 = "named_struct('key', key1, 'weight', 1)"
+        k2 = "named_struct('key', key2, 'weight', 1)"
+        keys = (
+            f"CASE WHEN event_id % 4 = 0 THEN array({k1}, {k2}) "
+            f"ELSE array({k1}) END"
+        )
+        return f"named_struct('threshold', threshold, 'keys', {keys})"
+    k1 = "{'key': key1, 'weight': 1}"
+    k2 = "{'key': key2, 'weight': 1}"
+    keys = f"CASE WHEN event_id % 4 = 0 THEN [{k1}, {k2}] ELSE [{k1}] END"
+    return f"{{'threshold': threshold, 'keys': {keys}}}"
+
+
+def build_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``permissions`` table (index-templates.ts:277-293 shape):
+    versioned permission objects with nested ``auth.keys[]``."""
+    from ..tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    scalars = ev.selectExpr(
+        "ts", "event_id", "user_id",
+        *[f"{expr} AS {name}" for name, expr in _PERM_SCALARS],
+    )
+    return scalars.selectExpr("*", f"{_perm_auth_expr('spark')} AS auth")
+
+
+PERMS_CTE = (
+    "WITH _hyp_pscalars AS (SELECT ts, event_id, user_id, "
+    f"{_PERM_SCALAR_SQL} FROM events), "
+    "permissions AS (SELECT *, "
+    + _perm_auth_expr("duckdb")
+    + " AS auth FROM _hyp_pscalars)"
+)
+
+
+_LINK_SCALARS: list[tuple[str, str]] = [
+    ("block_num", "CAST(floor(event_id / 5) AS BIGINT) + 1"),
+    ("account", "'user' || CAST(user_id AS STRING)"),
+    (
+        "code",
+        "CASE event_id % 4 WHEN 0 THEN 'eosio.token' WHEN 1 THEN 'eosio' "
+        "WHEN 2 THEN 'eosio.msig' ELSE 'mycontract' END",
+    ),
+    (
+        "action",
+        "CASE event_id % 5 WHEN 0 THEN 'transfer' WHEN 1 THEN 'voteproducer' "
+        "WHEN 2 THEN 'propose' WHEN 3 THEN 'doit' ELSE 'approve' END",
+    ),
+    (
+        "permission",
+        "CASE event_id % 3 WHEN 0 THEN 'claim' WHEN 1 THEN 'ops' "
+        "ELSE 'active' END",
+    ),
+    ("present", "CASE WHEN event_id % 29 = 0 THEN 0 ELSE 1 END"),
+]
+
+_LINK_SCALAR_SQL = ", ".join(f"{expr} AS {name}" for name, expr in _LINK_SCALARS)
+
+
+def build_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``links`` permission-link table (index-templates.ts:295-307
+    shape): versioned (account, code, action) -> permission rows with
+    tombstones."""
+    from ..tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.selectExpr(
+        "ts", "event_id", "user_id",
+        *[f"{expr} AS {name}" for name, expr in _LINK_SCALARS],
+    )
+
+
+LINKS_CTE = (
+    "WITH links AS (SELECT ts, event_id, user_id, "
+    f"{_LINK_SCALAR_SQL} FROM events)"
+)
