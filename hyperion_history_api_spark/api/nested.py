@@ -620,3 +620,38 @@ def hyp_get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("account", "action")
         .limit(200)
     )
+
+
+@register(
+    "hyp_key_accounts_fallback",
+    ACTIONS_CTE + """
+    SELECT DISTINCT newaccount.newact AS account
+    FROM actions
+    WHERE act.name = 'newaccount' AND (
+        len(list_filter(newaccount.active.keys,
+            k -> k.key = 'PUB_K1_' || substr(md5('key7'), 1, 12))) > 0
+        OR len(list_filter(newaccount.owner.keys,
+            k -> k.key = 'PUB_K1_' || substr(md5('key7'), 1, 12))) > 0
+    )
+    ORDER BY account
+    """,
+    "get_key_accounts action-search fallback: should over "
+    "@newaccount.active.keys.key / @newaccount.owner.keys.key on the "
+    "promoted creation structs (get_key_accounts.ts:140-152)",
+)
+def hyp_key_accounts_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When the perm index has no hit, the reference falls back to an
+    action search over the promoted @newaccount/@updateauth auth
+    objects. Same nested-exists disjunction over the action log; the
+    act.name filter prunes before the higher-order predicates run."""
+    a = build_actions(spark, sf_dir)
+    key = F.expr("'PUB_K1_' || substr(md5('key7'), 1, 12)")
+    hit = F.exists("newaccount.active.keys", lambda k: k["key"] == key) | F.exists(
+        "newaccount.owner.keys", lambda k: k["key"] == key
+    )
+    return (
+        a.where((F.col("act.name") == "newaccount") & hit)
+        .select(F.col("newaccount.newact").alias("account"))
+        .distinct()
+        .orderBy("account")
+    )

@@ -100,6 +100,18 @@ _SCALARS: list[tuple[str, str]] = [
     ),
     ("amount", "round(value, 4)"),
     ("symbol", "CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END"),
+    # public keys for the @newaccount auth objects: same PUB_K1 key-group
+    # scheme as the permissions table, keyed by the CREATED account
+    (
+        "na_key_active",
+        "'PUB_K1_' || substr(md5('key' || CAST(((user_id + 1) % 150) % 40 "
+        "AS STRING)), 1, 12)",
+    ),
+    (
+        "na_key_owner",
+        "'PUB_K1_' || substr(md5('key' || CAST(((user_id + 1) % 150 + 1) % 40 "
+        "AS STRING)), 1, 12)",
+    ),
     (
         "memo",
         "CASE user_id % 5 WHEN 0 THEN 'payment for model run' "
@@ -218,11 +230,40 @@ def _transfer_expr(dialect: str) -> str:
     return f"CASE WHEN act_name = 'transfer' THEN {st} ELSE NULL END"
 
 
+def _newaccount_expr(dialect: str) -> str:
+    """The @newaccount promoted struct (index-templates.ts:99-105):
+    ``newact`` plus the ``active``/``owner`` auth objects whose nested
+    ``keys[].key`` terms back the get_key_accounts action-search
+    fallback (get_key_accounts.ts:140-143). @updateauth.auth has the
+    identical object shape."""
+
+    def auth(key: str) -> str:
+        if dialect == "spark":
+            return (
+                f"named_struct('threshold', 1, 'keys', "
+                f"array(named_struct('key', {key}, 'weight', 1)))"
+            )
+        return f"{{'threshold': 1, 'keys': [{{'key': {key}, 'weight': 1}}]}}"
+
+    if dialect == "spark":
+        st = (
+            f"named_struct('newact', cp, 'active', {auth('na_key_active')}, "
+            f"'owner', {auth('na_key_owner')})"
+        )
+    else:
+        st = (
+            f"{{'newact': cp, 'active': {auth('na_key_active')}, "
+            f"'owner': {auth('na_key_owner')}}}"
+        )
+    return f"CASE WHEN act_name = 'newaccount' THEN {st} ELSE NULL END"
+
+
 _NESTED_COLS = [
     ("act", _act_expr),
     ("receipts", _receipts_expr),
     ("notified", _notified_expr),
     ("transfer", _transfer_expr),
+    ("newaccount", _newaccount_expr),
 ]
 
 
