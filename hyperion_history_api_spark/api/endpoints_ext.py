@@ -593,3 +593,51 @@ def health_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orders", "o_orderkey"))
         .orderBy("tbl")
     )
+
+
+@register(
+    "get_table_rows_mongo_filters",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 4) AS total, o_orderdate
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice > 50000 AND o_totalprice <= 200000
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderpriority = '1-URGENT'
+    ORDER BY total DESC, o_orderkey ASC LIMIT 50
+    """,
+    "get_table_rows dynamic Mongo-style filters param: $in/$gt/$lte "
+    "ranges + ISO-date coercion compiled to one Column predicate "
+    "(get_table_rows.ts:76-129; plans/mongo_query.py)",
+)
+def get_table_rows_mongo_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``filters={"f": {"$gt": ...}}`` grammar of the dynamic-table
+    endpoint, compiled by ``compile_mongo_query`` — every clause lands
+    in the parquet scan's PushedFilters (plain comparisons on scan
+    columns), so the Mongo find semantics cost one pruned scan."""
+    from ..plans.mongo_query import compile_mongo_query
+
+    orders = _t(spark, sf_dir)["orders"]
+    pred = compile_mongo_query(
+        orders,
+        {
+            "o_orderstatus": {"$in": ["O", "F"]},
+            "o_totalprice": {"$gt": 50000, "$lte": 200000},
+            "o_orderdate": {"$gte": "1995-01-01", "$lt": "1996-07-01"},
+            "o_orderpriority": "1-URGENT",
+        },
+    )
+    return (
+        orders.where(pred)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("total"),
+            "o_orderdate",
+        )
+        .orderBy(F.col("total").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )

@@ -655,3 +655,47 @@ def hyp_key_accounts_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("account")
     )
+
+
+@register(
+    "hyp_get_block",
+    ACTIONS_CTE + """
+    SELECT block_num, block_id,
+           substr(md5('blk' || CAST(block_num - 1 AS STRING)), 1, 16)
+               AS prev_id,
+           producer,
+           CAST(count(DISTINCT trx_id) AS BIGINT) AS trx_count,
+           CAST(sum(cpu_usage_us) AS BIGINT) AS cpu_usage,
+           CAST(sum(net_usage_words) AS BIGINT) AS net_usage
+    FROM actions WHERE block_num = 42
+    GROUP BY block_num, block_id, producer
+    """,
+    "v2-history get_block: single-block term lookup returning the "
+    "light header + usage rollups (get_block.ts:12-46; "
+    "index-templates.ts:399-427)",
+)
+def hyp_get_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the block partition key: the term predicate
+    prunes to one lake partition before the one-group aggregation —
+    at 100 TB this reads a single block range, not history."""
+    a = build_actions(spark, sf_dir)
+    return (
+        a.where(F.col("block_num") == 42)
+        .groupBy("block_num", "block_id", "producer")
+        .agg(
+            F.countDistinct("trx_id").alias("trx_count"),
+            F.sum("cpu_usage_us").alias("cpu_usage"),
+            F.sum("net_usage_words").alias("net_usage"),
+        )
+        .select(
+            "block_num",
+            "block_id",
+            F.expr(
+                "substr(md5('blk' || CAST(block_num - 1 AS STRING)), 1, 16)"
+            ).alias("prev_id"),
+            "producer",
+            "trx_count",
+            "cpu_usage",
+            "net_usage",
+        )
+    )

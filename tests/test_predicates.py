@@ -198,3 +198,67 @@ def test_asc_window_guard(spark):
         default_sort_field="event_id", seq_field="event_id",
     )
     assert out.count() == 1
+
+
+# ---------------------------------------------------------------- mongo_query
+
+
+class TestMongoQueryCompiler:
+    def _df(self, spark):
+        import datetime
+
+        return spark.createDataFrame(
+            [
+                (1, "O", 100.0, datetime.datetime(1995, 6, 1), None),
+                (2, "F", 300.0, datetime.datetime(1996, 1, 1), "x"),
+                (3, "P", 200.0, datetime.datetime(1997, 1, 1), "y"),
+            ],
+            "k: long, status: string, price: double, d: timestamp, tag: string",
+        )
+
+    def test_scalar_and_operators(self, spark):
+        from hyperion_history_api_spark.plans.mongo_query import (
+            compile_mongo_query,
+        )
+
+        df = self._df(spark)
+        got = df.where(
+            compile_mongo_query(
+                df, {"status": {"$in": ["O", "F"]}, "price": {"$gt": 50, "$lte": 300}}
+            )
+        )
+        assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+    def test_date_coercion_only_for_timestamp_columns(self, spark):
+        from hyperion_history_api_spark.plans.mongo_query import (
+            compile_mongo_query,
+        )
+
+        df = self._df(spark)
+        got = df.where(compile_mongo_query(df, {"d": {"$gte": "1996-01-01"}}))
+        assert sorted(r["k"] for r in got.collect()) == [2, 3]
+        # same-looking string against a string column stays a string compare
+        got2 = df.where(compile_mongo_query(df, {"status": {"$gte": "P"}}))
+        assert sorted(r["k"] for r in got2.collect()) == [3]
+
+    def test_exists_and_ne(self, spark):
+        from hyperion_history_api_spark.plans.mongo_query import (
+            compile_mongo_query,
+        )
+
+        df = self._df(spark)
+        got = df.where(
+            compile_mongo_query(df, {"tag": {"$exists": True}, "status": {"$ne": "P"}})
+        )
+        assert [r["k"] for r in got.collect()] == [2]
+
+    def test_unknown_operator_raises(self, spark):
+        import pytest as _pytest
+
+        from hyperion_history_api_spark.plans.mongo_query import (
+            compile_mongo_query,
+        )
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError):
+            compile_mongo_query(df, {"price": {"$regex": ".*"}})
