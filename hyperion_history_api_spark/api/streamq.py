@@ -412,3 +412,38 @@ def stream_replay_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("event_id").asc())
         .limit(500)
     )
+
+
+@register(
+    "stream_window_rollup",
+    """
+    SELECT date_trunc('minute', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type LIMIT 2000
+    """,
+    "T7 tumbling-window rollup (batch twin of the streaming windowed "
+    "agg): 1-minute event-time windows per type; the stream form runs "
+    "the same plan under a watermark (block_rollups pattern, "
+    "ingest.py:120)",
+)
+def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via the streaming ``window()``
+    operator (not date_trunc), so the oracle checks the exact
+    bucketing Structured Streaming applies; in a stream this agg is
+    watermark-bounded state, partial-aggregated map-side before the
+    one shuffle on (window, type)."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "total"
+        )
+        .orderBy("win_start", "event_type")
+        .limit(2000)
+    )
