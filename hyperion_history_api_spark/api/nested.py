@@ -28,6 +28,7 @@ from ..sources.hyperion_model import (
     DELTAS_CTE,
     LINKS_CTE,
     PERMS_CTE,
+    PROPOSALS_CTE,
     build_actions,
     build_deltas,
 )
@@ -698,4 +699,57 @@ def hyp_get_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cpu_usage",
             "net_usage",
         )
+    )
+
+
+@register(
+    "hyp_get_proposals",
+    PROPOSALS_CTE + """
+    SELECT proposer, proposal_name, block_num, executed,
+           len(requested_approvals) AS n_requested,
+           len(provided_approvals) AS n_provided
+    FROM (
+        SELECT proposer, proposal_name, block_num, executed,
+               requested_approvals, provided_approvals,
+               row_number() OVER (PARTITION BY proposer, proposal_name
+                                  ORDER BY event_id DESC) AS rn
+        FROM proposals
+    ) WHERE rn = 1 AND NOT executed AND (
+        len(list_filter(requested_approvals, a -> a.actor = 'user5')) > 0
+        OR len(list_filter(provided_approvals, a -> a.actor = 'user5')) > 0
+    )
+    ORDER BY block_num DESC, proposer, proposal_name LIMIT 50
+    """,
+    "get_proposals account involvement: $or over "
+    "requested_approvals.actor / provided_approvals.actor on the "
+    "nested msig state (get_proposals.ts:50-75), latest row per "
+    "proposal, executed filter",
+)
+def hyp_get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open msig proposals involving an account: latest version per
+    (proposer, proposal_name), then the reference's $or across both
+    nested approval arrays — two codegen'd exists() predicates after
+    one latest-state window shuffle."""
+    from ..operators.latest_state import latest_row_per_key
+    from ..sources.hyperion_model import build_proposals
+
+    p = build_proposals(spark, sf_dir)
+    latest = latest_row_per_key(p, ["proposer", "proposal_name"], "event_id")
+    involved = F.exists(
+        "requested_approvals", lambda a: a["actor"] == "user5"
+    ) | F.exists("provided_approvals", lambda a: a["actor"] == "user5")
+    return (
+        latest.where(~F.col("executed") & involved)
+        .select(
+            "proposer",
+            "proposal_name",
+            "block_num",
+            "executed",
+            F.size("requested_approvals").cast("long").alias("n_requested"),
+            F.size("provided_approvals").cast("long").alias("n_provided"),
+        )
+        .orderBy(
+            F.col("block_num").desc(), F.col("proposer"), F.col("proposal_name")
+        )
+        .limit(50)
     )

@@ -508,3 +508,80 @@ LINKS_CTE = (
     "WITH links AS (SELECT ts, event_id, user_id, "
     f"{_LINK_SCALAR_SQL} FROM events)"
 )
+
+
+# ---------------------------------------------------------------------------
+# proposals: msig proposal state with nested approval arrays
+# (index-templates.ts:476-526 table-proposals; FIXTURES.md §6)
+# ---------------------------------------------------------------------------
+
+_PROP_SCALARS: list[tuple[str, str]] = [
+    ("block_num", "CAST(floor(event_id / 5) AS BIGINT) + 1"),
+    ("proposer", "'user' || CAST(user_id % 30 AS STRING)"),
+    ("proposal_name", "'prop' || CAST(event_id % 400 AS STRING)"),
+    ("executed", "event_id % 11 = 0"),
+    ("expiration", "ts + INTERVAL 3 DAY"),
+    ("appr_a", "'user' || CAST(user_id AS STRING)"),
+    ("appr_b", "'user' || CAST((user_id + 5) % 150 AS STRING)"),
+    ("appr_c", "'user' || CAST((user_id + 11) % 150 AS STRING)"),
+]
+
+_PROP_SCALAR_SQL = ", ".join(f"{expr} AS {name}" for name, expr in _PROP_SCALARS)
+
+
+def _approval(dialect: str, actor: str) -> str:
+    if dialect == "spark":
+        return f"named_struct('actor', {actor}, 'permission', 'active', 'time', ts)"
+    return f"{{'actor': {actor}, 'permission': 'active', 'time': ts}}"
+
+
+def _requested_expr(dialect: str) -> str:
+    a = _approval(dialect, "appr_a")
+    b = _approval(dialect, "appr_b")
+    c = _approval(dialect, "appr_c")
+    arr3 = f"array({a}, {b}, {c})" if dialect == "spark" else f"[{a}, {b}, {c}]"
+    arr2 = f"array({a}, {b})" if dialect == "spark" else f"[{a}, {b}]"
+    return f"CASE WHEN event_id % 2 = 0 THEN {arr3} ELSE {arr2} END"
+
+
+def _provided_expr(dialect: str) -> str:
+    a = _approval(dialect, "appr_a")
+    b = _approval(dialect, "appr_b")
+    arr1 = f"array({a})" if dialect == "spark" else f"[{a}]"
+    arr2 = f"array({a}, {b})" if dialect == "spark" else f"[{a}, {b}]"
+    empty = "array()" if dialect == "spark" else "[]"
+    return (
+        f"CASE WHEN event_id % 3 = 0 THEN {arr2} "
+        f"WHEN event_id % 3 = 1 THEN {arr1} ELSE {empty} END"
+    )
+
+
+_PROP_NESTED = [
+    ("requested_approvals", _requested_expr),
+    ("provided_approvals", _provided_expr),
+]
+
+
+def build_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The msig ``proposals`` state table (FIXTURES.md §6): several
+    versions per (proposer, proposal_name) across blocks, nested
+    requested/provided approval arrays, executed flag, expiration."""
+    from ..tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    scalars = ev.selectExpr(
+        "ts", "event_id", "user_id",
+        *[f"{expr} AS {name}" for name, expr in _PROP_SCALARS],
+    )
+    return scalars.selectExpr(
+        "*", *[f"{fn('spark')} AS {name}" for name, fn in _PROP_NESTED]
+    )
+
+
+PROPOSALS_CTE = (
+    "WITH _hyp_prscalars AS (SELECT ts, event_id, user_id, "
+    f"{_PROP_SCALAR_SQL} FROM events), "
+    "proposals AS (SELECT *, "
+    + ", ".join(f"{fn('duckdb')} AS {name}" for name, fn in _PROP_NESTED)
+    + " FROM _hyp_prscalars)"
+)
