@@ -47,3 +47,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir)["documents"].where(F.col("doc_id") < 50)
     frames = frame_sample(documents_as_media(docs), every_ms=1000)
     return frames.select("media_id", "frame_idx").orderBy("media_id", "frame_idx")
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH media AS (
+        SELECT doc_id AS media_id, text,
+               CAST(320 + doc_id % 960 AS INT) AS width,
+               CAST(240 + (doc_id * 7) % 720 AS INT) AS height
+        FROM documents
+    ), dims AS (
+        SELECT media_id, text, width, height,
+               CASE WHEN width >= height THEN 224
+                    ELSE CAST((width * 224) // height AS INT) END AS out_w,
+               CASE WHEN width >= height
+                    THEN CAST((height * 224) // width AS INT)
+                    ELSE 224 END AS out_h
+        FROM media
+    )
+    SELECT media_id, out_w, out_h,
+           CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes,
+           md5(md5(text) || '-' || CAST(out_w AS VARCHAR) || 'x'
+               || CAST(out_h AS VARCHAR)) AS digest
+    FROM dims ORDER BY media_id LIMIT 2000
+    """,
+    "multimodal: aspect-fit image resize via Arrow mapInPandas — "
+    "integer target-dim math real, pixel resample stubbed, digest "
+    "chain verifies the transform end-to-end",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-224-box over the media adapter: metadata-only dims
+    computation + payload digest chain, all inside one Arrow-batched
+    ``mapInPandas`` pass (the shape the real PIL path would run)."""
+    from ..sources.multimodal import resize_media
+
+    docs = _t(spark, sf_dir)["documents"]
+    out = resize_media(documents_as_media(docs), box=224)
+    return out.orderBy("media_id").limit(2000)

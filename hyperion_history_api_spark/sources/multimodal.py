@@ -111,16 +111,72 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, *, decode_stub: bool = Tru
     )
 
 
+def resize_media(df: DataFrame, box: int = 224, *, decode_stub: bool = True) -> DataFrame:
+    """Image resize plumbing: fit each media item into a ``box``×``box``
+    square preserving aspect ratio. The TARGET-DIMENSION math is real
+    (integer aspect-fit, what a preprocessing pipeline stores alongside
+    the tensor); the pixel resample itself is the stubbed decode step —
+    the real path would PIL ``Image.resize`` per Arrow batch inside the
+    same ``mapInPandas`` loop, same schema, same batch shape.
+
+    Output digest chains the input payload digest with the computed
+    dims so the oracle can verify the transform end-to-end without
+    pixel data. Pure map over the scan: metadata (width/height) rides
+    in a struct column, so a filter on dims prunes before any decode.
+    """
+    schema = "media_id long, out_w int, out_h int, out_bytes long, digest string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        if not decode_stub:
+            raise NotImplementedError(
+                "real resize needs PIL — not in this container; "
+                "run with decode_stub=True"
+            )
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            landscape = w >= h
+            out_w = np.where(landscape, box, (w * box) // h).astype("int64")
+            out_h = np.where(landscape, (h * box) // w, box).astype("int64")
+            digests = [
+                hashlib.md5(
+                    f"{hashlib.md5(p).hexdigest()}-{ow}x{oh}".encode()
+                ).hexdigest()
+                for p, ow, oh in zip(pdf["payload"], out_w, out_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                    "out_bytes": out_w * out_h * 3,
+                    "digest": digests,
+                }
+            )
+
+    flat = df.select(
+        "media_id", "payload", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(run, schema=schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents table's text bytes as media blobs
-    so the multimodal path is exercisable on driver testdata."""
+    so the multimodal path is exercisable on driver testdata.
+    Deterministic synthetic dimensions stand in for decoded image
+    metadata (resize / dimension-filter coverage)."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
         F.struct(
             F.lit("text/plain").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            (320 + F.col("doc_id") % 960).cast("int").alias("width"),
+            (240 + (F.col("doc_id") * 7) % 720).cast("int").alias("height"),
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
