@@ -29,6 +29,7 @@ from ..sources.hyperion_model import (
     LINKS_CTE,
     PERMS_CTE,
     PROPOSALS_CTE,
+    SCHEDULE_CTE,
     build_actions,
     build_deltas,
 )
@@ -752,4 +753,41 @@ def hyp_get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("block_num").desc(), F.col("proposer"), F.col("proposal_name")
         )
         .limit(50)
+    )
+
+
+@register(
+    "hyp_get_schedule",
+    SCHEDULE_CTE + """
+    SELECT version, block_num,
+           len(producers) AS n_producers,
+           list_filter(producers, p -> p.name = 'prod7')[1].key AS prod7_key
+    FROM schedule
+    WHERE block_num <= 5000
+    ORDER BY version DESC LIMIT 20
+    """,
+    "get_schedule as-of + producer filter on the nested producers[] "
+    "array (v2-history/get_schedule; index-templates.ts:354-372): "
+    "per-version keys rotate so the as-of pick is observable",
+)
+def hyp_get_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schedule versions active at/under a block bound, with one
+    producer's key extracted from the nested array — the as-of +
+    ?producer= parameter pair. The bound prunes at the scan; the array
+    probe is a codegen'd filter+element_at, no explode."""
+    from ..sources.hyperion_model import build_schedule
+
+    s = build_schedule(spark, sf_dir)
+    return (
+        s.where(F.col("block_num") <= 5000)
+        .select(
+            "version",
+            "block_num",
+            F.size("producers").cast("long").alias("n_producers"),
+            F.element_at(
+                F.filter("producers", lambda p: p["name"] == "prod7"), 1
+            )["key"].alias("prod7_key"),
+        )
+        .orderBy(F.col("version").desc())
+        .limit(20)
     )

@@ -585,3 +585,56 @@ PROPOSALS_CTE = (
     + ", ".join(f"{fn('duckdb')} AS {name}" for name, fn in _PROP_NESTED)
     + " FROM _hyp_prscalars)"
 )
+
+
+# ---------------------------------------------------------------------------
+# schedule: producer-schedule versions with nested producers[]
+# (index-templates.ts:354-372; FIXTURES.md §8)
+# ---------------------------------------------------------------------------
+
+_SCHED_VERSION = "CAST(floor(event_id / 500) AS BIGINT)"
+_SCHED_NAME = f"'prod' || CAST(({_SCHED_VERSION} + i) % 21 AS STRING)"
+_SCHED_KEY = (
+    "'PUB_K1_' || substr(md5('sched' || CAST(" + _SCHED_VERSION
+    + " AS STRING) || ':' || " + _SCHED_NAME + "), 1, 12)"
+)
+
+
+def _producers_expr(dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"transform(sequence(0, 20), i -> named_struct("
+            f"'name', {_SCHED_NAME}, 'key', {_SCHED_KEY}))"
+        )
+    return (
+        f"list_transform(range(0, 21), i -> "
+        f"{{'name': {_SCHED_NAME}, 'key': {_SCHED_KEY}}})"
+    )
+
+
+def build_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer-schedule versions: one row per 500-event boundary,
+    21-producer nested array whose per-version keys rotate (as-of
+    lookup coverage: the same producer has different keys across
+    versions)."""
+    from ..tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.where(F.expr("event_id % 500 = 0"))
+        .selectExpr(
+            "ts",
+            f"{_SCHED_VERSION} AS version",
+            "CAST(floor(event_id / 5) AS BIGINT) + 1 AS block_num",
+            f"{_producers_expr('spark')} AS producers",
+        )
+    )
+
+
+SCHEDULE_CTE = (
+    "WITH schedule AS (SELECT ts, "
+    f"{_SCHED_VERSION} AS version, "
+    "CAST(floor(event_id / 5) AS BIGINT) + 1 AS block_num, "
+    f"{_producers_expr('duckdb')} AS producers "
+    "FROM events WHERE event_id % 500 = 0)"
+)
