@@ -120,3 +120,44 @@ def test_partition_bounds_prune_directories(spark, tmp_path):
         r["block_part"] for r in log.where(pred).select("block_part").distinct().collect()
     )
     assert parts == [3, 4]
+
+
+def test_packing_has_no_global_window(spark):
+    """The sequence-packing prefix sum must never sort the corpus into
+    one partition: every window in the plan is partitioned (the only
+    unpartitioned one runs over the N-row per-partition totals, which
+    Spark marks the same way — so assert on the BIG side: the heavy
+    input reaches its window through a hash exchange on _pid, not
+    through Exchange SinglePartition feeding the full row set)."""
+    plan = _plan(_q("doc_pack_sequences", spark))
+    # the corpus-side running sum is clustered by partition id...
+    assert "Exchange hashpartitioning(_pid" in plan
+    # ...and the ONLY single-partition funnel is the N-row totals window
+    assert plan.count("Exchange SinglePartition") == 1
+    # offsets come back as a broadcast, not a shuffle join
+    assert "BroadcastExchange" in plan
+
+
+def test_repetition_filter_counts_are_partial_agged(spark):
+    """The bigram count groupBy must partial-aggregate before its
+    shuffle (combiner pattern) and stay entirely JVM-side."""
+    plan = _plan(_q("doc_repetition_filter", spark))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_mongo_filters_push_to_scan(spark):
+    """Every plain comparison in the Mongo filter document must reach
+    the parquet scan as a pushed filter."""
+    plan = _plan(_q("get_table_rows_mongo_filters", spark))
+    pushed = plan.split("PushedFilters")[1][:400] if "PushedFilters" in plan else ""
+    assert "o_totalprice" in pushed and "o_orderdate" in pushed
+
+
+def test_resize_is_arrow_batched(spark):
+    """Multimodal resize runs as ONE Arrow-batched python eval over the
+    scan — no extra exchange, no row-at-a-time path."""
+    plan = _plan(_q("multimodal_resize", spark))
+    assert "ArrowEvalPython" not in plan  # mapInPandas shows as MapInPandas
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
