@@ -21,6 +21,12 @@ Grammar (the subset the reference actually uses):
   operators are coerced with ``to_timestamp`` exactly when the target
   column is a date/timestamp (the reference's new Date() probe).
 
+Type mismatches (e.g. ``{"status": {"$gt": 10}}`` against a string
+column) compile to a never-match clause instead of letting Spark's
+ANSI cast throw mid-query — BSON compares are typed the same way
+(a numeric never equals a string), and a 400-able user filter must
+not become a runtime task failure.
+
 Unknown operators raise ``ValueError`` (the reference 400s on filter
 processing errors).
 """
@@ -45,6 +51,28 @@ _COMPARISONS = {
 }
 
 
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def _lit_compatible(dtype: str, value: Any) -> bool:
+    """BSON-style typed compare: a literal only matches a column of its
+    own type family. Incompatible pairs compile to never-match rather
+    than an ANSI cast error."""
+    import datetime
+
+    if isinstance(value, bool):
+        return dtype == "boolean"
+    if isinstance(value, (int, float)):
+        return dtype.startswith(_NUMERIC_PREFIXES)
+    if isinstance(value, str):
+        return dtype == "string" or dtype.startswith(("timestamp", "date"))
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return dtype.startswith(("timestamp", "date"))
+    return True
+
+
 def _coerce(df: DataFrame, field: str, value: Any) -> Any:
     """ISO-date strings compare against date/timestamp columns as
     timestamps (the reference's date-operator probe); everything else
@@ -59,25 +87,37 @@ def _coerce(df: DataFrame, field: str, value: Any) -> Any:
 def compile_mongo_query(df: DataFrame, query: Mapping[str, Any]) -> Column:
     """Compile a Mongo find document into one Column predicate (all
     top-level fields ANDed, Mongo's implicit-AND semantics)."""
+    dtypes = dict(df.dtypes)
     pred: Column | None = None
     for field, cond in query.items():
         if field.startswith("$"):
             raise ValueError(f"unsupported top-level operator: {field}")
         col = F.col(field)
+        dtype = dtypes.get(field, "")
         if isinstance(cond, Mapping):
             for op, raw in cond.items():
                 if op in _COMPARISONS:
-                    clause = _COMPARISONS[op](col, _coerce(df, field, raw))
+                    if not _lit_compatible(dtype, raw):
+                        clause = F.lit(False)
+                    else:
+                        clause = _COMPARISONS[op](col, _coerce(df, field, raw))
                 elif op == "$in":
-                    clause = col.isin(list(raw))
+                    vals = [v for v in raw if _lit_compatible(dtype, v)]
+                    clause = col.isin(vals) if vals else F.lit(False)
                 elif op == "$nin":
-                    clause = ~col.isin(list(raw))
+                    vals = [v for v in raw if _lit_compatible(dtype, v)]
+                    # incompatible values can never equal the column;
+                    # SQL NOT IN semantics drop nulls either way
+                    clause = ~col.isin(vals) if vals else col.isNotNull()
                 elif op == "$exists":
                     clause = col.isNotNull() if raw else col.isNull()
                 else:
                     raise ValueError(f"unsupported operator: {op}")
                 pred = clause if pred is None else pred & clause
         else:
-            clause = col == _coerce(df, field, cond)
+            if not _lit_compatible(dtype, cond):
+                clause = F.lit(False)
+            else:
+                clause = col == _coerce(df, field, cond)
             pred = clause if pred is None else pred & clause
     return pred if pred is not None else F.lit(True)

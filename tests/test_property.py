@@ -136,3 +136,77 @@ def test_merge_update_by_block_matches_python_fold(spark, batches):
         r["k"]: (r["b"], r["p"]) for r in current.where(F.col("p") != 0).collect()
     }
     assert visible == _py_merge(batches)
+
+
+# ------------------------------------------------- mongo find compiler
+
+_M_ROWS = [
+    (i, [10, 20, 20, 30, 40, None][i % 6], ["x", "y", "z", None][i % 4])
+    for i in range(24)
+]
+
+_M_OPS = ["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"]
+
+
+def _mongo_cond() -> st.SearchStrategy:
+    scalar = st.sampled_from([10, 20, 30, "x", "y"])
+    cmp_doc = st.dictionaries(
+        st.sampled_from(_M_OPS), st.sampled_from([10, 20, 30]),
+        min_size=1, max_size=2,
+    )
+    in_doc = st.fixed_dictionaries(
+        {"$in": st.lists(st.sampled_from([10, 20, 30]), min_size=1, max_size=3)}
+    )
+    exists_doc = st.fixed_dictionaries({"$exists": st.booleans()})
+    return st.one_of(scalar, cmp_doc, in_doc, exists_doc)
+
+
+def _py_eval_mongo(cond, v) -> bool:
+    """SQL three-valued-logic reference: NULL fails every comparison;
+    only $exists observes it."""
+    import operator as op
+
+    if not isinstance(cond, dict):
+        return v is not None and v == cond
+    table = {"$eq": op.eq, "$ne": op.ne, "$gt": op.gt,
+             "$gte": op.ge, "$lt": op.lt, "$lte": op.le}
+    for o, raw in cond.items():
+        if o == "$exists":
+            if (v is not None) != raw:
+                return False
+        elif o == "$in":
+            if v is None or v not in raw:
+                return False
+        else:
+            if v is None or type(v) is str:
+                return False  # string col vs numeric literal: no match
+            if not table[o](v, raw):
+                return False
+    return True
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    num_cond=_mongo_cond(),
+    use_str_field=st.booleans(),
+)
+def test_mongo_compiler_matches_reference(spark, num_cond, use_str_field):
+    from hyperion_history_api_spark.plans.mongo_query import compile_mongo_query
+
+    field = "s" if use_str_field else "num"
+    # numeric-only operator docs on the string field are legal but
+    # match nothing except $exists/$ne-style clauses — the reference
+    # evaluator models that too
+    df = spark.createDataFrame(_M_ROWS, "k: long, num: long, s: string")
+    query = {field: num_cond}
+    got = sorted(r["k"] for r in df.where(compile_mongo_query(df, query)).collect())
+    want = []
+    for k, num, s in _M_ROWS:
+        v = s if use_str_field else num
+        if _py_eval_mongo(num_cond, v):
+            want.append(k)
+    assert got == want
