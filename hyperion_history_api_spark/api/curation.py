@@ -74,6 +74,7 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc order, slice into 2048-token context windows, report per-pack "
     "fill; built on a two-phase distributed prefix sum, not a "
     "single-partition window",
+    headline=True,
 )
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed 2048-token training sequences. The

@@ -567,6 +567,7 @@ def hyp_act_data_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "get_key_accounts on the REAL permission objects: term query on "
     "nested auth.keys.key over the upsert-maintained perm index "
     "(get_key_accounts.ts:104-122; index-templates.ts:277-293)",
+    headline=True,
 )
 def hyp_key_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accounts holding a public key: latest version per (owner,
