@@ -792,3 +792,66 @@ def hyp_get_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("version").desc())
         .limit(20)
     )
+
+
+@register(
+    "hyp_regroup_canonical",
+    ACTIONS_CTE + """
+    , t AS (
+        SELECT trx_id, action_ordinal, creator_action_ordinal, act_digest,
+               global_sequence, act.account AS receiver
+        FROM actions
+    ), j AS (
+        SELECT t.*, c.act_digest AS creator_digest
+        FROM t LEFT JOIN t c
+          ON t.trx_id = c.trx_id
+         AND t.creator_action_ordinal = c.action_ordinal
+    ), g AS (
+        SELECT trx_id, act_digest,
+               CASE WHEN creator_action_ordinal > 0
+                         AND creator_digest = act_digest
+                    THEN creator_action_ordinal
+                    ELSE action_ordinal END AS canonical_ordinal,
+               global_sequence, action_ordinal, receiver
+        FROM j
+    )
+    SELECT trx_id, act_digest, canonical_ordinal,
+           min(global_sequence) AS global_sequence,
+           count(*) AS n_receipts,
+           min_by(receiver, action_ordinal) AS head_receiver
+    FROM g GROUP BY trx_id, act_digest, canonical_ordinal
+    ORDER BY trx_id, act_digest, canonical_ordinal LIMIT 500
+    """,
+    "J3 full canonical-ordinal regroup (bug #148 semantics): "
+    "notification = creator's digest matches, inline/duplicate roots "
+    "stay separate (action-dedup.ts:34-107); the ordinal->digest map "
+    "becomes a trx-local self-join",
+)
+def hyp_regroup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact grouping key (act_digest, canonical
+    ordinal) over the nested action table, via
+    :func:`operators.regroup.group_action_traces`."""
+    from ..operators.regroup import group_action_traces
+
+    a = build_actions(spark, sf_dir)
+    t = a.select(
+        "trx_id",
+        "action_ordinal",
+        "creator_action_ordinal",
+        "act_digest",
+        "global_sequence",
+        F.col("act.account").alias("receiver"),
+    )
+    g = group_action_traces(t)
+    return (
+        g.select(
+            "trx_id",
+            "act_digest",
+            "canonical_ordinal",
+            "global_sequence",
+            F.size("receipts").cast("long").alias("n_receipts"),
+            F.element_at("receipts", 1)["receiver"].alias("head_receiver"),
+        )
+        .orderBy("trx_id", "act_digest", "canonical_ordinal")
+        .limit(500)
+    )
