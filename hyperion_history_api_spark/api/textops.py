@@ -361,3 +361,52 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("probe_id", "rn")
         .select("probe_id", "vec_id", "cosine")
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (
+        SELECT word, count(*) AS c FROM w GROUP BY word
+    ), tot AS (
+        SELECT sum(c) AS n FROM freq
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(-ln(freq.c / tot.n)), 4) AS avg_neg_logprob
+    FROM w JOIN freq USING (word) CROSS JOIN tot
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+    "text-analysis: CCNet-style corpus-LM quality proxy — per-doc mean "
+    "unigram negative log-probability under the corpus's own word "
+    "distribution (Wenzek et al. 2019 use a KenLM score the same way)",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering without an external model: the
+    unigram distribution IS the corpus word-count table. Per-doc score
+    = mean -ln p(w).
+
+    Scale: one explode feeds both the frequency build (combiner-heavy
+    groupBy on word) and the scoring join; the vocabulary (after the
+    count) is orders smaller than the corpus and is broadcast, so the
+    scoring pass is map-side — the only wide exchanges are the word
+    count and the per-doc re-aggregation, both on even keys.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        w.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+    return scored.orderBy("doc_id")
