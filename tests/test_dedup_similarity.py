@@ -174,3 +174,38 @@ def test_quantize_int8_bounds_and_recall(spark, sf_dir):
     exact = {(r["probe_id"], r["vec_id"]) for r in brute_force_topk(corpus, probes, 5).collect()}
     quant = {(r["probe_id"], r["vec_id"]) for r in quantized_topk(corpus, probes, 5).collect()}
     assert len(exact & quant) / len(exact) >= 0.8
+
+
+def test_pq_adc_exact_with_perfect_codebook(spark):
+    """With codebook = every corpus subvector, PQ codes reproduce the
+    vectors exactly, so ADC == exact L2 and (on unit-norm-free data,
+    after the exact re-rank) pq_topk must equal brute_force_topk."""
+    import pyspark.sql.functions as F
+
+    from hyperion_history_api_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    vecs = [
+        (i, [float(((i * 7 + j * 3) % 11) - 5) / 5.0 for j in range(8)])
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id: long, e: array<double>")
+    probes = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    m, sub = 2, 4
+    cb = [
+        [[v[s * sub + j] for j in range(sub)] for _, v in vecs]
+        for s in range(m)
+    ]
+    gt = {
+        (r["probe_id"], r["vec_id"], r["cosine"])
+        for r in brute_force_topk(corpus, probes, 5).collect()
+    }
+    ap = {
+        (r["probe_id"], r["vec_id"], r["cosine"])
+        for r in pq_topk(corpus, probes, 5, codebook=cb, rerank=20).collect()
+    }
+    assert gt == ap
