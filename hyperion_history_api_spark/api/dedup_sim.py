@@ -587,3 +587,44 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_found") >= F.col("n_expected") * 0.9).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "embedding_ivfpq_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS probe_id, label, v AS pe FROM e WHERE vec_id < 5
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               round(list_dot_product(pe, v) /
+                     (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(v, v))),
+                     4) AS cosine
+        FROM probes JOIN e USING (label)
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+    "similarity: full IVF-PQ (FAISS IVFADC shape) — coarse cell "
+    "routing + PQ ADC over m-byte codes + exact re-rank; oracle is "
+    "the exact within-cell top-k (50x candidate margin absorbs PQ "
+    "error at the gated recall)",
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell equi-join prunes the scan to the probe's partition, ADC
+    ranks the cell candidates from codes alone, exact cosine re-ranks
+    the survivors — the end-to-end 100 TB ANN plan."""
+    from ..operators.similarity import ivfpq_topk, pq_train
+
+    corpus, probes = _corpus_probes(spark, sf_dir, with_label=True)
+    cb = pq_train(corpus, m=16, k=256)
+    out = ivfpq_topk(corpus, probes, 5, codebook=cb, rerank=50, cell_col="label")
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )

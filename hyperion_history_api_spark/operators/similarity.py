@@ -412,7 +412,7 @@ def pq_encode(
             codes[:, s] = dist.argmin(1)
         return pd.Series(list(codes))
 
-    return corpus.select(id_col, vec_col, encode(vec_col).alias("codes"))
+    return corpus.withColumn("codes", encode(vec_col))
 
 
 def pq_topk(
@@ -464,6 +464,64 @@ def pq_topk(
     )
     from pyspark.sql import Window
 
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    cands = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= rerank)
+        .drop("__rn", "adc")
+    )
+    exact = cands.select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine(F.col("pe"), F.col("e")), 4).alias("cosine"),
+    )
+    return _topk(exact, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    *,
+    codebook: list[list[list[float]]],
+    rerank: int = 50,
+    cell_col: str = "cell",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full IVFADC composition: coarse cell routing (equi-join =>
+    partition pruning when the lake is partitioned by cell) restricts
+    the scan, PQ ADC ranks the cell's m-byte codes, exact cosine
+    re-ranks the survivors. What FAISS IVF-PQ runs per query, as one
+    declarative plan."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    CB = [np.array(cs, dtype="float64") for cs in codebook]
+    m = len(CB)
+
+    @pandas_udf("double")
+    def adc(pe: pd.Series, codes: pd.Series) -> pd.Series:
+        P = np.array(pe.tolist(), dtype="float64")
+        C = np.array(codes.tolist(), dtype="int64")
+        R = np.concatenate([CB[s][C[:, s]] for s in range(m)], axis=1)
+        return pd.Series(((P - R) ** 2).sum(1))
+
+    coded = pq_encode(
+        corpus.select(id_col, cell_col, "e"), codebook, id_col=id_col
+    )
+    pairs = (
+        coded.join(F.broadcast(probes), on=cell_col)
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "pe",
+            F.col(id_col).alias("vec_id"),
+            F.col("e"),
+            adc(F.col("pe"), F.col("codes")).alias("adc"),
+        )
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("adc").asc(), F.col("vec_id").asc()
     )
