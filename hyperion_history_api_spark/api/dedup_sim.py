@@ -177,6 +177,75 @@ def _corpus_probes(spark: SparkSession, sf_dir: str, with_label: bool = False):
     return corpus, probes
 
 
+
+# --------------------------------------------------------- ANN artifacts
+# Offline-trained / stored index artifacts (the FAISS train-then-serve
+# split, round-2 verdict items 1/2): the PQ codebook is trained once
+# per corpus (driver memo), the m-byte codes table and the IVF centroid
+# codebook are materialized to the lake so query plans SCAN codes /
+# read centroids without any training aggregation or full-vector
+# ride-along.
+
+import os as _os
+
+_PQ_KEY = "pq:m16:k256:i8:s2048:v1"
+_CB_CACHE: dict[str, list] = {}
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
+    key = _os.path.normpath(sf_dir)
+    if key not in _CB_CACHE:
+        from ..operators.similarity import pq_train
+
+        corpus, _ = _corpus_probes(spark, sf_dir)
+        _CB_CACHE[key] = pq_train(corpus, m=16, k=256)
+    return _CB_CACHE[key]
+
+
+def _pq_coded(spark: SparkSession, sf_dir: str, with_label: bool = False):
+    """Stored (vec_id[, label], codes) table — what the ADC candidate
+    scan reads: m bytes of payload per vector, no full-precision
+    column."""
+    from ..operators.similarity import pq_encode
+    from ..sources.lake import ensure_parquet
+
+    cb = _pq_codebook(spark, sf_dir)
+
+    def build():
+        corpus, _ = _corpus_probes(spark, sf_dir, with_label=with_label)
+        cols = ["vec_id"] + (["label"] if with_label else []) + ["codes"]
+        return pq_encode(corpus, cb).select(*cols)
+
+    return ensure_parquet(
+        spark,
+        sf_dir,
+        "pq_codes_cells" if with_label else "pq_codes",
+        build,
+        source_file="embeddings.parquet",
+        extra_key=_PQ_KEY,
+    )
+
+
+def _ivf_cents(spark: SparkSession, sf_dir: str):
+    """Stored per-cell centroid codebook (trained once, not per query
+    — round-2 verdict item 2)."""
+    from ..operators.similarity import ivf_centroids
+    from ..sources.lake import ensure_parquet
+
+    def build():
+        corpus, _ = _corpus_probes(spark, sf_dir, with_label=True)
+        return ivf_centroids(corpus, cell_col="label")
+
+    return ensure_parquet(
+        spark,
+        sf_dir,
+        "ivf_centroids",
+        build,
+        source_file="embeddings.parquet",
+        extra_key="ivf:v1",
+    )
+
+
 @register(
     "embedding_ivf_topk",
     """
@@ -317,7 +386,12 @@ def embedding_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the same codebook in DuckDB."""
     corpus, probes = _corpus_probes(spark, sf_dir, with_label=True)
     out = ivf_nprobe_topk(
-        corpus, probes.drop("label"), 5, nprobe=2, cell_col="label"
+        corpus,
+        probes.drop("label"),
+        5,
+        nprobe=2,
+        cell_col="label",
+        centroids=_ivf_cents(spark, sf_dir),
     )
     return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
         "probe_id", "vec_id", "cosine"
@@ -544,11 +618,14 @@ def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate distances from per-probe lookup tables, exact cosine
     only on candidates. Composes with the IVF cell routing for the
     full IVFADC pipeline."""
-    from ..operators.similarity import pq_topk, pq_train
+    from ..operators.similarity import pq_topk
 
     corpus, probes = _corpus_probes(spark, sf_dir)
-    cb = pq_train(corpus, m=16, k=256)
-    out = pq_topk(corpus, probes, 5, codebook=cb, rerank=50)
+    cb = _pq_codebook(spark, sf_dir)
+    out = pq_topk(
+        corpus, probes, 5, codebook=cb, rerank=50,
+        coded=_pq_coded(spark, sf_dir),
+    )
     return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
         "probe_id", "vec_id", "cosine"
     )
@@ -570,14 +647,15 @@ def embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_lsh_recall): ground truth = brute_force_topk, approx =
     pq_topk; emits the expected-pair count and whether recall clears
     the 0.9 floor."""
-    from ..operators.similarity import brute_force_topk, pq_topk, pq_train
+    from ..operators.similarity import brute_force_topk, pq_topk
 
     corpus, probes = _corpus_probes(spark, sf_dir)
-    cb = pq_train(corpus, m=16, k=256)
+    cb = _pq_codebook(spark, sf_dir)
     gt = brute_force_topk(corpus, probes, 5).select("probe_id", "vec_id")
-    ap = pq_topk(corpus, probes, 5, codebook=cb, rerank=50).select(
-        "probe_id", "vec_id"
-    )
+    ap = pq_topk(
+        corpus, probes, 5, codebook=cb, rerank=50,
+        coded=_pq_coded(spark, sf_dir),
+    ).select("probe_id", "vec_id")
     hits = gt.join(ap, ["probe_id", "vec_id"])
     return (
         gt.agg(F.count("*").alias("n_expected"))
@@ -620,11 +698,14 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell equi-join prunes the scan to the probe's partition, ADC
     ranks the cell candidates from codes alone, exact cosine re-ranks
     the survivors — the end-to-end 100 TB ANN plan."""
-    from ..operators.similarity import ivfpq_topk, pq_train
+    from ..operators.similarity import ivfpq_topk
 
     corpus, probes = _corpus_probes(spark, sf_dir, with_label=True)
-    cb = pq_train(corpus, m=16, k=256)
-    out = ivfpq_topk(corpus, probes, 5, codebook=cb, rerank=50, cell_col="label")
+    cb = _pq_codebook(spark, sf_dir)
+    out = ivfpq_topk(
+        corpus, probes, 5, codebook=cb, rerank=50, cell_col="label",
+        coded=_pq_coded(spark, sf_dir, with_label=True),
+    )
     return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
         "probe_id", "vec_id", "cosine"
     )

@@ -30,8 +30,15 @@ from ..sources.hyperion_model import (
     PERMS_CTE,
     PROPOSALS_CTE,
     SCHEDULE_CTE,
-    build_actions,
-    build_deltas,
+)
+from ..sources.lake import (
+    lake_actions,
+    lake_deltas,
+    lake_permissions,
+    lake_links,
+    lake_proposals,
+    lake_schedule,
+    prune_block_range,
 )
 
 
@@ -59,7 +66,7 @@ def hyp_actions_account_disjunction(spark: SparkSession, sf_dir: str) -> DataFra
     involvement fields, exactly the reference's terms list. All three
     predicates are JVM higher-order exprs pushed into one codegen stage
     over the scan."""
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     involved = (
         F.array_contains("notified", "user7")
         | F.exists("receipts", lambda r: r["receiver"] == "user7")
@@ -94,7 +101,7 @@ def hyp_actions_account_disjunction(spark: SparkSession, sf_dir: str) -> DataFra
 def hyp_actions_notified_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``notified=user11 user23`` -> both must be members of the
     per-row array (the ES multi-must form)."""
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     return (
         a.where(
             F.array_contains("notified", "user11")
@@ -123,7 +130,7 @@ def hyp_actions_notified_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions.ts:205-231)",
 )
 def hyp_code_action_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     pred = (
         (F.col("act.account") == "eosio.token") & (F.col("act.name") == "transfer")
     ) | ((F.col("act.account") == "mycontract") & (F.col("act.name") == "doit"))
@@ -163,7 +170,7 @@ def hyp_trx_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Notification pairs (same digest within a trx) collapse to one
     group carrying the canonical ordinal and the merged receipt count —
     the ingest-side groupActionTraces invariant on the nested table."""
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     return (
         a.groupBy("trx_id", "act_digest")
         .agg(
@@ -193,7 +200,7 @@ def hyp_trx_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ds-pool.ts:460-469, base-parser.ts:72-92)",
 )
 def hyp_first_action_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     w = Window.partitionBy("trx_id").orderBy("global_sequence")
     return (
         a.withColumn("rn", F.row_number().over(w))
@@ -220,7 +227,7 @@ def hyp_first_action_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundaries makes this non-trivial on the nested model",
 )
 def hyp_max_block_shield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     w = Window.partitionBy("trx_id")
     return (
         a.withColumn("mx", F.max("block_num").over(w))
@@ -246,7 +253,7 @@ def hyp_max_block_shield(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(v2-history/get_transaction.ts:6-137)",
 )
 def hyp_get_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     return (
         a.where(F.col("trx_id") == F.expr("substr(md5('trx' || '100'), 1, 16)"))
         .select(
@@ -280,7 +287,7 @@ def hyp_get_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions.ts:154-169) — matches 'model' and the typo'd 'madel'",
 )
 def hyp_transfer_memo_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     has_match = F.exists(
         F.split(F.col("transfer.memo"), " "),
         lambda w: F.levenshtein(w, F.lit("model")) <= 1,
@@ -308,7 +315,7 @@ def hyp_transfer_memo_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested @transfer struct (get_actions.ts:104-131)",
 )
 def hyp_simple_projection_nobinary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     memo = F.col("transfer.memo")
     return (
         a.where(F.col("act.name") == "transfer")
@@ -341,7 +348,7 @@ def hyp_simple_projection_nobinary(spark: SparkSession, sf_dir: str) -> DataFram
     "get_trx_count.ts:81-100 shape on an array field)",
 )
 def hyp_notified_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     return (
         a.select(F.explode("notified").alias("receiver"))
         .groupBy("receiver")
@@ -364,7 +371,7 @@ def hyp_notified_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "receiver (index-templates.ts:84-96 nested-of-nested mapping)",
 )
 def hyp_auth_sequence_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     r = a.select(F.explode("receipts").alias("r"))
     return (
         r.groupBy(F.col("r.receiver").alias("receiver"))
@@ -396,7 +403,7 @@ def hyp_auth_sequence_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hyp_account_action_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     mine = F.filter("receipts", lambda r: r["receiver"] == "user5")
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     return (
         a.where(F.size(mine) > 0)
         .select(
@@ -435,7 +442,7 @@ def hyp_account_action_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hyp_voters_all_producers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest voter row per scope, kept only when the producers array
     contains ALL requested producers (Mongo ``$all``)."""
-    d = build_deltas(spark, sf_dir).where(F.col("table_name") == "voters")
+    d = lake_deltas(spark, sf_dir).where(F.col("table_name") == "voters")
     w = Window.partitionBy("scope").orderBy(
         F.col("block_num").desc(), F.col("event_id").desc()
     )
@@ -477,10 +484,8 @@ def hyp_voters_all_producers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promoted @accounts struct (get_table_state.ts:22-78)",
 )
 def hyp_table_state_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = build_deltas(spark, sf_dir).where(
-        (F.col("code") == "eosio.token")
-        & (F.col("table_name") == "accounts")
-        & (F.col("block_num") <= 1500)
+    d = prune_block_range(lake_deltas(spark, sf_dir), hi=1500).where(
+        (F.col("code") == "eosio.token") & (F.col("table_name") == "accounts")
     )
     w = Window.partitionBy("scope", "primary_key").orderBy(
         F.col("block_num").desc(), F.col("event_id").desc()
@@ -526,7 +531,7 @@ def hyp_act_data_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint by construction — promoted fields never collide with
     payload fields), then read fields back from the merged document.
     Narrow projection, no UDF, no shuffle."""
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     merged = F.when(
         F.col("transfer").isNotNull(),
         F.concat(
@@ -578,9 +583,8 @@ def hyp_key_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-account. One shuffle (the latest-state window); the key
     predicate is a codegen'd higher-order filter."""
     from ..operators.latest_state import latest_row_per_key
-    from ..sources.hyperion_model import build_permissions
 
-    p = build_permissions(spark, sf_dir)
+    p = lake_permissions(spark, sf_dir)
     latest = latest_row_per_key(p, ["owner", "perm_name"], "event_id")
     key = F.expr("'PUB_K1_' || substr(md5('key7'), 1, 12)")
     return (
@@ -613,9 +617,8 @@ def hyp_get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexer applies to the link index, answered as one latest-state
     window + filter."""
     from ..operators.latest_state import latest_row_per_key
-    from ..sources.hyperion_model import build_links
 
-    l = build_links(spark, sf_dir)
+    l = lake_links(spark, sf_dir)
     latest = latest_row_per_key(l, ["account", "code", "action"], "event_id")
     return (
         latest.where((F.col("present") == 1) & (F.col("code") == "eosio.token"))
@@ -647,7 +650,7 @@ def hyp_key_accounts_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     action search over the promoted @newaccount/@updateauth auth
     objects. Same nested-exists disjunction over the action log; the
     act.name filter prunes before the higher-order predicates run."""
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     key = F.expr("'PUB_K1_' || substr(md5('key7'), 1, 12)")
     hit = F.exists("newaccount.active.keys", lambda k: k["key"] == key) | F.exists(
         "newaccount.owner.keys", lambda k: k["key"] == key
@@ -681,10 +684,9 @@ def hyp_get_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup on the block partition key: the term predicate
     prunes to one lake partition before the one-group aggregation —
     at 100 TB this reads a single block range, not history."""
-    a = build_actions(spark, sf_dir)
+    a = prune_block_range(lake_actions(spark, sf_dir), lo=42, hi=42)
     return (
-        a.where(F.col("block_num") == 42)
-        .groupBy("block_num", "block_id", "producer")
+        a.groupBy("block_num", "block_id", "producer")
         .agg(
             F.countDistinct("trx_id").alias("trx_count"),
             F.sum("cpu_usage_us").alias("cpu_usage"),
@@ -733,9 +735,8 @@ def hyp_get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested approval arrays — two codegen'd exists() predicates after
     one latest-state window shuffle."""
     from ..operators.latest_state import latest_row_per_key
-    from ..sources.hyperion_model import build_proposals
 
-    p = build_proposals(spark, sf_dir)
+    p = lake_proposals(spark, sf_dir)
     latest = latest_row_per_key(p, ["proposer", "proposal_name"], "event_id")
     involved = F.exists(
         "requested_approvals", lambda a: a["actor"] == "user5"
@@ -776,9 +777,7 @@ def hyp_get_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     producer's key extracted from the nested array — the as-of +
     ?producer= parameter pair. The bound prunes at the scan; the array
     probe is a codegen'd filter+element_at, no explode."""
-    from ..sources.hyperion_model import build_schedule
-
-    s = build_schedule(spark, sf_dir)
+    s = lake_schedule(spark, sf_dir)
     return (
         s.where(F.col("block_num") <= 5000)
         .select(
@@ -833,7 +832,7 @@ def hyp_regroup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`operators.regroup.group_action_traces`."""
     from ..operators.regroup import group_action_traces
 
-    a = build_actions(spark, sf_dir)
+    a = lake_actions(spark, sf_dir)
     t = a.select(
         "trx_id",
         "action_ordinal",
