@@ -257,10 +257,20 @@ def make_ingest_sink(
 
     paths = {
         "action_log": log_path,
-        "user_state": os.path.join(out_dir, "user_state", "snapshot"),
+        "user_state": os.path.join(out_dir, "user_state"),
         "block_rollups": rollup_path,
     }
     return sink, paths
+
+
+def read_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """Resolve a :class:`ParquetStateStore` root through its manifest
+    pointer (the reader half of the commit protocol)."""
+    store = ParquetStateStore(spark, state_root, keys=[])
+    cur = store.current()
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {state_root}")
+    return cur
 
 
 def compact_log(spark: SparkSession, log_path: str) -> int:

@@ -1,0 +1,98 @@
+"""Manifest-pointer commit protocol of ParquetStateStore (round-2
+verdict item 5): a reader concurrent with a merge/retract observes
+either the old snapshot or the new one, never a mix; crashes before
+the pointer move are invisible."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.streaming.state_store import ParquetStateStore
+
+
+def _store(spark, tmp_path, **kw) -> ParquetStateStore:
+    return ParquetStateStore(
+        spark, str(tmp_path / "st"), keys=["key"], block_col="block_num", **kw
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "key long, block_num long, val string")
+
+
+def test_reader_concurrent_with_merge_sees_one_snapshot(spark, tmp_path):
+    """The lagging-reader race the directory swap lost: resolve the
+    current snapshot, let a merge commit UNDER the reader, then read —
+    the retained-version window keeps the old files, so the reader gets
+    exactly the old snapshot's rows."""
+    st = _store(spark, tmp_path)
+    st.apply_batch(_upd(spark, [(1, 10, "a"), (2, 10, "b")]))
+    reader_df = st.current()  # lazy plan pinned to snapshot v1's files
+    st.apply_batch(_upd(spark, [(1, 20, "a2"), (3, 20, "c")]))  # commit v2
+    old = {(r.key, r.val) for r in reader_df.collect()}  # reads v1 files
+    assert old == {(1, "a"), (2, "b")}  # complete old snapshot, no mix
+    new = {(r.key, r.val) for r in st.current().collect()}
+    assert new == {(1, "a2"), (2, "b"), (3, "c")}
+
+
+def test_reader_concurrent_with_retract_sees_one_snapshot(spark, tmp_path):
+    st = ParquetStateStore(
+        spark, str(tmp_path / "st"), keys=["key"], block_col="block_num"
+    )
+    rows = [(i, 10 + i, f"b{(10 + i) // 5}") for i in range(10)]
+    st.apply_batch(
+        spark.createDataFrame(rows, "key long, block_num long, block_id string")
+    )
+    reader_df = st.current()
+    forked = spark.createDataFrame([("b3",)], "block_id string")
+    st.retract_forked(forked)  # commits v2 through the same protocol
+    assert reader_df.count() == 10  # pre-fork snapshot intact
+    kept = st.current()
+    assert kept.where(F.col("block_id") == "b3").count() == 0
+    assert kept.count() < 10
+
+
+def test_gc_respects_retained_window(spark, tmp_path):
+    st = _store(spark, tmp_path, keep_versions=2)
+    for i in range(4):
+        st.apply_batch(_upd(spark, [(1, i, f"v{i}")]))
+    m = st.read_manifest()
+    assert m["version"] == 4
+    dirs = {d for d in os.listdir(st.path) if d.startswith("v")}
+    # current + one retained predecessor; older snapshots GC'd
+    assert dirs == {m["snapshot"], *m["history"]}
+    assert len(dirs) == 2
+
+
+def test_crash_before_pointer_move_is_invisible(spark, tmp_path):
+    """A writer dying after writing its snapshot dir but before the
+    os.replace leaves the old manifest intact — readers are unaffected
+    and the orphan is just unreferenced files."""
+    st = _store(spark, tmp_path)
+    st.apply_batch(_upd(spark, [(1, 10, "a")]))
+    m1 = st.read_manifest()
+    # simulate the crash: snapshot written, pointer NOT moved
+    orphan = os.path.join(st.path, "v99999999-deadbeef")
+    _upd(spark, [(1, 99, "ghost")]).write.parquet(orphan)
+    assert st.read_manifest() == m1
+    assert {r.val for r in st.current().collect()} == {"a"}
+
+
+def test_no_partial_manifest_left_behind(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.apply_batch(_upd(spark, [(1, 10, "a")]))
+    st.apply_batch(_upd(spark, [(1, 20, "b")]))
+    stray = [f for f in os.listdir(st.path) if ".tmp-" in f]
+    assert stray == []
+
+
+def test_manifest_versions_monotonic(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    versions = []
+    for i in range(3):
+        st.apply_batch(_upd(spark, [(1, i, f"v{i}")]))
+        versions.append(st.read_manifest()["version"])
+    assert versions == [1, 2, 3]

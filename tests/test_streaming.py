@@ -184,8 +184,11 @@ def test_run_ingest_end_to_end(spark, tmp_path):
     parts = [r.block_part for r in log.select("block_part").distinct().collect()]
     assert len(parts) > 0
 
-    # state = latest non-blacklisted event per user
-    state = spark.read.parquet(paths["user_state"])
+    # state = latest non-blacklisted event per user (resolved through
+    # the manifest pointer)
+    from hyperion_history_api_spark.streaming.ingest import read_state
+
+    state = read_state(spark, paths["user_state"])
     exp_state = {
         r.user_id: r.event_id
         for r in expected.groupBy("user_id")
