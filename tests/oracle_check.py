@@ -94,11 +94,16 @@ def run_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
 
 
 if __name__ == "__main__":
+    import json
     import os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1].split(",") if len(argv) > 1 else None
     res = run_all(sf, only)
     failed = {k: v for k, v in res.items() if v}
     for k in sorted(res):
@@ -107,4 +112,21 @@ if __name__ == "__main__":
         for e in res[k]:
             print(f"      {e}")
     print(f"\n{len(res) - len(failed)}/{len(res)} passed")
+    if json_out:
+        from hyperion_history_api_spark import registry
+
+        specs = registry.all_specs()
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    k: {
+                        "pass": not res[k],
+                        "check": "hash" if specs[k].oracle else "rows_only",
+                        "errors": res[k],
+                    }
+                    for k in sorted(res)
+                },
+                f,
+                indent=1,
+            )
     sys.exit(1 if failed else 0)
