@@ -80,7 +80,11 @@ def main() -> None:
     try:
         backfill_write(decoded, os.path.join(tmp, "warm"))  # warm
         ingest_sec = float("inf")
-        for i in range(2):  # best-of-2, same policy as the queries
+        # best-of-3: the ingest number is the most load-sensitive metric
+        # in the suite (round-3 measurement: the same build swings
+        # 9.6k-37k ev/s/core with host load); more samples make the
+        # recorded best robust to a noisy neighbor during one run.
+        for i in range(3):
             t0 = time.perf_counter()
             backfill_write(decoded, os.path.join(tmp, "timed"))
             ingest_sec = min(ingest_sec, time.perf_counter() - t0)

@@ -267,16 +267,22 @@ _NESTED_COLS = [
 ]
 
 
-def build_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_actions(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """The nested ``actions`` table (index-templates.ts:52-178 shape).
 
     Narrow two-stage projection over the events parquet: scalars, then
     nested wrapping — no UDF, no shuffle; Catalyst collapses both into
     one whole-stage-codegen map over the scan.
+
+    ``events`` overrides the source frame (same schema as
+    ``load_tables(...)["events"]``) — the incremental lake refresh
+    enriches only the newly-ingested slice through this hook.
     """
     from ..tables import load_tables
 
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = events if events is not None else load_tables(spark, sf_dir)["events"]
     scalars = ev.selectExpr("ts", "user_id", "event_type", "value", "props",
                             *[f"{expr} AS {name}" for name, expr in _SCALARS])
     nested = scalars.selectExpr(
@@ -369,13 +375,17 @@ def _voters_struct(dialect: str) -> str:
 _DELTA_NESTED = [("accounts_data", _accounts_struct), ("voters_data", _voters_struct)]
 
 
-def build_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_deltas(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """The nested ``deltas`` table (index-templates.ts:193-259 shape):
     several versions per (code, table, scope, primary_key) across
-    blocks, ~3% deletions (present=0), per-table promoted structs."""
+    blocks, ~3% deletions (present=0), per-table promoted structs.
+
+    ``events`` overrides the source frame (see :func:`build_actions`)."""
     from ..tables import load_tables
 
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = events if events is not None else load_tables(spark, sf_dir)["events"]
     scalars = ev.selectExpr(
         "ts", "event_id", "user_id", "value",
         *[f"{expr} AS {name}" for name, expr in _DELTA_SCALARS],
