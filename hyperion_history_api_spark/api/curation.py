@@ -11,10 +11,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, stopword_ratio, token_count
 from ..operators.sampling import (
+    global_shuffle,
     hash_sample,
     hash_split,
     sample_pred_sql,
+    shuffle_key_sql,
     split_case_sql,
+    stratified_pred_sql,
+    stratified_sample,
 )
 from ..registry import register, _t
 
@@ -123,6 +127,62 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
         .limit(500)
+    )
+
+
+# language-rebalance mix: downsample dominant en, keep mid languages at
+# half, tail languages at a quarter — the typical pretraining remix
+_STRAT_FRACTIONS = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 0.25, "fr": 0.25}
+_STRAT_SQL = stratified_pred_sql("doc_id", "lang", _STRAT_FRACTIONS)
+
+
+@register(
+    "doc_stratified_sample",
+    f"""
+    SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM documents
+    WHERE {_STRAT_SQL}
+    GROUP BY lang ORDER BY lang
+    """,
+    "curation: per-language deterministic stratified sampling (salted "
+    "id hash with per-stratum cutoffs; partition-independent, unlike "
+    "df.sampleBy's seeded per-partition RNG)",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return (
+        stratified_sample(docs, "doc_id", "lang", _STRAT_FRACTIONS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SHUF_SQL = shuffle_key_sql("doc_id")
+
+
+@register(
+    "doc_global_shuffle",
+    f"""
+    SELECT {_SHUF_SQL} AS shuffle_key, doc_id, lang
+    FROM documents
+    ORDER BY shuffle_key, doc_id LIMIT 100
+    """,
+    "curation: deterministic global corpus shuffle (total order by "
+    "salted id md5; one range-partitioned sort, identical permutation "
+    "on every run/engine — the pre-packing epoch shuffle)",
+)
+def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return (
+        global_shuffle(docs, "doc_id")
+        .select("shuffle_key", "doc_id", "lang")
+        .limit(100)
     )
 
 

@@ -80,3 +80,70 @@ def split_case_sql(id_expr: str, *, train: float = 0.8, val: float = 0.1,
 def sample_pred_sql(id_expr: str, fraction: float, *, seed: str = "sample") -> str:
     b = f"substr(md5('{seed}' || CAST({id_expr} AS STRING)), 1, 4)"
     return f"{b} < '{_cutoff_hex(fraction)}'"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    *,
+    default: float = 0.0,
+    seed: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source
+    rebalancing step of a pretraining mix (downsample the dominant
+    language, keep the tail): each stratum gets its own keep-fraction,
+    decided by the same salted-md5 bucket as :func:`hash_sample`.
+
+    Unlike ``DataFrame.sampleBy`` (seeded per-partition RNG: the kept
+    set changes with partitioning), the assignment is a pure function
+    of (seed, id) — bit-reproducible on any cluster and in the DuckDB
+    oracle. One narrow projection, no shuffle, no skew.
+    """
+    cutoff = F.lit(_cutoff_hex(default))
+    for value, frac in fractions.items():
+        cutoff = F.when(
+            F.col(stratum_col) == value, F.lit(_cutoff_hex(frac))
+        ).otherwise(cutoff)
+    return df.where(hash_bucket(F.col(id_col), seed) < cutoff)
+
+
+def stratified_pred_sql(
+    id_expr: str,
+    stratum_expr: str,
+    fractions: dict[str, float],
+    *,
+    default: float = 0.0,
+    seed: str = "strat",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`'s keep predicate."""
+    b = f"substr(md5('{seed}' || CAST({id_expr} AS STRING)), 1, 4)"
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{v}' THEN '{_cutoff_hex(f)}'"
+        for v, f in fractions.items()
+    )
+    return f"{b} < (CASE {whens} ELSE '{_cutoff_hex(default)}' END)"
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str, *, seed: str = "shuffle", key_name: str = "shuffle_key"
+) -> DataFrame:
+    """Deterministic global corpus shuffle: a total order by the salted
+    md5 of the stable id (ties broken by the id itself, so the order is
+    unique even under hash collisions).
+
+    This is the shuffle a training pipeline runs before sequence
+    packing / sharding. Physically it is ONE range-partitioned sort —
+    Spark samples range boundaries and shuffles once; no window, no
+    single-partition funnel — and because the key is a pure function of
+    (seed, id), every run and every engine produces the identical
+    permutation (epoch N = seed "epochN").
+    """
+    return df.withColumn(
+        key_name, F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    ).orderBy(key_name, id_col)
+
+
+def shuffle_key_sql(id_expr: str, *, seed: str = "shuffle") -> str:
+    return f"md5('{seed}' || CAST({id_expr} AS STRING))"

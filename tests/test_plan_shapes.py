@@ -161,3 +161,23 @@ def test_resize_is_arrow_batched(spark):
     assert "ArrowEvalPython" not in plan  # mapInPandas shows as MapInPandas
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Per-stratum hash sampling must be a pure filter over the scan —
+    no shuffle before the aggregation, no Python, no join for the
+    cutoff table (it folds into the CASE expression)."""
+    plan = _plan(_q("doc_stratified_sample", spark))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly the agg exchange; the sample itself adds none
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_global_shuffle_is_one_range_sort(spark):
+    """The epoch shuffle must compile to a single range-partitioned
+    sort (or a TakeOrdered when topped by a LIMIT) — never a window
+    over one partition."""
+    plan = _plan(_q("doc_global_shuffle", spark))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan or "rangepartitioning" in plan
