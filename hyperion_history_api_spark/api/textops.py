@@ -410,3 +410,36 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy("doc_id")
+
+
+@register(
+    "doc_duplicate_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), eligible AS (
+        SELECT doc_id, t FROM toks WHERE len(t) >= 8
+    ), spans AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+        FROM eligible, UNNEST(range(1, len(t) - 6)) AS u(i)
+    ), dup AS (
+        SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           round(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS dup_ratio
+    FROM spans s LEFT JOIN dup d ON s.h = d.h
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    "dedup: exact substring duplication at token-window granularity "
+    "(distributed suffix-array stand-in: window-hash postings, one "
+    "agg + one join, O(tokens) — Lee et al. 2021 semantics)",
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir)["documents"]
+    return duplicate_spans(docs, window=8).orderBy("doc_id")

@@ -356,3 +356,70 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication detection at token-window
+    granularity — the distributed form of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021): a span duplicated across documents is a window of
+    ``window`` consecutive tokens whose hash occurs in >= ``min_docs``
+    distinct documents.
+
+    Spark-first construction (no suffix array, no all-pairs):
+
+    1. one narrow pass tokenizes and emits every window hash via
+       ``transform`` + ``explode`` (JVM codegen, no Python);
+    2. ONE hash-partitioned aggregation finds hashes spanning
+       >= min_docs documents (partial agg combines before the
+       shuffle — duplicated spans are exactly the high-frequency
+       keys, so the combiner absorbs them);
+    3. a hash join back marks each document's duplicated windows.
+
+    Per-doc output: ``n_spans``, ``dup_spans``, ``dup_ratio`` — the
+    curation signal used to cut or trim documents with heavily
+    duplicated content. Cost is O(total tokens), shuffle keys are
+    16-byte hashes; at 100 TB this is the same banded shape as the
+    MinHash path, never quadratic.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).where(F.size("t") >= window)
+    idx = F.sequence(F.lit(0), F.size("t") - F.lit(window))
+    spans = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("t"), i + F.lit(1), F.lit(window)))
+                ),
+            )
+        ).alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    return (
+        spans.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 4),
+        )
+    )

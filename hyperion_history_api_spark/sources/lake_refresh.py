@@ -151,3 +151,31 @@ def refresh_all(
         name: refresh_partitioned(spark, sf_dir, name, new_events)
         for name in _INCR_BUILDERS
     }
+
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def refresh_from_ingest_log(
+    spark: SparkSession,
+    sf_dir: str,
+    log_path: str,
+    *,
+    batch_ids: "list[int] | None" = None,
+) -> dict[str, DataFrame]:
+    """Close the ingest -> serving loop: apply micro-batches that the
+    streaming sink appended (``streaming/ingest.make_ingest_sink``,
+    ``ingest_batch=<id>`` layout) to the stored nested tables.
+
+    This is the reference's indexer -> query-index hop (the bulk write
+    lands in the partition index the API reads, elastic-routes.ts): the
+    streaming sink gives durability + state MERGE per batch; this step
+    folds the accumulated batches into the lake the interactive ``hyp_*``
+    family serves. ``batch_ids`` limits the pass to newly-arrived
+    batches (the caller tracks its high-water mark); replayed batches
+    are absorbed by the natural-key dedup in the merge.
+    """
+    df = spark.read.parquet(log_path)
+    if batch_ids is not None and "ingest_batch" in df.columns:
+        df = df.where(F.col("ingest_batch").isin([int(b) for b in batch_ids]))
+    return refresh_all(spark, sf_dir, df.select(*_EVENT_COLS))

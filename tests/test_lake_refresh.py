@@ -133,3 +133,39 @@ def test_refreshed_lake_serves_block_range_pruned(spark, iso_lake):
     assert df.count() == 15
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "block_part" in plan  # partition filter present in the scan
+
+
+def test_ingest_log_to_lake_lifecycle(spark, iso_lake, tmp_path):
+    """End-to-end ingest -> serving loop: the streaming sink appends a
+    micro-batch (durable log + state MERGE), refresh_from_ingest_log
+    folds it into the lake, and a pruned interactive query sees the new
+    blocks — the reference's bulk-write -> partition-index -> API hop."""
+    from hyperion_history_api_spark.streaming.ingest import (
+        decode_and_enrich,
+        make_ingest_sink,
+    )
+
+    base_n = lake.lake_actions(spark, SF_DIR).count()
+    out = tmp_path / "ingest"
+    sink, paths = make_ingest_sink(spark, str(out))
+
+    batch = decode_and_enrich(_batch(spark, 35, FAR_OFFSET))
+    sink(batch, 0)  # exactly what foreachBatch does per micro-batch
+
+    refreshed = lake_refresh.refresh_from_ingest_log(
+        spark, SF_DIR, paths["action_log"], batch_ids=[0]
+    )
+    assert refreshed["actions"].count() == base_n + 35
+
+    lo = 5 * lake.BLOCK_PART_SIZE
+    served = lake.prune_block_range(
+        lake.lake_actions(spark, SF_DIR), lo=lo, hi=lo + lake.BLOCK_PART_SIZE
+    )
+    assert served.count() == 35
+
+    # a replayed batch (at-least-once delivery) changes nothing
+    sink(batch, 0)
+    again = lake_refresh.refresh_from_ingest_log(
+        spark, SF_DIR, paths["action_log"], batch_ids=[0]
+    )
+    assert again["actions"].count() == base_n + 35

@@ -181,3 +181,13 @@ def test_global_shuffle_is_one_range_sort(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan or "rangepartitioning" in plan
+
+
+def test_duplicate_spans_is_posting_shaped(spark):
+    """Substring-dup detection must be window-hash postings: JVM-only
+    span generation, partial-agged hash count, hash join back — no
+    Python, no cartesian product."""
+    plan = _plan(_q("doc_duplicate_spans", spark))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # combiner before the shuffle
