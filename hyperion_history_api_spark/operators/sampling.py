@@ -29,8 +29,18 @@ _BUCKETS = 1 << 16  # 4 hex digits
 
 
 def _cutoff_hex(fraction: float) -> str:
-    """Hex cutoff c such that P(bucket < c) ~ fraction (16-bit grid)."""
-    return format(min(int(round(fraction * _BUCKETS)), _BUCKETS), "04x")
+    """Hex cutoff c such that P(bucket < c) ~ fraction (16-bit grid).
+
+    fraction >= 1 returns "g": every 4-char hex bucket (digits 0-9a-f)
+    is lexicographically below it, so the predicate keeps ALL rows.
+    (format(65536) would be the 5-char "10000", which most 4-char hex
+    strings compare ABOVE — a keep-everything fraction would silently
+    keep ~1/16. Caught by the partition-invariance property test.)
+    """
+    n = int(round(fraction * _BUCKETS))
+    if n >= _BUCKETS:
+        return "g"
+    return format(max(n, 0), "04x")
 
 
 def hash_bucket(id_col: Column, seed: str) -> Column:

@@ -169,3 +169,24 @@ def test_ingest_log_to_lake_lifecycle(spark, iso_lake, tmp_path):
         spark, SF_DIR, paths["action_log"], batch_ids=[0]
     )
     assert again["actions"].count() == base_n + 35
+
+
+def test_failed_refresh_leaves_snapshot_intact(spark, iso_lake):
+    """Crash safety: a refresh whose build job fails must leave the
+    published snapshot untouched (the temp build is discarded; the
+    rename never happens)."""
+    base_n = lake.lake_actions(spark, SF_DIR).count()
+    dest = iso_lake / "sf0.001" / "actions"
+    before = {p: _inodes(dest, p) for p in _part_dirs(dest)}
+
+    poison = _batch(spark, 10, FAR_OFFSET).withColumn(
+        "event_id",
+        F.when(F.assert_true(F.col("event_id") < 0).isNull(), F.col("event_id")),
+    )
+    with pytest.raises(Exception):
+        lake_refresh.refresh_partitioned(spark, SF_DIR, "actions", poison)
+
+    assert {p: _inodes(dest, p) for p in _part_dirs(dest)} == before
+    assert lake.lake_actions(spark, SF_DIR).count() == base_n
+    # no orphan temp dirs left behind
+    assert not [p for p in dest.parent.iterdir() if ".refresh." in p.name]

@@ -1,0 +1,70 @@
+"""The property the deterministic sampling/shuffle operators exist
+for: the result is a pure function of (seed, id) — repartitioning,
+partition count, and row order must not change what is kept or the
+produced permutation (unlike df.sample / df.sampleBy / rand(), which
+are all partition-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.operators.sampling import (
+    global_shuffle,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+from hyperion_history_api_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_tables(spark, SF_DIR)["documents"]
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("doc_id").collect())
+
+
+def test_hash_sample_partition_invariant(spark):
+    docs = _docs(spark)
+    a = _ids(hash_sample(docs.repartition(1), "doc_id", 0.2))
+    b = _ids(hash_sample(docs.repartition(13, "lang"), "doc_id", 0.2))
+    assert a == b and a  # same kept set, non-empty
+
+
+def test_stratified_sample_partition_invariant_and_per_stratum(spark):
+    docs = _docs(spark)
+    fr = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 0.25, "fr": 0.25}
+    a = _ids(stratified_sample(docs.repartition(1), "doc_id", "lang", fr))
+    b = _ids(stratified_sample(docs.coalesce(3), "doc_id", "lang", fr))
+    assert a == b and a
+    # full-keep strata are complete; zero-default drops unknown strata
+    kept = stratified_sample(docs, "doc_id", "lang", fr)
+    n_zh = docs.where(F.col("lang") == "zh").count()
+    assert kept.where(F.col("lang") == "zh").count() == n_zh
+    none_kept = stratified_sample(docs, "doc_id", "lang", {})
+    assert none_kept.count() == 0
+
+
+def test_split_is_total_and_stable(spark):
+    docs = _docs(spark)
+    split = hash_split(docs, "doc_id")
+    assert split.count() == docs.count()
+    again = hash_split(docs.repartition(7), "doc_id")
+    joined = split.select("doc_id", "split").join(
+        again.select("doc_id", F.col("split").alias("split2")), "doc_id"
+    )
+    assert joined.where(F.col("split") != F.col("split2")).count() == 0
+
+
+def test_global_shuffle_same_permutation_any_partitioning(spark):
+    docs = _docs(spark)
+    a = [r[0] for r in global_shuffle(docs.repartition(1), "doc_id").select("doc_id").collect()]
+    b = [r[0] for r in global_shuffle(docs.repartition(17), "doc_id").select("doc_id").collect()]
+    assert a == b and len(a) == docs.count()
+    # different seed -> different permutation (epochs differ)
+    c = [r[0] for r in global_shuffle(docs, "doc_id", seed="epoch2").select("doc_id").collect()]
+    assert c != a
