@@ -62,6 +62,13 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
 # codegen) so the constant factor matters. (Arithmetic universal
 # hashing a_i*h+b_i would be cheaper still but overflows under ANSI
 # mode, the Spark 4 default.)
+#
+# Measured alternative (round 3, scripts/profile_minhash.py): explode
+# the shingle hashes and compute the 48 permuted mins as codegen'd
+# min() aggregates. Identical pairs, 3.7x SLOWER at sf0.1 (2.5s ->
+# 9.4s): the explode multiplies rows by shingle count and the wide
+# 48-agg shuffle costs more than 48 interpreted array walks over the
+# compact per-doc arrays. Kept the transform form.
 def _permuted_min(hashed: Column, i: int) -> Column:
     return F.array_min(
         F.transform(hashed, lambda h: F.xxhash64(F.lit(i).cast("long"), h))
