@@ -153,6 +153,66 @@ def refresh_all(
     }
 
 
+def retract_blocks_above(
+    spark: SparkSession, sf_dir: str, name: str, fork_block: int
+) -> DataFrame:
+    """Fork handling on the serving lake: drop every row with
+    ``block_num > fork_block`` — the reference's delete-by-range over
+    its indices when the chain reorganizes (SURVEY §2.1 S11; the state
+    store twin is ``ParquetStateStore.retract_forked``).
+
+    A fork can only invalidate the chain TIP, so only partitions at or
+    above ``fork_block``'s part are rewritten (usually exactly one);
+    the rest of history hard-links into the next snapshot unchanged.
+    Same atomic publish as the refresh path.
+    """
+    if name not in _INCR_BUILDERS:
+        raise ValueError(f"not an incrementally-maintained table: {name}")
+    lake_table(spark, sf_dir, name)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    dest = lake_root() / sf_name / name
+    fork_part = fork_block // BLOCK_PART_SIZE
+
+    existing = spark.read.parquet(str(dest))
+    survivors = existing.where(
+        (F.col("block_part") == fork_part) & (F.col("block_num") <= fork_block)
+    )
+
+    tmp = dest.parent / f".{name}.refresh.{uuid.uuid4().hex[:8]}"
+    try:
+        (
+            survivors.repartition("block_part")
+            .sortWithinPartitions(F.col("block_part"), *_sort_cols(name))
+            .write.mode("append")
+            .partitionBy("block_part")
+            .parquet(str(tmp))
+        )
+        for entry in dest.iterdir():
+            if not entry.is_dir():
+                continue
+            try:
+                part = int(entry.name.split("=", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if part < fork_part:
+                _link_tree(entry, tmp / entry.name)
+        try:
+            manifest = json.loads(_manifest_path(dest).read_text())
+        except (OSError, ValueError):
+            manifest = {"version": LAKE_VERSION, "source": None, "extra": ""}
+        manifest["increments"] = int(manifest.get("increments", 0)) + 1
+        manifest["retracted_above"] = int(fork_block)
+        _manifest_path(tmp).write_text(json.dumps(manifest))
+        old = dest.parent / f".{name}.old.{uuid.uuid4().hex[:8]}"
+        os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return spark.read.parquet(str(dest))
+
+
 _EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 

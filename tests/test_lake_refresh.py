@@ -190,3 +190,50 @@ def test_failed_refresh_leaves_snapshot_intact(spark, iso_lake):
     assert lake.lake_actions(spark, SF_DIR).count() == base_n
     # no orphan temp dirs left behind
     assert not [p for p in dest.parent.iterdir() if ".refresh." in p.name]
+
+
+def test_fork_retraction_trims_tip_partition_links_history(spark, iso_lake):
+    """S11 on the serving lake: a fork invalidates only the chain tip —
+    the fork partition is rewritten trimmed, every older partition
+    hard-links through unchanged, deeper partitions vanish."""
+    lake_refresh.refresh_partitioned(
+        spark, SF_DIR, "actions", _batch(spark, 40, FAR_OFFSET)
+    )
+    dest = iso_lake / "sf0.001" / "actions"
+    part0_before = _inodes(dest, "block_part=0")
+    new_blocks = sorted(
+        r[0]
+        for r in lake.lake_actions(spark, SF_DIR)
+        .where(F.col("block_part") == 5)
+        .select("block_num")
+        .distinct()
+        .collect()
+    )
+    fork = new_blocks[len(new_blocks) // 2]  # mid-tip fork point
+    kept_in_tip = (
+        lake.lake_actions(spark, SF_DIR)
+        .where((F.col("block_part") == 5) & (F.col("block_num") <= fork))
+        .count()
+    )
+
+    out = lake_refresh.retract_blocks_above(spark, SF_DIR, "actions", fork)
+    assert out.agg(F.max("block_num")).first()[0] <= fork
+    assert out.where(F.col("block_part") == 5).count() == kept_in_tip
+    assert _inodes(dest, "block_part=0") == part0_before  # history untouched
+
+
+def test_fork_retraction_drops_partitions_beyond_fork(spark, iso_lake):
+    """A fork below a whole partition removes that partition entirely."""
+    base_n = lake.lake_actions(spark, SF_DIR).count()
+    lake_refresh.refresh_partitioned(
+        spark, SF_DIR, "actions", _batch(spark, 40, FAR_OFFSET)
+    )
+    # fork at the top of the base range: part 5 disappears, part 0 trimmed to fork
+    out = lake_refresh.retract_blocks_above(spark, SF_DIR, "actions", 150)
+    assert out.count() == (
+        out.where(F.col("block_num") <= 150).count()
+    )
+    assert out.agg(F.max("block_num")).first()[0] <= 150
+    dest = iso_lake / "sf0.001" / "actions"
+    assert "block_part=5" not in _part_dirs(dest)
+    assert out.count() < base_n
