@@ -443,3 +443,47 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return duplicate_spans(docs, window=8).orderBy("doc_id")
+
+
+# BPE merges: trained once per corpus on a deterministic id-range
+# sample (driver-side — BPE training is sequential by nature; same
+# train/ship split as the PQ codebook), then shipped to executors.
+_BPE_CACHE: dict[str, list] = {}
+_BPE_SAMPLE_IDS = 200
+_BPE_MERGES = 200
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    merges = _BPE_CACHE.get(sf_dir)
+    if merges is None:
+        from ..functions.bpe import train_bpe
+
+        docs = _t(spark, sf_dir)["documents"]
+        sample = [
+            r[0]
+            for r in docs.where(F.col("doc_id") < _BPE_SAMPLE_IDS)
+            .select("text")
+            .collect()
+        ]
+        merges = train_bpe(sample, _BPE_MERGES)
+        _BPE_CACHE[sf_dir] = merges
+    return merges
+
+
+@register(
+    "doc_bpe_token_stats",
+    None,  # iterative data-dependent merging: no SQL form; rows-only gate
+    "text-analysis: REAL merge-table BPE tokenization (Sennrich 2016) "
+    "— offline-trained merges, Arrow-batched mapInPandas encode with "
+    "per-batch word caching; unit-pinned to a pure-Python reference "
+    "encoder",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import bpe_token_stats
+
+    docs = _t(spark, sf_dir)["documents"]
+    return (
+        bpe_token_stats(docs, _bpe_merges(spark, sf_dir))
+        .orderBy("doc_id")
+        .limit(1000)
+    )
