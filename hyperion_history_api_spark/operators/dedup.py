@@ -97,15 +97,38 @@ def minhash_lsh_pairs(
     therefore equals brute-force all-pairs Jaccard>=t without the
     O(n^2) scan. Candidate dedup uses the (id_a < id_b) canonical
     orientation.
+
+    Exact-duplicate collapse (round 3): real corpora (and the 10x
+    scale fixture) are dominated by byte-identical copies, and every
+    copy multiplies signature work AND candidate-pair volume
+    quadratically (a k-clique of exact copies is k^2/2 band-pairs in
+    EVERY band). So the LSH core runs on one representative per
+    token-sequence-identical group and pairs are expanded afterward:
+
+    - group key = md5(token sequence): equal key => identical shingle
+      set => Jaccard 1 within the group and identical signatures/
+      Jaccard against everything else, so expansion is semantics-
+      preserving (output still equals brute force).
+    - within-group pairs are emitted directly at jaccard 1.0 (>= any
+      threshold) via a codegen'd self-equi-join on the rep key;
+      cross-group pairs inherit the verified rep-pair jaccard.
+    - the group agg combines map-side: at 100 TB the shuffle carries
+      at most one text per distinct fingerprint per map task, so the
+      collapse costs LESS than shuffling the raw corpus. Output stays
+      inherently quadratic in group size (it IS the pair list).
+    This is the standard production ordering — exact dedup before
+    near-dup — applied inside the operator so callers keep one API.
     """
     rows = num_hashes // bands
-    # Two exchanges bracket the signature pass, deliberately:
+    # Exchange discipline (each one deliberate):
     # 1. repartition the RAW (id, text) rows so the interpreted
     #    higher-order shingle/hash expressions run on every core — a
     #    single small parquet file would otherwise serialize the whole
     #    pass onto one task (file layout must not dictate compute
     #    parallelism);
-    # 2. repartition again AFTER hashing so the exchange materializes
+    # 2. the exact-collapse groupBy(fingerprint) exchange (map-side
+    #    combined);
+    # 3. repartition AFTER hashing so the exchange materializes
     #    __h: projection collapse would otherwise re-inline the whole
     #    shingle pipeline into each of the 24 permutation expressions,
     #    and ReuseExchange lets the three downstream consumers (banding
@@ -114,9 +137,27 @@ def minhash_lsh_pairs(
     # repartition(col) down to one partition when the shuffle is small,
     # which would re-serialize the compute-bound pass.
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    raw = df.select(F.col(id_col), F.col(text_col)).repartition(npart, F.col(id_col))
+    raw = df.select(F.col(id_col), F.col(text_col))
+    # fp (codegen'd tokens+md5, cheap) is computed pre-exchange on the
+    # scan partitions; the fp-keyed exchange both DISTRIBUTES the
+    # corpus for the interpreted passes downstream and is SHARED
+    # (ReuseExchange) by the group agg and the mapping join — both
+    # consumers are co-partitioned on __fp, so the collapse costs
+    # exactly one shuffle of the corpus.
+    keyed = raw.withColumn(
+        "__fp", F.md5(F.concat_ws("\x1f", tokens(F.col(text_col))))
+    ).repartition(npart, F.col("__fp"))
+    groups = keyed.groupBy("__fp").agg(
+        F.min(id_col).alias("__rep"), F.first(text_col).alias(text_col)
+    )
+    mapping = (
+        keyed.select(F.col(id_col), "__fp")
+        .join(groups.select("__fp", "__rep"), "__fp")
+        .select(F.col(id_col), "__rep")
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), F.col(text_col))
     hashed = (
-        with_shingles(raw, text_col, shingle_n)
+        with_shingles(reps, text_col, shingle_n)
         .select(
             F.col(id_col),
             F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
@@ -167,13 +208,41 @@ def minhash_lsh_pairs(
     # string payload.
     ha = hashed.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
     hb = hashed.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))
-    return (
+    rep_pairs = (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn("jaccard", F.round(_jaccard(F.col("h_a"), F.col("h_b")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Expand representative pairs back over exact-duplicate members.
+    # All joins/conditions are codegen'd equi-joins — no interpreted
+    # combination generators in the quadratic leg.
+    ma = mapping.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__xa"))
+    mb = mapping.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__xb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        ma.alias("u")
+        .join(
+            ma.alias("v"),
+            (F.col("u.id_a") == F.col("v.id_a"))
+            & (F.col("u.__xa") < F.col("v.__xa")),
+        )
+        .select(
+            F.col("u.__xa").alias("id_a"),
+            F.col("v.__xa").alias("id_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 def ngram_jaccard_pairs(
