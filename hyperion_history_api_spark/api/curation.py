@@ -270,9 +270,20 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_ratio") >= 0.02)
     )
     ev = docs.where(F.col("doc_id") % 20 == 7)
+    # collapse=True: the contamination gram pass runs once per DISTINCT
+    # text (exact copies inherit the rep's verdict) — the dominant cost
+    # on duplicate-heavy corpora. clean is consumed by three downstream
+    # legs (LSH pair graph, cluster join, split rollup); the lazy local
+    # checkpoint materializes it once instead of re-deriving the
+    # decontamination per leg (reliable checkpoint dir on a cluster).
     clean = clean_corpus(
-        kept.where(F.col("doc_id") % 20 != 7), ev, "text", "doc_id", hashed=False
-    )
+        kept.where(F.col("doc_id") % 20 != 7),
+        ev,
+        "text",
+        "doc_id",
+        hashed=False,
+        collapse=True,
+    ).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(clean, "text", "doc_id", threshold=0.7)
     keepers = cluster_keepers(clean, pairs, "doc_id").where(F.col("is_keeper") == 1)
     return (

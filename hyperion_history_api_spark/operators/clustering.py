@@ -74,23 +74,72 @@ def _canon(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (already-deduped) edge list
+    and label components with a path-compressing union-find keeping the
+    MINIMUM id as every root, so labels are identical to the
+    distributed fixpoint. One collect + one createDataFrame — no
+    iterative jobs."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    pdf = edges.select("u", "v").toPandas()  # Arrow batch, not row-by-row
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # smaller root wins => root == component minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = [(x, find(x)) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        rows or [], "id long, component long"
+    )
+
+
+# Graphs under this many edges are labeled driver-side (~16 bytes/edge
+# => tens of MB at the cap). The threshold plays the same role as the
+# broadcast-join threshold: duplicate-pair graphs are usually tiny
+# relative to the corpus, and the iterative path costs a fixed ~6-8
+# Spark jobs per round, which dominates end-to-end latency whenever the
+# graph fits on the driver. Past the cap the star-contraction path
+# takes over with no semantic change.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "id_a",
     right: str = "id_b",
     *,
     max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     component = the smallest node id reachable from it.
 
-    Convergence detection is two-tier: a one-job (count, hash-sum)
-    probe per round, and — only when the probe reports no change — an
-    EXACT set-difference confirmation, so the final verdict never
-    rests on a hash (the output feeds a correctness gate) while steady
-    rounds cost one aggregation job instead of three. ``max_iter`` is
-    a safety rail far above the O(log^2 n) bound; hitting it raises
-    rather than returning a partially-contracted graph.
+    Size-adaptive: the edge count (known from the eager checkpoint)
+    picks either the driver union-find fast path (small graphs — the
+    common case for duplicate clusters) or the large-star/small-star
+    contraction (arbitrarily large graphs). Both label a component by
+    its minimum id, so the choice is invisible to callers.
+
+    Convergence detection (distributed path) is two-tier: a one-job
+    (count, hash-sum) probe per round, and — only when the probe
+    reports no change — an EXACT set-difference confirmation, so the
+    final verdict never rests on a hash (the output feeds a
+    correctness gate) while steady rounds cost one aggregation job
+    instead of three. ``max_iter`` is a safety rail far above the
+    O(log^2 n) bound; hitting it raises rather than returning a
+    partially-contracted graph.
     """
 
     def _stat(canon: DataFrame) -> tuple:
@@ -114,6 +163,12 @@ def connected_components(
     nodes = _canon(edges).select(
         F.explode(F.array("u", "v")).alias("id")
     ).distinct()
+
+    if edges.count() <= small_graph_edges:
+        labels = _driver_union_find(edges)
+        return nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("component", "id").alias("component")
+        )
 
     prev = _canon(edges).localCheckpoint()
     prev_stat = _stat(prev)

@@ -60,16 +60,42 @@ def decontaminate(
     eval_id_col: str | None = None,
     n: int = 3,
     hashed: bool = False,
+    collapse: bool = False,
 ) -> DataFrame:
     """Per contaminated training doc: how many distinct n-grams hit the
     eval set (``hit_ngrams``) and how many distinct eval docs were hit
     (``hit_eval_docs``). Docs with zero overlap are absent — anti-join
     this result to get the clean corpus.
+
+    ``collapse=True`` runs the gram pass on one representative per
+    token-sequence-identical group (``dedup.collapse_exact``) and
+    expands hit counts over the members — identical output (identical
+    token sequences have identical n-gram sets, hence identical hit
+    counts), and the interpreted shingle/explode pass touches each
+    distinct text once. Use whenever the corpus carries many exact
+    copies; the collapse costs one fp-keyed shuffle of (id, text).
     """
     eval_id_col = eval_id_col or id_col
     ev = _grams(eval_docs, text_col, eval_id_col, n, hashed).withColumnRenamed(
         eval_id_col, "__eval_id"
     )
+    if collapse:
+        from .dedup import collapse_exact
+
+        reps, mapping = collapse_exact(docs, text_col, id_col)
+        rep_hits = (
+            _grams(reps, text_col, id_col, n, hashed)
+            .join(F.broadcast(ev), "g")
+            .groupBy(id_col)
+            .agg(
+                F.countDistinct("g").alias("hit_ngrams"),
+                F.countDistinct("__eval_id").alias("hit_eval_docs"),
+            )
+            .withColumnRenamed(id_col, "__rep")
+        )
+        return mapping.join(rep_hits, "__rep").select(
+            id_col, "hit_ngrams", "hit_eval_docs"
+        )
     tr = _grams(docs, text_col, id_col, n, hashed, repartition=True)
     return (
         tr.join(F.broadcast(ev), "g")
@@ -90,12 +116,13 @@ def clean_corpus(
     n: int = 3,
     min_hits: int = 1,
     hashed: bool = True,
+    collapse: bool = False,
 ) -> DataFrame:
     """The filtering form: drop training docs with >= ``min_hits``
     contaminated n-grams. Broadcast anti-join on the (small)
     contaminated-id set — the corpus itself is never shuffled."""
     hits = decontaminate(
-        docs, eval_docs, text_col, id_col, n=n, hashed=hashed
+        docs, eval_docs, text_col, id_col, n=n, hashed=hashed, collapse=collapse
     ).where(F.col("hit_ngrams") >= min_hits)
     return docs.join(
         F.broadcast(hits.select(id_col)), id_col, "left_anti"

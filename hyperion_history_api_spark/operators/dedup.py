@@ -75,6 +75,47 @@ def _permuted_min(hashed: Column, i: int) -> Column:
     )
 
 
+def collapse_exact(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse token-sequence-identical documents to one
+    representative: returns ``(reps, mapping)`` where ``reps`` is
+    (id, text) with one row per distinct token sequence (rep = min id)
+    and ``mapping`` is (id, __rep) for every input row.
+
+    Identical token sequences have identical shingle sets, signatures,
+    n-grams and Jaccard against everything — so any shingle-level
+    operator (MinHash LSH, decontamination) can run on ``reps`` and
+    expand results over ``mapping`` with no semantic change, while the
+    expensive interpreted shingle passes touch each distinct text
+    once.
+
+    Exchange shape: fp (codegen'd tokens+md5, cheap) is computed
+    pre-exchange on the scan partitions; the fp-keyed exchange both
+    DISTRIBUTES the corpus for the interpreted passes downstream and
+    is SHARED (ReuseExchange) by the group agg and the mapping join —
+    both consumers are co-partitioned on __fp, so the collapse costs
+    exactly one shuffle of the corpus, and the group agg combines
+    map-side (at 100 TB the shuffle carries at most one text per
+    distinct fingerprint per map task)."""
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    keyed = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__fp", F.md5(F.concat_ws("\x1f", tokens(F.col(text_col)))))
+        .repartition(npart, F.col("__fp"))
+    )
+    groups = keyed.groupBy("__fp").agg(
+        F.min(id_col).alias("__rep"), F.first(text_col).alias(text_col)
+    )
+    mapping = (
+        keyed.select(F.col(id_col), "__fp")
+        .join(groups.select("__fp", "__rep"), "__fp")
+        .select(F.col(id_col), "__rep")
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), F.col(text_col))
+    return reps, mapping
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -120,42 +161,17 @@ def minhash_lsh_pairs(
     near-dup — applied inside the operator so callers keep one API.
     """
     rows = num_hashes // bands
-    # Exchange discipline (each one deliberate):
-    # 1. repartition the RAW (id, text) rows so the interpreted
-    #    higher-order shingle/hash expressions run on every core — a
-    #    single small parquet file would otherwise serialize the whole
-    #    pass onto one task (file layout must not dictate compute
-    #    parallelism);
-    # 2. the exact-collapse groupBy(fingerprint) exchange (map-side
-    #    combined);
-    # 3. repartition AFTER hashing so the exchange materializes
-    #    __h: projection collapse would otherwise re-inline the whole
-    #    shingle pipeline into each of the 24 permutation expressions,
-    #    and ReuseExchange lets the three downstream consumers (banding
-    #    + both verify sides) share one computation of this subtree.
-    # Explicit partition count: AQE coalesces a count-less
-    # repartition(col) down to one partition when the shuffle is small,
-    # which would re-serialize the compute-bound pass.
+    # Exchange discipline: the collapse_exact fp exchange distributes
+    # the corpus; the repartition AFTER hashing materializes __h so
+    # projection collapse doesn't re-inline the whole shingle pipeline
+    # into each of the 24 permutation expressions, and ReuseExchange
+    # lets the three downstream consumers (banding + both verify
+    # sides) share one computation of this subtree. Explicit partition
+    # count: AQE coalesces a count-less repartition(col) down to one
+    # partition when the shuffle is small, which would re-serialize
+    # the compute-bound pass.
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    raw = df.select(F.col(id_col), F.col(text_col))
-    # fp (codegen'd tokens+md5, cheap) is computed pre-exchange on the
-    # scan partitions; the fp-keyed exchange both DISTRIBUTES the
-    # corpus for the interpreted passes downstream and is SHARED
-    # (ReuseExchange) by the group agg and the mapping join — both
-    # consumers are co-partitioned on __fp, so the collapse costs
-    # exactly one shuffle of the corpus.
-    keyed = raw.withColumn(
-        "__fp", F.md5(F.concat_ws("\x1f", tokens(F.col(text_col))))
-    ).repartition(npart, F.col("__fp"))
-    groups = keyed.groupBy("__fp").agg(
-        F.min(id_col).alias("__rep"), F.first(text_col).alias(text_col)
-    )
-    mapping = (
-        keyed.select(F.col(id_col), "__fp")
-        .join(groups.select("__fp", "__rep"), "__fp")
-        .select(F.col(id_col), "__rep")
-    )
-    reps = groups.select(F.col("__rep").alias(id_col), F.col(text_col))
+    reps, mapping = collapse_exact(df, text_col, id_col)
     hashed = (
         with_shingles(reps, text_col, shingle_n)
         .select(

@@ -13,11 +13,11 @@ from hyperion_history_api_spark.operators.clustering import (
 )
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     return {
         (r["id"], r["component"])
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **kw).collect()
     }
 
 
@@ -49,6 +49,16 @@ def test_chain_merges_to_one_component(spark):
     assert _cc(spark, edges) == {(i, 0) for i in range(13)}
 
 
+def test_small_and_distributed_paths_agree(spark):
+    """The size-adaptive cutoff is invisible: forcing the star-
+    contraction path (small_graph_edges=0) labels identically to the
+    driver union-find fast path."""
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _cc(spark, edges, small_graph_edges=0) == _cc(spark, edges)
+
+
 def test_disjoint_components_and_orientation(spark):
     edges = [(5, 3), (3, 9), (20, 21), (40, 40)]  # self-loop dropped
     got = _cc(spark, edges)
@@ -68,7 +78,7 @@ def test_random_graphs_match_union_find(spark):
 def test_max_iter_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, small_graph_edges=0)
 
 
 def test_cluster_keepers_singletons_and_flags(spark):

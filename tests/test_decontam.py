@@ -38,6 +38,28 @@ def test_hashed_matches_string_join(spark):
     assert s == h
 
 
+def test_collapse_matches_direct(spark):
+    """collapse=True (rep-only gram pass + member expansion) returns
+    the identical per-doc hit counts — including for exact copies,
+    which inherit their representative's verdict."""
+    ev = _mk(spark, [(100, "the quick brown fox jumps")])
+    tr = _mk(
+        spark,
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "the quick brown fox jumps over"),  # exact copy of 1
+            (3, "completely unrelated text here"),
+            (4, "the  quick   brown fox jumps over"),  # same token seq
+        ],
+    )
+    direct = set(decontaminate(tr, ev, "text", "doc_id").collect())
+    collapsed = set(
+        decontaminate(tr, ev, "text", "doc_id", collapse=True).collect()
+    )
+    assert direct == collapsed
+    assert {r[0] for r in direct} == {1, 2, 4}
+
+
 def test_clean_corpus_drops_contaminated(spark):
     ev = _mk(spark, [(100, "the quick brown fox jumps")])
     tr = _mk(
