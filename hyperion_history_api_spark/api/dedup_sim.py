@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 
 from ..functions.text import lang_scores
 from ..operators.dedup import (
+    hashed_shingles,
+    incremental_pairs,
+    minhash_bands,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -58,6 +61,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "dedup_incremental",
+    _DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+      AND len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+    "dedup: per-batch incremental near-dup against a persisted LSH "
+    "band index (history never re-signed; batch = doc_id%10==0 here; "
+    "oracle = brute-force pairs touching the batch)",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Models one ingest micro-batch: docs with doc_id%10==0 arrive
+    against an index built from the rest. ``incremental_pairs``
+    signature-hashes only the batch and probes the stored bands."""
+    docs = _t(spark, sf_dir)["documents"]
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    idx_hashes = hashed_shingles(hist, "text", "doc_id", repartition=True)
+    idx_bands = minhash_bands(idx_hashes, "doc_id")
+    return incremental_pairs(
+        idx_bands, idx_hashes, batch, "text", "doc_id", threshold=0.7
+    ).orderBy("id_a", "id_b")
 
 
 @register(

@@ -1,0 +1,169 @@
+"""ES pipeline/bucket aggregations + sessionization.
+
+The reference delegates its stats endpoints to Elasticsearch
+aggregations (SURVEY §2.4; e.g. get_trx_count.ts:101-140 builds a
+date_histogram). ES also exposes *pipeline* aggregations over the
+bucket series — ``cumulative_sum``, ``derivative``, ``moving_fn`` —
+which a reference deployment can request on any date_histogram.
+This module provides the Spark equivalents, plus session windows
+(ES/Hyperion have no session primitive; Spark's ``session_window``
+is the idiomatic gap-based sessionization for activity analytics).
+
+Scale note on the pipeline aggs: the window runs over the BUCKET
+series, not the event stream — bucket cardinality is the histogram
+size (days/hours), which ES returns in a single response by
+construction, so the post-aggregation window is inherently
+small-cardinality. The heavy lifting (event scan + per-bucket
+partial/final hash agg) stays fully distributed; only the rolled-up
+frame flows through the unpartitioned window. Sessionization, by
+contrast, is a true distributed agg: ``groupBy(user, session_window)``
+shuffles once on user and merges gap-joined windows per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register, _t
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# Both engines accumulate the IDENTICAL per-bucket rounded doubles in
+# the identical bucket order, so the running sum is bit-stable even
+# though the per-bucket sums were parallel reductions.
+@register(
+    "date_histogram_cumulative",
+    """
+    WITH b AS (
+        SELECT date_trunc('day', ts) AS bucket,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT bucket, cnt, sum_value,
+           round(sum(sum_value) OVER (ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING), 4) AS cumulative_value
+    FROM b ORDER BY bucket
+    """,
+    "A8 + ES cumulative_sum pipeline agg over the date_histogram "
+    "bucket series (public ES pipeline-aggregation semantics)",
+)
+def date_histogram_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        _daily(spark, sf_dir)
+        .withColumn("cumulative_value", F.round(F.sum("sum_value").over(w), 4))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "date_histogram_derivative",
+    """
+    WITH b AS (
+        SELECT date_trunc('day', ts) AS bucket,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT bucket, cnt, sum_value,
+           round(sum_value - lag(sum_value) OVER (ORDER BY bucket), 4)
+               AS derivative_value
+    FROM b ORDER BY bucket
+    """,
+    "A8 + ES derivative pipeline agg (first bucket null, as ES emits)",
+)
+def date_histogram_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("bucket")
+    return (
+        _daily(spark, sf_dir)
+        .withColumn(
+            "derivative_value",
+            F.round(F.col("sum_value") - F.lag("sum_value").over(w), 4),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "date_histogram_moving_avg",
+    """
+    WITH b AS (
+        SELECT date_trunc('day', ts) AS bucket,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT bucket, cnt, sum_value,
+           round(avg(sum_value) OVER (ORDER BY bucket
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg_value
+    FROM b ORDER BY bucket
+    """,
+    "A8 + ES moving_fn(unweightedAvg, window=3) pipeline agg",
+)
+def date_histogram_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("bucket").rowsBetween(-2, 0)
+    return (
+        _daily(spark, sf_dir)
+        .withColumn(
+            "moving_avg_value", F.round(F.avg("sum_value").over(w), 4)
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+    """,
+    "sessionization: gap-based session windows per account "
+    "(session_window; oracle = gaps-and-islands). New session iff "
+    "inter-event gap >= 30 min — exactly session_window's merge rule",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session analytics over the action stream: one shuffle on
+    user_id; ``session_window`` merges overlapping [ts, ts+gap)
+    intervals per key — the same operator run under a watermark in
+    Structured Streaming gives live session tracking (see
+    ``streaming/ingest.py`` for the watermarking pattern)."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -487,3 +487,74 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(1000)
     )
+
+
+@register(
+    "doc_dsir_weight",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), src AS (
+        SELECT word, count(*) AS c FROM w GROUP BY word
+    ), tgt AS (
+        SELECT word, count(*) AS c FROM w JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY word
+    ), tot AS (
+        SELECT (SELECT sum(c) FROM src) AS sn,
+               (SELECT sum(c) FROM tgt) AS tn,
+               (SELECT count(*) FROM src) AS v
+    )
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(ln((coalesce(tgt.c, 0) + 1.0) / (tot.tn + tot.v))
+                   - ln((src.c + 1.0) / (tot.sn + tot.v))), 4)
+               AS dsir_logweight
+    FROM w JOIN src USING (word) LEFT JOIN tgt USING (word) CROSS JOIN tot
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+    "text-analysis: DSIR-style importance weight — per-doc mean "
+    "log-ratio of target-domain vs source unigram likelihood "
+    "(Xie et al. 2023, Data Selection via Importance Resampling; "
+    "add-1 smoothed), target = the lang='en' slice",
+)
+def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling weights for data selection: documents
+    whose word distribution looks like the target domain score high;
+    resampling by these weights (e.g. ``hash_sample`` gated on a
+    weight threshold) yields the DSIR-selected corpus.
+
+    Scale: same shape as ``doc_unigram_logprob`` — one explode feeds
+    the (combiner-heavy) source and target count builds; the smoothed
+    log-ratio vocabulary is orders smaller than the corpus and
+    broadcasts, so the scoring pass is map-side; wide exchanges touch
+    only (word, count) and (doc_id, partial-avg) rows.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    src = w.groupBy("word").agg(F.count(F.lit(1)).alias("sc"))
+    tgt = (
+        docs.where(F.col("lang") == "en")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    vocab = (
+        src.join(tgt, "word", "left")
+        .select("word", "sc", F.coalesce("tc", F.lit(0)).alias("tc"))
+    )
+    tot = vocab.agg(
+        F.sum("sc").alias("sn"), F.sum("tc").alias("tn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = F.log((F.col("tc") + F.lit(1.0)) / (F.col("tn") + F.col("v"))) - F.log(
+        (F.col("sc") + F.lit(1.0)) / (F.col("sn") + F.col("v"))
+    )
+    return (
+        w.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(lr), 4).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )

@@ -116,6 +116,137 @@ def collapse_exact(
     return reps, mapping
 
 
+def hashed_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    repartition: bool = False,
+) -> DataFrame:
+    """(id, __h) — the doc's distinct shingles as 64-bit hashes, the
+    input to both signature construction and exact-Jaccard
+    verification. The post-hash repartition materializes __h so
+    projection collapse can't re-inline the shingle pipeline into
+    every downstream permutation expression, and ReuseExchange lets
+    all consumers share one computation. ``repartition=True`` adds a
+    PRE-exchange for inputs whose partitioning comes straight from
+    file layout (a single parquet file would serialize the interpreted
+    shingle pass onto one task)."""
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    src = df.select(F.col(id_col), F.col(text_col))
+    if repartition:
+        src = src.repartition(npart, F.col(id_col))
+    return (
+        with_shingles(src, text_col, shingle_n)
+        .select(
+            F.col(id_col),
+            F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
+        )
+        .repartition(npart, F.col(id_col))
+    )
+
+
+def minhash_bands(
+    hashed: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 48,
+    bands: int = 24,
+) -> DataFrame:
+    """(id, band_id, band_val) LSH banding rows from hashed shingles —
+    the frame a production pipeline PERSISTS as its dedup index
+    (partitioned/bucketed by band_val so later batches prune).
+    Banding is on slim rows only — 20 bytes/row through the explode
+    and the bucket-join shuffle; shingle arrays never ride the LSH
+    exchange (they'd multiply shuffle volume x bands at 100 TB)."""
+    rows = num_hashes // bands
+    return hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                _permuted_min(F.col("__h"), b * rows + r)
+                                for r in range(rows)
+                            ]
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+
+
+def incremental_pairs(
+    index_bands: DataFrame,
+    index_hashes: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Per-batch near-dup detection against a persisted LSH index —
+    the shape a 100-TB ingest pipeline actually runs: history is never
+    re-signed; each arriving batch computes signatures for ITS docs
+    only, probes the stored band index, and appends its own rows to
+    the index afterward.
+
+    Inputs: ``index_bands``/``index_hashes`` = the stored outputs of
+    ``minhash_bands``/``hashed_shingles`` over all previously ingested
+    docs; ``new_docs`` = the arriving batch. Output: every pair
+    (id_a < id_b, exact Jaccard >= threshold) with at least one side
+    in the batch — history-history pairs were emitted by earlier
+    batches, so the union of per-batch outputs over any ingest order
+    equals the full-corpus ``minhash_lsh_pairs`` restricted the same
+    way (proven by ``tests/test_incremental_dedup.py``).
+
+    Scale: the candidate join keys on (band_id, band_val) — with the
+    index bucketed by band_val the probe prunes to matching buckets;
+    batch-sized frames broadcast when small. Verification fetches
+    hashed-shingle sets by id from the union store, exactly as the
+    batch operator does."""
+    new_hashed = hashed_shingles(
+        new_docs, text_col, id_col, shingle_n=shingle_n, repartition=True
+    )
+    new_bands = minhash_bands(
+        new_hashed, id_col, num_hashes=num_hashes, bands=bands
+    )
+    all_bands = index_bands.unionByName(new_bands)
+    n, o = new_bands.alias("n"), all_bands.alias("o")
+    cand = (
+        n.join(
+            o,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val"))
+            & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    all_hashes = index_hashes.unionByName(new_hashed)
+    ha = all_hashes.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
+    hb = all_hashes.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", F.round(_jaccard(F.col("h_a"), F.col("h_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -160,7 +291,6 @@ def minhash_lsh_pairs(
     This is the standard production ordering — exact dedup before
     near-dup — applied inside the operator so callers keep one API.
     """
-    rows = num_hashes // bands
     # Exchange discipline: the collapse_exact fp exchange distributes
     # the corpus; the repartition AFTER hashing materializes __h so
     # projection collapse doesn't re-inline the whole shingle pipeline
@@ -170,37 +300,9 @@ def minhash_lsh_pairs(
     # count: AQE coalesces a count-less repartition(col) down to one
     # partition when the shuffle is small, which would re-serialize
     # the compute-bound pass.
-    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     reps, mapping = collapse_exact(df, text_col, id_col)
-    hashed = (
-        with_shingles(reps, text_col, shingle_n)
-        .select(
-            F.col(id_col),
-            F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
-        )
-        .repartition(npart, F.col(id_col))
-    )
-
-    # Banding on slim rows only — (id, band_id, band_hash), 20 bytes/row
-    # through the explode and the bucket-join shuffle; shingle arrays
-    # never ride the LSH exchange (they'd multiply shuffle volume x
-    # bands at 100 TB).
-    banded = hashed.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[_permuted_min(F.col("__h"), b * rows + r) for r in range(rows)]
-                        ).alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_val")
+    hashed = hashed_shingles(reps, text_col, id_col, shingle_n=shingle_n)
+    banded = minhash_bands(hashed, id_col, num_hashes=num_hashes, bands=bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
