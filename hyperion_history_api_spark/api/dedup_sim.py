@@ -743,3 +743,68 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
         "probe_id", "vec_id", "cosine"
     )
+
+
+@register(
+    "embedding_semdedup",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    )
+    SELECT e.vec_id, e.label,
+           CAST(e.vec_id NOT IN (SELECT vec_id FROM dropped) AS INT) AS is_kept
+    FROM e ORDER BY e.vec_id
+    """,
+    "dedup: SemDeDup — semantic dedup inside embedding clusters "
+    "(Abbas et al. 2023): drop a vector when a smaller-id cell-mate "
+    "sits above the cosine threshold",
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings (here the stored cell column; at
+    scale the ivf_centroids k-means assignment), then drop items that
+    are semantically redundant WITHIN their cluster. Rule (applied
+    identically in the oracle): drop x iff some same-cell y with
+    y.vec_id < x.vec_id has cosine(x, y) >= t — the deterministic
+    min-id-keeper form of the paper's greedy.
+
+    Scale shape: the pairwise leg is an equi-join on the CELL key, so
+    the quadratic is bounded by cell size (that bound is the entire
+    point of clustering first — same contract as the SimHash bucket
+    join; oversized cells get split by the same salting scheme). The
+    fixture's embeddings carry no planted high-cosine twins, so the
+    gate runs at t=0.3 (production uses ~0.95); t is a parameter.
+    """
+    from ..operators.similarity import cosine
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= 0.3)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("__drop").isNull(), 1).otherwise(0).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )

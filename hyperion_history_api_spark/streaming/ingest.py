@@ -134,6 +134,40 @@ def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataF
     )
 
 
+def session_rollup(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation per account — live session
+    tracking over the action stream (batch twin: the ``user_sessions``
+    registered query). ``session_window`` merges overlapping
+    [ts, ts+gap) intervals per key; in streaming the watermark bounds
+    session state and finalized sessions emit in append mode once the
+    watermark passes their close time. One shuffle on the user key;
+    state per open session only."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(user_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def backfill_write(decoded: DataFrame, log_path: str) -> None:
     """The backfill write path alone: hash-repartition on the block
     partition key -> per-partition sort -> partitioned write.

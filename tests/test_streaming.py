@@ -414,3 +414,60 @@ def test_compact_log_preserves_rows_and_cuts_files(spark, tmp_path):
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
     assert _nfiles(log) <= n_before
     assert not [d for d in _os.listdir(log) if d.startswith("ingest_batch=")]
+
+
+def test_session_rollup_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window (watermark-bounded state) finalizes the
+    same sessions the batch twin computes; a far-future flush event
+    advances the watermark so every real session closes."""
+    from hyperion_history_api_spark.streaming.ingest import session_rollup
+
+    rows = [
+        # user 1: two sessions (gap > 30 min between :00-:10 and :50)
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),
+        (1, "2024-01-01 10:50:00", 4.0),
+        # user 2: one session spanning both micro-batches
+        (2, "2024-01-01 10:05:00", 8.0),
+        (2, "2024-01-01 10:25:00", 16.0),
+    ]
+    flush = [(99, "2024-01-03 00:00:00", 0.0)]
+    schema = "user_id long, ts_s string, value double"
+    mk = lambda r: (  # noqa: E731
+        spark.createDataFrame(r, schema)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    feed = str(tmp_path / "sess_feed")
+    mk(rows[:3]).coalesce(1).write.mode("append").parquet(feed)
+    mk(rows[3:]).coalesce(1).write.mode("append").parquet(feed)
+    mk(flush).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        session_rollup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("session_rollup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "select * from session_rollup_t where user_id != 99"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in session_rollup(mk(rows)).collect()
+    }
+    assert got == want
+    assert {u for u, *_ in got} == {1, 2}
+    assert len(got) == 3  # user 1 splits on the 40-min gap; user 2 merges
