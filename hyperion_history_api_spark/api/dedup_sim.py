@@ -808,3 +808,64 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "doc_search_tfidf",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), n AS (
+        SELECT count(*) AS total FROM documents
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM w
+        WHERE word IN ('merge', 'window', 'customer') GROUP BY word
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM w
+        WHERE word IN ('merge', 'window', 'customer') GROUP BY doc_id, word
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(tf.tf * ln(n.total * 1.0 / df.df)), 4) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "search: TF-IDF relevance-ranked multi-term search, top-20 — the "
+    "scored-query semantics the reference's ES backend offers beyond "
+    "boolean filters",
+)
+def doc_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-scored search over the corpus: score(doc) = sum over
+    query terms of tf(term, doc) * ln(N / df(term)).
+
+    Scale: the corpus-side scan filters to query terms BEFORE any
+    exchange (a handful of tokens per doc survive), df is a tiny
+    per-term aggregate joined broadcast, and the final top-k is a
+    TakeOrdered — no corpus-sized shuffle anywhere.
+    """
+    terms = ["merge", "window", "customer"]
+    docs = _t(spark, sf_dir)["documents"]
+    n_total = docs.agg(F.count(F.lit(1)).alias("total"))
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word").isin(terms))
+    df_t = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("total").cast("double") / F.col("df"))
+                ),
+                4,
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
