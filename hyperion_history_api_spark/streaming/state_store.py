@@ -201,6 +201,32 @@ class ParquetStateStore:
             return None
         return self.spark.read.parquet(os.path.join(self.path, m["snapshot"]))
 
+    def versions(self) -> list[int]:
+        """Committed versions still resolvable (retained window, oldest
+        first, current last)."""
+        m = self.read_manifest()
+        if m is None:
+            return []
+        return [int(h[1:9]) for h in m.get("history", [])] + [m["version"]]
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel within the retained window: read the snapshot a
+        past commit published. Versioned snapshots are exactly what the
+        manifest GC keeps for in-flight readers, so any version in
+        ``versions()`` resolves; older ones were collected and raise.
+        (Same contract as Delta/Iceberg ``VERSION AS OF`` bounded by
+        the retention window.)"""
+        m = self.read_manifest()
+        if m is not None:
+            if version == m["version"]:
+                return self.current()
+            for h in m.get("history", []):
+                if int(h[1:9]) == version:
+                    return self.spark.read.parquet(os.path.join(self.path, h))
+        raise ValueError(
+            f"version {version} not in retained window {self.versions()}"
+        )
+
     # -- commit protocol ----------------------------------------------
 
     def _commit(self, df: DataFrame) -> None:

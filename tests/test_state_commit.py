@@ -96,3 +96,26 @@ def test_manifest_versions_monotonic(spark, tmp_path):
         st.apply_batch(_upd(spark, [(1, i, f"v{i}")]))
         versions.append(st.read_manifest()["version"])
     assert versions == [1, 2, 3]
+
+
+def test_time_travel_within_retained_window(spark, tmp_path):
+    """read_version resolves any retained commit (Delta-style
+    VERSION AS OF bounded by the retention window); GC'd versions
+    raise instead of silently serving the wrong snapshot."""
+    import pytest
+
+    st = _store(spark, tmp_path, keep_versions=3)
+    st.apply_batch(_upd(spark, [(1, 10, "a")]))
+    st.apply_batch(_upd(spark, [(2, 20, "b")]))
+    st.apply_batch(_upd(spark, [(1, 30, "a3")]))
+    assert st.versions() == [1, 2, 3]
+    v1 = {(r.key, r.val) for r in st.read_version(1).collect()}
+    v2 = {(r.key, r.val) for r in st.read_version(2).collect()}
+    v3 = {(r.key, r.val) for r in st.read_version(3).collect()}
+    assert v1 == {(1, "a")}
+    assert v2 == {(1, "a"), (2, "b")}
+    assert v3 == {(1, "a3"), (2, "b")}
+    st.apply_batch(_upd(spark, [(3, 40, "c")]))  # v4 => v1 GC'd
+    assert st.versions() == [2, 3, 4]
+    with pytest.raises(ValueError, match="not in retained window"):
+        st.read_version(1)
