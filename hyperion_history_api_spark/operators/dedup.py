@@ -159,27 +159,28 @@ def minhash_bands(
     (partitioned/bucketed by band_val so later batches prune).
     Banding is on slim rows only — 20 bytes/row through the explode
     and the bucket-join shuffle; shingle arrays never ride the LSH
-    exchange (they'd multiply shuffle volume x bands at 100 TB)."""
+    exchange (they'd multiply shuffle volume x bands at 100 TB).
+
+    The 24-struct/48-permutation expression is emitted as ONE SQL
+    string (same rationale as ``simhash64_from_hashes``): building it
+    from nested Column objects costs hundreds of py4j round-trips —
+    measured ~1.2s of driver time per query construction — while one
+    ``inline(array(...))`` parse is milliseconds."""
     rows = num_hashes // bands
-    return hashed.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                _permuted_min(F.col("__h"), b * rows + r)
-                                for r in range(rows)
-                            ]
-                        ).alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_val")
+
+    def pm(i: int) -> str:
+        return (
+            f"array_min(transform(__h, h -> "
+            f"xxhash64(CAST({i} AS BIGINT), h)))"
+        )
+
+    structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"xxhash64({', '.join(pm(b * rows + r) for r in range(rows))})"
+        f" AS band_val)"
+        for b in range(bands)
+    )
+    return hashed.selectExpr(id_col, f"inline(array({structs}))")
 
 
 def incremental_pairs(
