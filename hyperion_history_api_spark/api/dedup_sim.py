@@ -79,6 +79,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup: per-batch incremental near-dup against a persisted LSH "
     "band index (history never re-signed; batch = doc_id%10==0 here; "
     "oracle = brute-force pairs touching the batch)",
+    headline=True,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Models one ingest micro-batch: docs with doc_id%10==0 arrive
@@ -764,6 +765,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup: SemDeDup — semantic dedup inside embedding clusters "
     "(Abbas et al. 2023): drop a vector when a smaller-id cell-mate "
     "sits above the cosine threshold",
+    headline=True,
 )
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (here the stored cell column; at
@@ -835,6 +837,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search: TF-IDF relevance-ranked multi-term search, top-20 — the "
     "scored-query semantics the reference's ES backend offers beyond "
     "boolean filters",
+    headline=True,
 )
 def doc_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-scored search over the corpus: score(doc) = sum over

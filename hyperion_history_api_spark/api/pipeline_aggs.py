@@ -54,6 +54,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "A8 + ES cumulative_sum pipeline agg over the date_histogram "
     "bucket series (public ES pipeline-aggregation semantics)",
+    headline=True,
 )
 def date_histogram_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
@@ -143,6 +144,7 @@ def date_histogram_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization: gap-based session windows per account "
     "(session_window; oracle = gaps-and-islands). New session iff "
     "inter-event gap >= 30 min — exactly session_window's merge rule",
+    headline=True,
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session analytics over the action stream: one shuffle on

@@ -515,6 +515,7 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "log-ratio of target-domain vs source unigram likelihood "
     "(Xie et al. 2023, Data Selection via Importance Resampling; "
     "add-1 smoothed), target = the lang='en' slice",
+    headline=True,
 )
 def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance resampling weights for data selection: documents

@@ -234,3 +234,33 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_by_user_a")
         spark.sql("DROP TABLE IF EXISTS ev_by_user_b")
+
+
+def test_user_sessions_single_key_shuffle(spark):
+    """Sessionization compiles to partial agg + MergingSessions over
+    ONE hash exchange on the session key; ts null-filter is pushed to
+    the scan. (The trailing range exchange is the presentation sort.)"""
+    plan = _plan(_q("user_sessions", spark))
+    assert "MergingSessions" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+
+def test_tfidf_topk_and_broadcast(spark):
+    """TF-IDF search: df joins broadcast, corpus-side term filter runs
+    before any exchange, and the final top-20 is a TakeOrdered merge,
+    not a global sort."""
+    plan = _plan(_q("doc_search_tfidf", spark))
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "BroadcastHashJoin" in plan
+    assert " IN (merge,window,customer)" in plan
+    # the only single-partition funnel is the 1-row corpus-count scalar
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_semdedup_no_cartesian(spark):
+    """SemDeDup's pairwise leg is an equi-join on the cell key — never
+    a cartesian product over the corpus."""
+    plan = _plan(_q("embedding_semdedup", spark))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
