@@ -187,14 +187,55 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(tr, ev, "text", "doc_id").orderBy("doc_id")
 
 
+# Per-bit vote expressions for the DuckDB SimHash twin — generated,
+# not hand-written: bit b of the signature is set iff the sum over
+# (distinct) token hashes of (+1 if bit set else -1) is positive.
+# Bits 60-63 of the 60-bit md5-derived hash are always 0 (every token
+# votes -1), so the upper signature bits are 0 in both engines.
+_SIMHASH_SIG_SQL = " + ".join(
+    f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+    for b in range(60)
+)
+
+
 @register(
     "dedup_simhash",
-    None,  # xxhash64 signatures not reproducible in DuckDB; exact twins above bound it
-    "dedup: SimHash hamming<=3 pairs (banded pigeonhole join)",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
+        FROM documents
+    ), tok AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM w, unnest(ts) AS u(t)
+    ), sig AS (
+        SELECT doc_id, {_SIMHASH_SIG_SQL} AS sim FROM tok GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    "dedup: SimHash hamming<=3 pairs (banded pigeonhole join). "
+    "Round-3 fidelity upgrade: the token hash is a 60-bit md5-derived "
+    "value both engines compute bit-identically, so this is now a "
+    "FULL hash-matched oracle (was rows-only under xxhash64); oracle "
+    "= brute-force all-pairs popcount over the same signatures",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded pigeonhole join + salting = the scale path; the
+    md5-derived hash (``md5_token_hash``) trades per-token hash cost
+    for full oracle reproducibility — the default ``hash_fn``
+    (xxhash64) remains the production choice."""
+    from ..operators.dedup import md5_token_hash
+
     docs = _t(spark, sf_dir)["documents"]
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, hash_fn=md5_token_hash
+    ).orderBy("id_a", "id_b")
 
 
 def _corpus_probes(spark: SparkSession, sf_dir: str, with_label: bool = False):

@@ -431,21 +431,33 @@ def simhash64_from_hashes(hashes_col: str) -> Column:
     return F.expr(" + ".join(["cast(0 as bigint)"] + bits))
 
 
+def md5_token_hash(t: Column) -> Column:
+    """60-bit token hash derived from md5 hex — bit-reproducible in
+    DuckDB (``CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)``), so
+    SimHash built on it gets a full hash-matched oracle. Slower than
+    xxhash64 (md5 + string slice per token); the default scale path
+    keeps xxhash64."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def simhash_chunks(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, *, hash_fn=None
 ) -> DataFrame:
     """(id, sim, chunk_id, chunk_val) rows: 64-bit SimHash split into
-    4 x 16-bit pigeonhole chunks."""
+    4 x 16-bit pigeonhole chunks. ``hash_fn`` maps a token Column to a
+    64-bit hash Column (default xxhash64; pass ``md5_token_hash`` for
+    the oracle-reproducible variant)."""
     # Same two-exchange shape as minhash_lsh_pairs: distribute the raw
     # text regardless of file layout, then materialize token hashes so
     # the 64 interpreted bit-vote aggregates read an array instead of
     # re-running tokenize+hash per bit.
+    hf = hash_fn or F.xxhash64
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     raw = df.select(F.col(id_col), F.col(text_col)).repartition(npart, F.col(id_col))
     hashed = raw.select(
         F.col(id_col),
         F.transform(
-            F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)
+            F.array_distinct(tokens(F.col(text_col))), lambda t: hf(t)
         ).alias("__th"),
     ).repartition(npart, F.col(id_col))
     sig = hashed.select(
@@ -493,6 +505,7 @@ def simhash_pairs(
     *,
     max_hamming: int = 6,
     max_bucket: int = 2000,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= k.
 
@@ -514,7 +527,9 @@ def simhash_pairs(
     Cold buckets have g=1 and pay nothing but two constant key ints.
     """
     chunks = salted_chunks(
-        simhash_chunks(df, text_col, id_col), id_col, max_bucket=max_bucket
+        simhash_chunks(df, text_col, id_col, hash_fn=hash_fn),
+        id_col,
+        max_bucket=max_bucket,
     )
     a = chunks.select(
         F.col(id_col),
