@@ -358,11 +358,61 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle_sql(dims: int = 64, planes: int = 4, bands: int = 32) -> str:
+    """DuckDB twin of lsh_topk — round-3 fidelity upgrade from
+    rows-only to hash-matched: the +/-1 hyperplane weights are
+    driver-side constants (md5-derived, operators/similarity.py
+    _plane_weights), so the oracle embeds them as literal arrays and
+    reproduces the EXACT candidate set + top-k, not just the row
+    count. Generated SQL: one sig select per band, unioned."""
+    from ..operators.similarity import _plane_weights
+
+    band_selects = []
+    for band in range(bands):
+        weights = _plane_weights(dims, planes, band)
+        sig = " + ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(f"{w:.1f}" for w in weights[p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(planes)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {band} AS band_id, {sig} AS sig FROM e"
+        )
+    sigs = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS ({sigs}),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+        FROM sig p JOIN sig c ON p.band_id = c.band_id AND p.sig = c.sig
+        WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ), scored AS (
+        SELECT cand.probe_id, cand.vec_id,
+               round(list_dot_product(pe.v, ce.v) /
+                     (sqrt(list_dot_product(pe.v, pe.v)) *
+                      sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
+        FROM cand
+        JOIN e pe ON pe.vec_id = cand.probe_id
+        JOIN e ce ON ce.vec_id = cand.vec_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """
+
+
 @register(
     "embedding_lsh_topk",
-    None,  # approximate candidate set; embedding_lsh_recall is the gate
+    _lsh_oracle_sql(),
     "similarity: multi-band random-hyperplane LSH top-k (scale path; "
-    "planes=4 x bands=32, recall gated by embedding_lsh_recall)",
+    "planes=4 x bands=32; oracle reproduces the exact candidate set "
+    "from the embedded plane constants — hash-matched, with "
+    "embedding_lsh_recall still gating recall vs brute force)",
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, probes = _corpus_probes(spark, sf_dir)
