@@ -134,6 +134,41 @@ def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataF
     )
 
 
+def enrich_with_blocks(
+    actions: DataFrame,
+    blocks: DataFrame,
+    *,
+    ts_col: str = "ts",
+    block_ts_col: str = "block_ts",
+    key: str = "block_num",
+    watermark: str = "10 minutes",
+    slack: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream enrichment join: action rows pick up their block's
+    header columns (the at-ingest trace<->block enrichment the
+    reference's indexer performs while both feeds are live,
+    deserializer.ts processBlock).
+
+    Structured-Streaming state hygiene: BOTH sides carry a watermark
+    and the join adds an event-time range constraint (an action's ts
+    sits within ``slack`` of its block's ts — true by construction,
+    block cadence ~0.5s), so Spark can GC join state for blocks older
+    than watermark+slack instead of buffering both streams forever.
+    Falls back to a plain equi-join in batch mode."""
+    streaming = actions.isStreaming or blocks.isStreaming
+    a = actions.withWatermark(ts_col, watermark) if actions.isStreaming else actions
+    b = blocks.withWatermark(block_ts_col, watermark) if blocks.isStreaming else blocks
+    bb = b.withColumnRenamed(key, "__bk")
+    cond = F.col(key) == F.col("__bk")
+    if streaming:
+        cond = (
+            cond
+            & (F.col(ts_col) >= F.col(block_ts_col) - F.expr(f"INTERVAL {slack}"))
+            & (F.col(ts_col) <= F.col(block_ts_col) + F.expr(f"INTERVAL {slack}"))
+        )
+    return a.join(bb, cond).drop("__bk")
+
+
 def session_rollup(
     events: DataFrame,
     *,

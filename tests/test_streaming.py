@@ -471,3 +471,58 @@ def test_session_rollup_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert {u for u, *_ in got} == {1, 2}
     assert len(got) == 3  # user 1 splits on the 40-min gap; user 2 merges
+
+
+def test_enrich_with_blocks_stream_stream_join(spark, tmp_path):
+    """Stream-stream trace<->block enrichment: watermarks on both
+    sides + an event-time range constraint (state is GC-able), output
+    equals the batch equi-join."""
+    from hyperion_history_api_spark.streaming.ingest import enrich_with_blocks
+
+    acts = [
+        (100 + i, i // 2, f"2024-01-01 10:{i:02d}:00", "click") for i in range(8)
+    ]
+    blks = [(b, f"2024-01-01 10:{2 * b:02d}:00", f"prod{b % 3}") for b in range(4)]
+    a_schema = "event_id long, block_num long, ts_s string, event_type string"
+    b_schema = "block_num long, bts_s string, producer string"
+    mk_a = lambda r: (  # noqa: E731
+        spark.createDataFrame(r, a_schema)
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    )
+    mk_b = lambda r: (  # noqa: E731
+        spark.createDataFrame(r, b_schema)
+        .withColumn("block_ts", F.to_timestamp("bts_s")).drop("bts_s")
+    )
+    a_feed, b_feed = str(tmp_path / "a_feed"), str(tmp_path / "b_feed")
+    mk_a(acts[:4]).coalesce(1).write.mode("append").parquet(a_feed)
+    mk_a(acts[4:]).coalesce(1).write.mode("append").parquet(a_feed)
+    mk_b(blks).coalesce(1).write.mode("append").parquet(b_feed)
+
+    sa = (
+        spark.readStream.schema(
+            "event_id long, block_num long, event_type string, ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(a_feed)
+    )
+    sb = spark.readStream.schema(
+        "block_num long, producer string, block_ts timestamp"
+    ).parquet(b_feed)
+    q = (
+        enrich_with_blocks(sa, sb)
+        .writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ej_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["block_num"], r["producer"])
+        for r in spark.sql("select * from enrich_t").collect()
+    }
+    want = {
+        (r["event_id"], r["block_num"], r["producer"])
+        for r in enrich_with_blocks(mk_a(acts), mk_b(blks)).collect()
+    }
+    assert got == want
+    assert len(want) == 8  # every action found its block
