@@ -872,35 +872,18 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; oversized cells get split by the same salting scheme). The
     fixture's embeddings carry no planted high-cosine twins, so the
     gate runs at t=0.3 (production uses ~0.95); t is a parameter.
+
+    Perf shape (see :func:`operators.similarity.semdedup`): vectors
+    are L2-normalized ONCE before the pair join, so the per-pair
+    predicate is a single dot product.
     """
-    from ..operators.similarity import cosine
+    from ..operators.similarity import semdedup
 
     emb = _t(spark, sf_dir)["embeddings"]
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cosine(F.col("a.v"), F.col("b.v")) >= 0.3)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("__drop", F.lit(1))
-    )
-    return (
-        e.select("vec_id", "label")
-        .join(dropped, "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            F.when(F.col("__drop").isNull(), 1).otherwise(0).alias("is_kept"),
-        )
-        .orderBy("vec_id")
-    )
+    return semdedup(e, threshold=0.3).orderBy("vec_id")
 
 
 @register(

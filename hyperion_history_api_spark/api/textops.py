@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quality_model import weights_values_sql
 from ..functions.text import (
     fingerprint,
     punct_ratio,
@@ -559,3 +560,70 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_chunk_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk_text
+        FROM toks, UNNEST(range(CAST(ceil(len(t)/8.0) AS BIGINT))) AS u(i)
+    ), marked AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (
+                   PARTITION BY md5(chunk_text)
+                   ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks,
+           coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+               FILTER (WHERE rn = 1), '') AS clean_text
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "dedup: chunk-level removal with reassembly (CCNet paragraph-dedup "
+    "semantics — keep only the corpus-global first occurrence of each "
+    "repeated chunk, rewrite the document; Wenzek et al. 2020)",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import chunk_dedup
+
+    docs = _t(spark, sf_dir)["documents"]
+    return chunk_dedup(docs, chunk=8).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_classifier",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               sum(coalesce(w.wt, 0.0)) AS s
+        FROM toks t LEFT JOIN __QC_WEIGHTS__ ON t.tok = w.tok
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-(-0.25 + s / n_tokens
+               + 0.08 * ln(1.0 + n_tokens)))), 4) AS score,
+           CAST(round(1.0 / (1.0 + exp(-(-0.25 + s / n_tokens
+               + 0.08 * ln(1.0 + n_tokens)))), 4) >= 0.5 AS INT) AS label
+    FROM scored ORDER BY doc_id
+    """.replace("__QC_WEIGHTS__", weights_values_sql()),
+    "text-analysis: fastText-style supervised linear quality "
+    "classifier (CCNet/LLaMA recipe) — offline-trained weights "
+    "shipped as a broadcast table, sigmoid scoring in-plan",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality_model import quality_classify
+
+    docs = _t(spark, sf_dir)["documents"]
+    return quality_classify(spark, docs).orderBy("doc_id")

@@ -17,7 +17,7 @@ Scale shape (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized, tokens, word_shingles
@@ -631,5 +631,76 @@ def duplicate_spans(
         .withColumn(
             "dup_ratio",
             F.round(F.col("dup_spans") / F.col("n_spans"), 4),
+        )
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    *,
+    chunk: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level dedup with text REASSEMBLY — the removal step that
+    :func:`duplicate_spans` only detects. This is the CCNet
+    paragraph-dedup semantics (Wenzek et al. 2020: drop every repeated
+    paragraph except its first occurrence corpus-wide), mapped onto
+    whitespace corpora as fixed ``chunk``-token non-overlapping chunks.
+
+    Spark-first construction:
+
+    1. one narrow projection tokenizes and explodes each doc into
+       (chunk_idx, chunk_text) rows — JVM codegen, no Python;
+    2. ONE hash shuffle on ``md5(chunk_text)`` ranks occurrences
+       (``row_number`` over the hash partition, ordered by
+       (doc_id, chunk_idx) — the deterministic corpus-global "first");
+    3. ONE shuffle back on doc_id reassembles the surviving chunks in
+       order via ``array_sort(collect_list(struct))`` + ``concat_ws``
+       (nulls from dropped chunks are skipped by ``collect_list``).
+
+    Output per doc: ``n_chunks``, ``kept_chunks``, ``clean_text`` (the
+    rewritten document). Cost is O(total tokens) with 16-byte shuffle
+    keys for the ranking leg; at 100 TB both shuffles are plain hash
+    exchanges — never quadratic, no skew (md5 uniformity). A doc whose
+    every chunk is seen earlier collapses to ``clean_text = ''`` — the
+    fully-duplicated-document case exact dedup would drop.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(chunk)).cast("int")
+    chunks = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+        F.col("t"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("t"), F.col("chunk_idx") * chunk + F.lit(1), F.lit(chunk)),
+        ).alias("chunk_text"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        F.col(id_col), F.col("chunk_idx")
+    )
+    marked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(
+        F.col("rn") == 1, F.struct(F.col("chunk_idx"), F.col("chunk_text"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("kept_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda x: x["chunk_text"],
+                ),
+            ).alias("clean_text"),
         )
     )

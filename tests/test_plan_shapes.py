@@ -259,8 +259,11 @@ def test_tfidf_topk_and_broadcast(spark):
 
 
 def test_semdedup_no_cartesian(spark):
-    """SemDeDup's pairwise leg is an equi-join on the cell key — never
-    a cartesian product over the corpus."""
+    """SemDeDup's pairwise leg is ONE hash exchange on the cell key
+    feeding a per-cell Arrow GEMM — no pair rows materialized: never a
+    cartesian product, never even a join."""
     plan = _plan(_q("embedding_semdedup", spark))
     assert "CartesianProduct" not in plan
-    assert "Join" in plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
