@@ -473,11 +473,57 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
 
 @register(
     "doc_bpe_token_stats",
-    None,  # iterative data-dependent merging: no SQL form; rows-only gate
+    # The iterative merge loop has no SQL form, but the TRAINED result
+    # does: training is deterministic (order-independent counts,
+    # lexicographic tie-break), so the oracle embeds the word ->
+    # token-list mapping the sf0.01-trained merges produce — the same
+    # shipped-model pattern as the LSH plane constants and the quality
+    # classifier weights. Regenerate with scripts/gen_bpe_oracle.py.
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+    ), flat AS (
+        SELECT w.doc_id, w.word, unnest(v.toks) AS tok
+        FROM w JOIN __BPE_VOCAB__ USING (word)
+    ), per AS (
+        SELECT doc_id, count(*) AS ws_tokens, sum(length(word)) AS chars
+        FROM w GROUP BY doc_id
+    ), bp AS (
+        SELECT doc_id, count(*) AS bpe_tokens,
+               count(DISTINCT tok) AS distinct_tokens
+        FROM flat GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(bp.bpe_tokens AS INT) AS bpe_tokens,
+           CAST(bp.distinct_tokens AS INT) AS distinct_tokens,
+           CAST(p.ws_tokens AS INT) AS ws_tokens,
+           round(p.chars * 1.0 / bp.bpe_tokens, 4) AS compression
+    FROM per p JOIN bp USING (doc_id)
+    ORDER BY p.doc_id LIMIT 1000
+    """.replace(
+        "__BPE_VOCAB__",
+        "(VALUES ('a', ['a</w>']), ('agg', ['agg</w>']), "
+        "('batch', ['batch</w>']), ('big', ['big</w>']), "
+        "('column', ['column</w>']), ('customer', ['customer</w>']), "
+        "('data', ['data</w>']), ('dup', ['dup</w>']), "
+        "('fast', ['fast</w>']), ('filter', ['filter</w>']), "
+        "('group', ['group</w>']), ('hash', ['hash</w>']), "
+        "('join', ['join</w>']), ('key', ['key</w>']), "
+        "('line', ['line</w>']), ('merge', ['merge</w>']), "
+        "('order', ['order</w>']), ('part', ['part</w>']), "
+        "('query', ['query</w>']), ('row', ['row</w>']), "
+        "('scan', ['scan</w>']), ('slow', ['slow</w>']), "
+        "('small', ['small</w>']), ('sort', ['sort</w>']), "
+        "('spark', ['spark</w>']), ('stream', ['stream</w>']), "
+        "('table', ['table</w>']), ('the', ['the</w>']), "
+        "('value', ['value</w>']), ('vector', ['vector</w>']), "
+        "('window', ['window</w>'])) AS v(word, toks)",
+    ),
     "text-analysis: REAL merge-table BPE tokenization (Sennrich 2016) "
     "— offline-trained merges, Arrow-batched mapInPandas encode with "
     "per-batch word caching; unit-pinned to a pure-Python reference "
-    "encoder",
+    "encoder; oracle embeds the trained word->tokens artifact",
 )
 def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.bpe import bpe_token_stats
@@ -485,6 +531,7 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir)["documents"]
     return (
         bpe_token_stats(docs, _bpe_merges(spark, sf_dir))
+        .withColumn("compression", F.round("compression", 4))
         .orderBy("doc_id")
         .limit(1000)
     )

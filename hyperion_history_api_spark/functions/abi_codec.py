@@ -159,3 +159,8 @@ def decode_fields(spec: list[tuple[str, str]], blob: bytes) -> dict:
     if not rd.done():
         raise AbiDecodeError("trailing bytes")
     return out
+
+
+from ..udf_compat import pickle_by_value as _pbv  # noqa: E402
+
+_pbv(__name__)

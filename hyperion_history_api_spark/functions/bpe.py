@@ -151,7 +151,10 @@ def bpe_token_stats(
                 n_bpe.append(len(toks))
                 n_dist.append(len(set(toks)))
                 n_ws.append(len(words))
-                comp.append(round(chars / len(toks), 4) if toks else 0.0)
+                # raw ratio; the caller rounds with F.round so the
+                # rounding rule (HALF_UP) matches the DuckDB oracle —
+                # Python's round() is banker's and can differ at .xxxx5
+                comp.append(chars / len(toks) if toks else 0.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -165,3 +168,8 @@ def bpe_token_stats(
     return docs.select(id_col, text_col).mapInPandas(
         encode_batches, schema=BPE_STATS_SCHEMA
     )
+
+
+from ..udf_compat import pickle_by_value as _pbv  # noqa: E402
+
+_pbv(__name__)

@@ -320,3 +320,8 @@ def apply_blacklist(df: DataFrame, windows: DataFrame) -> DataFrame:
         & ((w["__bl_until"] == 0) | (df["block_num"] < w["__bl_until"]))
     )
     return df.join(F.broadcast(w), on=cond, how="left_anti")
+
+
+from ..udf_compat import pickle_by_value as _pbv  # noqa: E402
+
+_pbv(__name__)

@@ -667,3 +667,8 @@ def semdedup(
     return emb.select(id_col, cell_col, vec_col).groupBy(cell_col).applyInPandas(
         sweep, schema=out_schema
     )
+
+
+from ..udf_compat import pickle_by_value as _pbv  # noqa: E402
+
+_pbv(__name__)

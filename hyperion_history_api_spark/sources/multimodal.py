@@ -180,3 +180,8 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+from ..udf_compat import pickle_by_value as _pbv  # noqa: E402
+
+_pbv(__name__)
