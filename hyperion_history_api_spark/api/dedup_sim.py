@@ -11,9 +11,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import lang_scores
 from ..operators.dedup import (
-    hashed_shingles,
+    build_dedup_index,
     incremental_pairs,
-    minhash_bands,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -83,15 +82,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Models one ingest micro-batch: docs with doc_id%10==0 arrive
-    against an index built from the rest. ``incremental_pairs``
-    signature-hashes only the batch and probes the stored bands."""
+    against an index built from the rest. The index is collapsed to
+    exact-duplicate representatives, so batch docs whose text is
+    already registered skip the shingle/sign passes entirely and only
+    reps ride the candidate/verify legs."""
     docs = _t(spark, sf_dir)["documents"]
     hist = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    idx_hashes = hashed_shingles(hist, "text", "doc_id", repartition=True)
-    idx_bands = minhash_bands(idx_hashes, "doc_id")
+    index = build_dedup_index(hist, "text", "doc_id")
     return incremental_pairs(
-        idx_bands, idx_hashes, batch, "text", "doc_id", threshold=0.7
+        index, batch, "text", "doc_id", threshold=0.7
     ).orderBy("id_a", "id_b")
 
 

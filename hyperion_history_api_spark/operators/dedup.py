@@ -17,6 +17,8 @@ Scale shape (the point of each design):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,6 +77,13 @@ def _permuted_min(hashed: Column, i: int) -> Column:
     )
 
 
+def _fingerprint(text: Column) -> Column:
+    """Token-sequence fingerprint: md5 over the token list. Identical
+    fingerprints imply identical shingle sets, signatures and Jaccard
+    against everything — the collapse key for exact-duplicate groups."""
+    return F.md5(F.concat_ws("\x1f", tokens(text)))
+
+
 def collapse_exact(
     df: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -101,7 +110,7 @@ def collapse_exact(
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     keyed = (
         df.select(F.col(id_col), F.col(text_col))
-        .withColumn("__fp", F.md5(F.concat_ws("\x1f", tokens(F.col(text_col)))))
+        .withColumn("__fp", _fingerprint(F.col(text_col)))
         .repartition(npart, F.col("__fp"))
     )
     groups = keyed.groupBy("__fp").agg(
@@ -183,9 +192,134 @@ def minhash_bands(
     return hashed.selectExpr(id_col, f"inline(array({structs}))")
 
 
+class DedupIndex(NamedTuple):
+    """The persisted state of an incremental near-dup pipeline, all
+    over exact-duplicate REPRESENTATIVES only (one per distinct token
+    sequence):
+
+    - ``bands``:    (id, band_id, band_val) LSH rows of the reps.
+    - ``hashes``:   (id, __h) hashed shingle sets of the reps, for
+                    exact-Jaccard verification.
+    - ``members``:  (id, __rep) every ingested doc -> its group rep.
+    - ``registry``: (__fp, __rep) one row per distinct token sequence.
+
+    Collapsing the index is what makes incremental dedup survive a
+    duplicate-heavy corpus: an arriving copy of an already-seen text
+    costs one fingerprint + one registry lookup — no shingling, no
+    signing, no band probe — and a k-copy clique stores ONE signature
+    instead of k (the uncollapsed form pays k^2/2 candidate pairs in
+    every band)."""
+
+    bands: DataFrame
+    hashes: DataFrame
+    members: DataFrame
+    registry: DataFrame
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+) -> DedupIndex:
+    """Build the stored index over already-ingested docs. ONE
+    fp-keyed exchange collapses exact duplicates: rep = min(id) over a
+    fingerprint window, members/reps/registry are all projections of
+    the same annotated frame (no collapse join), and only the reps go
+    through the interpreted shingle/signature passes.
+
+    The returned frames are consumed several times by the probe/
+    verify/expansion legs; AQE's runtime query-stage reuse dedupes the
+    repeated subtrees (localCheckpoint was measured 3x SLOWER here —
+    eager materialization serializes the build into blocking
+    single-stage jobs). In production these frames are the PERSISTED
+    index read back from storage."""
+    npart = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    annotated = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .withColumn("__fp", _fingerprint(F.col(text_col)))
+        .repartition(npart, F.col("__fp"))
+        .withColumn(
+            "__rep", F.min(id_col).over(Window.partitionBy("__fp"))
+        )
+    )
+    members = annotated.select(F.col(id_col), "__rep")
+    rep_rows = annotated.where(F.col(id_col) == F.col("__rep"))
+    reps = rep_rows.select(F.col(id_col), F.col(text_col))
+    hashed = hashed_shingles(
+        reps, text_col, id_col, shingle_n=shingle_n
+    )
+    banded = minhash_bands(
+        hashed, id_col, num_hashes=num_hashes, bands=bands
+    )
+    return DedupIndex(
+        bands=banded,
+        hashes=hashed,
+        members=members,
+        registry=rep_rows.select("__fp", "__rep"),
+    )
+
+
+def _split_batch(
+    index: DedupIndex, new_docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fingerprint the arriving batch and split it against the stored
+    registry: ``(known, new_members, new_groups)`` where ``known`` =
+    (id, __rep) batch docs whose text was seen before (join onto the
+    existing group), ``new_members``/``new_groups`` = the batch's
+    novel token sequences collapsed among themselves (rep = min batch
+    id). Only ``new_groups`` ever reaches the shingle/sign passes."""
+    npart = int(new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    fpb = (
+        new_docs.select(F.col(id_col), F.col(text_col))
+        .withColumn("__fp", _fingerprint(F.col(text_col)))
+        .repartition(npart, F.col("__fp"))
+    )
+    known = (
+        fpb.join(index.registry, "__fp")
+        .select(F.col(id_col), "__rep")
+    )
+    novel = fpb.join(index.registry, "__fp", "left_anti").withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("__fp"))
+    )
+    new_groups = novel.where(F.col(id_col) == F.col("__rep")).select(
+        "__fp", "__rep", F.col(text_col)
+    )
+    new_members = novel.select(F.col(id_col), "__rep")
+    return known, new_members, new_groups
+
+
+def extend_dedup_index(
+    index: DedupIndex,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+) -> DedupIndex:
+    """The append step after a batch's pairs are emitted: known docs
+    add membership rows only; novel texts add their rep's signature,
+    hashes, membership and registry rows."""
+    known, new_members, new_groups = _split_batch(index, new_docs, text_col, id_col)
+    new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
+    new_hashed = hashed_shingles(new_reps, text_col, id_col, shingle_n=shingle_n)
+    return DedupIndex(
+        bands=index.bands.unionByName(
+            minhash_bands(new_hashed, id_col, num_hashes=num_hashes, bands=bands)
+        ),
+        hashes=index.hashes.unionByName(new_hashed),
+        members=index.members.unionByName(known).unionByName(new_members),
+        registry=index.registry.unionByName(new_groups.select("__fp", "__rep")),
+    )
+
+
 def incremental_pairs(
-    index_bands: DataFrame,
-    index_hashes: DataFrame,
+    index: DedupIndex,
     new_docs: DataFrame,
     text_col: str,
     id_col: str,
@@ -197,32 +331,42 @@ def incremental_pairs(
 ) -> DataFrame:
     """Per-batch near-dup detection against a persisted LSH index —
     the shape a 100-TB ingest pipeline actually runs: history is never
-    re-signed; each arriving batch computes signatures for ITS docs
-    only, probes the stored band index, and appends its own rows to
-    the index afterward.
+    re-signed; each arriving batch fingerprints its docs, signs only
+    the token sequences nobody has seen before, and probes the stored
+    band index.
 
-    Inputs: ``index_bands``/``index_hashes`` = the stored outputs of
-    ``minhash_bands``/``hashed_shingles`` over all previously ingested
-    docs; ``new_docs`` = the arriving batch. Output: every pair
-    (id_a < id_b, exact Jaccard >= threshold) with at least one side
-    in the batch — history-history pairs were emitted by earlier
-    batches, so the union of per-batch outputs over any ingest order
-    equals the full-corpus ``minhash_lsh_pairs`` restricted the same
-    way (proven by ``tests/test_incremental_dedup.py``).
+    Output: every pair (id_a < id_b, exact Jaccard >= threshold) with
+    at least one side in the batch — history-history pairs were
+    emitted by earlier batches, so the union of per-batch outputs over
+    any ingest order equals the full-corpus ``minhash_lsh_pairs``
+    restricted the same way (proven by
+    ``tests/test_incremental_dedup.py``).
 
-    Scale: the candidate join keys on (band_id, band_val) — with the
-    index bucketed by band_val the probe prunes to matching buckets;
-    batch-sized frames broadcast when small. Verification fetches
-    hashed-shingle sets by id from the union store, exactly as the
-    batch operator does."""
+    Scale shape: batch docs whose fingerprint is registered skip
+    straight to expansion (no shingling/signing — on duplicate-heavy
+    feeds that is most of the batch); the band probe is (touched
+    stored reps + novel reps) against the stored index, keyed on
+    (band_id, band_val) so a band_val-bucketed index prunes to
+    matching buckets; verification fetches rep hash sets by id; the
+    quadratic expansion legs are codegen'd equi-joins on slim
+    (id, rep) rows."""
+    known, new_members, new_groups = _split_batch(index, new_docs, text_col, id_col)
+    new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
     new_hashed = hashed_shingles(
-        new_docs, text_col, id_col, shingle_n=shingle_n, repartition=True
+        new_reps, text_col, id_col, shingle_n=shingle_n, repartition=True
     )
     new_bands = minhash_bands(
         new_hashed, id_col, num_hashes=num_hashes, bands=bands
     )
-    all_bands = index_bands.unionByName(new_bands)
-    n, o = new_bands.alias("n"), all_bands.alias("o")
+    # Probe = stored bands of groups the batch touched + novel reps'
+    # bands; target = full index + novel. Candidates therefore always
+    # involve a group with a batch member.
+    touched = known.select("__rep").distinct()
+    probe = index.bands.join(
+        touched, index.bands[id_col] == touched["__rep"]
+    ).select(index.bands[id_col], "band_id", "band_val")
+    n = probe.unionByName(new_bands).alias("n")
+    o = index.bands.unionByName(new_bands).alias("o")
     cand = (
         n.join(
             o,
@@ -236,16 +380,59 @@ def incremental_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    all_hashes = index_hashes.unionByName(new_hashed)
+    all_hashes = index.hashes.unionByName(new_hashed)
     ha = all_hashes.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"))
     hb = all_hashes.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"))
-    return (
+    rep_pairs = (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn("jaccard", F.round(_jaccard(F.col("h_a"), F.col("h_b")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Expansion over exact-duplicate members, keeping only pairs with
+    # a batch-side doc (`__b`): cross-group pairs inherit the reps'
+    # Jaccard (identical token sequences => identical shingle sets);
+    # within-group pairs are exact duplicates (Jaccard 1.0), generated
+    # only inside groups that contain a batch member.
+    members_all = (
+        index.members.withColumn("__b", F.lit(False))
+        .unionByName(known.withColumn("__b", F.lit(True)))
+        .unionByName(new_members.withColumn("__b", F.lit(True)))
+    )
+    ma = members_all.select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("__xa"), F.col("__b").alias("__ba")
+    )
+    mb = members_all.select(
+        F.col("__rep").alias("id_b"), F.col(id_col).alias("__xb"), F.col("__b").alias("__bb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .where(F.col("__ba") | F.col("__bb"))
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    batch_reps = touched.unionByName(new_groups.select("__rep")).distinct()
+    mg = members_all.join(batch_reps, "__rep", "left_semi")
+    within = (
+        mg.alias("u")
+        .join(
+            mg.alias("v"),
+            (F.col("u.__rep") == F.col("v.__rep"))
+            & (F.col(f"u.{id_col}") < F.col(f"v.{id_col}")),
+        )
+        .where(F.col("u.__b") | F.col("v.__b"))
+        .select(
+            F.col(f"u.{id_col}").alias("id_a"),
+            F.col(f"v.{id_col}").alias("id_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 def minhash_lsh_pairs(

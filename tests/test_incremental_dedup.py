@@ -1,14 +1,15 @@
-"""Incremental (per-batch) MinHash dedup against a persisted band
-index (operators/dedup.py incremental_pairs)."""
+"""Incremental (per-batch) MinHash dedup against a persisted,
+exact-collapsed band index (operators/dedup.py DedupIndex /
+incremental_pairs / extend_dedup_index)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from hyperion_history_api_spark.operators.dedup import (
-    hashed_shingles,
+    build_dedup_index,
+    extend_dedup_index,
     incremental_pairs,
-    minhash_bands,
     minhash_lsh_pairs,
 )
 
@@ -31,15 +32,12 @@ def test_batched_ingest_equals_full_corpus(spark, sf_dir):
 
     got = _pairs_set(minhash_lsh_pairs(seed, "text", "doc_id", threshold=0.5))
 
-    hashes = hashed_shingles(seed, "text", "doc_id", repartition=True)
-    bands = minhash_bands(hashes, "doc_id")
+    index = build_dedup_index(seed, "text", "doc_id")
     for batch in (b1, b2):
         got |= _pairs_set(
-            incremental_pairs(bands, hashes, batch, "text", "doc_id", threshold=0.5)
+            incremental_pairs(index, batch, "text", "doc_id", threshold=0.5)
         )
-        bh = hashed_shingles(batch, "text", "doc_id", repartition=True)
-        hashes = hashes.unionByName(bh)
-        bands = bands.unionByName(minhash_bands(bh, "doc_id"))
+        index = extend_dedup_index(index, batch, "text", "doc_id")
 
     want = _pairs_set(minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5))
     assert got == want
@@ -58,9 +56,36 @@ def test_batch_only_touches_batch(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     hist = docs.where(F.col("doc_id") < 10)
     batch = docs.where(F.col("doc_id") >= 10)
-    h = hashed_shingles(hist, "text", "doc_id", repartition=True)
-    b = minhash_bands(h, "doc_id")
+    index = build_dedup_index(hist, "text", "doc_id")
     out = _pairs_set(
-        incremental_pairs(b, h, batch, "text", "doc_id", threshold=0.5)
+        incremental_pairs(index, batch, "text", "doc_id", threshold=0.5)
     )
     assert {(a, bb) for a, bb, _ in out} == {(3, 10)}
+
+
+def test_known_fingerprint_skips_signing(spark):
+    """A batch copy of an already-registered text pairs with its whole
+    group (and inherits the rep's near-dup neighbors) without any new
+    signature rows entering the index."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # history dup of 1
+        (4, "alpha beta gamma delta epsilon eta"),  # history near-dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    index = build_dedup_index(docs, "text", "doc_id")
+    out = _pairs_set(
+        incremental_pairs(index, batch, "text", "doc_id", threshold=0.5)
+    )
+    # exact pairs with both group members + near-dup pair via the rep
+    assert {(a, b) for a, b, _ in out} == {(1, 20), (2, 20), (4, 20)}
+    exact = {(a, b): j for a, b, j in out}
+    assert exact[(1, 20)] == 1.0 and exact[(2, 20)] == 1.0
+    assert exact[(4, 20)] < 1.0
+    # extend: known fp adds membership only — rep count is unchanged
+    ext = extend_dedup_index(index, batch, "text", "doc_id")
+    assert ext.hashes.count() == index.hashes.count()
+    assert ext.members.count() == index.members.count() + 1
