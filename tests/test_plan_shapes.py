@@ -267,3 +267,16 @@ def test_semdedup_no_cartesian(spark):
     assert "Join" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_dedup_no_cartesian_all_equi(spark):
+    """Collapsed incremental dedup: every leg — registry split, band
+    probe, Jaccard verify, member expansion — is a hash equi-join;
+    no cartesian product anywhere, and the interpreted MinHash
+    permutation transforms appear only downstream of the novel-rep
+    leg (known-fingerprint docs never reach a signature pass)."""
+    plan = _plan(_q("dedup_incremental", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no Python anywhere: the whole operator is JVM expressions
+    assert "EvalPython" not in plan
