@@ -89,3 +89,44 @@ def test_known_fingerprint_skips_signing(spark):
     ext = extend_dedup_index(index, batch, "text", "doc_id")
     assert ext.hashes.count() == index.hashes.count()
     assert ext.members.count() == index.members.count() + 1
+
+
+def test_adversarial_duplicate_structures(spark):
+    """Exact-duplicate cliques spanning history and batch, near-dup
+    edges between collapsed groups, batch-only new groups, and
+    untouched history pairs — incremental output must equal the
+    full-corpus pair set restricted to pairs touching the batch."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "the quick brown fox jumps over the lazy dog again and once"  # near-dup of a
+    base_c = "completely different content about spark shuffles and joins here"
+    rows = [
+        # group A: clique of 4 (2 history, 2 batch)
+        (1, base_a), (2, base_a), (101, base_a), (102, base_a),
+        # group B: near-dup of A, history-only pair (3,4) must NOT re-emit
+        (3, base_b), (4, base_b),
+        # group C: untouched history group
+        (5, base_c), (6, base_c),
+        # group D: batch-only new dup group
+        (103, "fresh new batch text never seen before in the corpus today ok"),
+        (104, "fresh new batch text never seen before in the corpus today ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = docs.where(F.col("doc_id") < 100)
+    batch = docs.where(F.col("doc_id") >= 100)
+
+    index = build_dedup_index(hist, "text", "doc_id")
+    got = _pairs_set(
+        incremental_pairs(index, batch, "text", "doc_id", threshold=0.5)
+    )
+
+    full = _pairs_set(minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5))
+    batch_ids = {101, 102, 103, 104}
+    want = {(a, b, j) for a, b, j in full if a in batch_ids or b in batch_ids}
+    assert got == want
+    # sanity on the fixture itself: the scenario really contains a
+    # spanning clique, a cross-group near-dup edge, and a new group
+    ids = {(a, b) for a, b, _ in want}
+    assert {(1, 101), (101, 102), (103, 104)} <= ids
+    assert any({a, b} & {3, 4} and {a, b} & batch_ids for a, b in ids)
+    assert (3, 4) not in {(a, b) for a, b, _ in got}
+    assert (5, 6) not in {(a, b) for a, b, _ in got}
