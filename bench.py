@@ -4,14 +4,24 @@ ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed once to warm (JVM/codegen/file listing), then
-timed over ``RUNS`` runs taking the best — the steady-state number a
-resident SparkSession server would serve.
+timed over ``RUNS`` runs. ``queries`` keeps the best-run number (the
+steady-state a resident SparkSession server would serve); round-4
+robustness fields make a load-contended host visible in the artifact
+instead of silently inflating it (round-3 verdict what's-wrong #4):
+
+- ``queries_median`` / ``queries_spread``: per-query median and
+  (max - min) across the timed runs;
+- ``load_sentinel_sec``: a fixed single-thread busy-loop timed before
+  and after the query block — a calibration constant for THIS code on
+  ANY host, so two artifacts are comparable (a contended run shows a
+  sentinel well above the quiet-host ~0.2 s and/or a wide spread).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,6 +33,17 @@ from hyperion_history_api_spark.session import get_spark  # noqa: E402
 RUNS = 3
 
 
+def _load_sentinel() -> float:
+    """Seconds for a fixed pure-Python busy loop (~0.2 s quiet): a
+    host-load canary, independent of Spark."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc + i * i) % 1_000_003
+    assert acc >= 0
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -30,16 +51,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in registry.all_specs().items() if s.headline}
+    sentinel_before = _load_sentinel()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in headline.items():
         df = spec.spark_fn(spark, sf_dir)
         df.collect()  # warm
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+        medians[name] = round(statistics.median(samples), 4)
+        spreads[name] = round(max(samples) - min(samples), 4)
+    sentinel_after = _load_sentinel()
 
     # Ingest throughput (BASELINE part B: >= 10k events/s/core).
     # Round-1 advice applied: (a) amortize fixed per-pass costs by
@@ -146,6 +173,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_spread": spreads,
+                "load_sentinel_sec": round(
+                    max(sentinel_before, sentinel_after), 4
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_sec": round(ingest_sec, 4),
                 "ingest_rows": rows,

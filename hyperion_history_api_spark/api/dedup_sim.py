@@ -62,6 +62,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Index format key: invalidates the stored frames when any parameter
+# of the signature scheme or the history predicate changes.
+_DEDUP_IDX_KEY = "dedupidx:sh3:h48:b24:hist-mod10ne0:v1"
+
+
+def _stored_dedup_index(spark: SparkSession, sf_dir: str):
+    """The PERSISTED near-dup index over ingested history (docs with
+    doc_id%10 != 0) — the four ``DedupIndex`` frames written once per
+    (sf_dir, params) via ``ensure_parquet`` and read back as plain
+    parquet scans, exactly the ``_pq_coded``/``_ivf_cents`` stored-
+    artifact pattern. This is the operator's production contract
+    (operators/dedup.py: "history is never re-signed"): earlier
+    batches paid the shingle/sign passes when THEY arrived; a new
+    batch's query plan only fingerprints the batch and probes the
+    stored bands."""
+    from ..operators.dedup import DedupIndex
+    from ..sources.lake import ensure_parquet
+
+    built: dict[str, DataFrame] = {}
+
+    def _frame(field: str):
+        def build() -> DataFrame:
+            if not built:
+                docs = _t(spark, sf_dir)["documents"]
+                hist = docs.where(F.col("doc_id") % 10 != 0)
+                built.update(
+                    build_dedup_index(hist, "text", "doc_id")._asdict()
+                )
+            return built[field]
+
+        return build
+
+    return DedupIndex(
+        **{
+            f: ensure_parquet(
+                spark,
+                sf_dir,
+                f"dedup_idx_{f}",
+                _frame(f),
+                source_file="documents.parquet",
+                extra_key=_DEDUP_IDX_KEY,
+            )
+            for f in ("bands", "hashes", "members", "registry")
+        }
+    )
+
+
 @register(
     "dedup_incremental",
     _DUCK_SHINGLES
@@ -75,21 +122,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
     ORDER BY id_a, id_b
     """,
-    "dedup: per-batch incremental near-dup against a persisted LSH "
-    "band index (history never re-signed; batch = doc_id%10==0 here; "
-    "oracle = brute-force pairs touching the batch)",
+    "dedup: per-batch incremental near-dup probe of a PERSISTED LSH "
+    "band index (stored parquet, history never re-signed; batch = "
+    "doc_id%10==0; oracle = brute-force pairs touching the batch)",
     headline=True,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Models one ingest micro-batch: docs with doc_id%10==0 arrive
-    against an index built from the rest. The index is collapsed to
-    exact-duplicate representatives, so batch docs whose text is
-    already registered skip the shingle/sign passes entirely and only
-    reps ride the candidate/verify legs."""
+    against the STORED index of the rest (``_stored_dedup_index``).
+    The timed plan therefore contains no history-side shingle or
+    signature work — only the batch's registry split, the novel reps'
+    signatures, the band probe against the stored bands scan, and the
+    member expansion (plan-pinned by
+    tests/test_plan_shapes.py::test_incremental_dedup_probes_stored_index).
+    Batch docs whose text is already registered skip the shingle/sign
+    passes entirely."""
     docs = _t(spark, sf_dir)["documents"]
-    hist = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    index = build_dedup_index(hist, "text", "doc_id")
+    index = _stored_dedup_index(spark, sf_dir)
     return incremental_pairs(
         index, batch, "text", "doc_id", threshold=0.7
     ).orderBy("id_a", "id_b")
@@ -299,6 +349,34 @@ def _pq_coded(spark: SparkSession, sf_dir: str, with_label: bool = False):
         build,
         source_file="embeddings.parquet",
         extra_key=_PQ_KEY,
+    )
+
+
+def _int8_q(spark: SparkSession, sf_dir: str):
+    """Stored per-vector int8 quantization: ``(vec_id, q:
+    array<tinyint>)`` — what the quantized candidate scan reads
+    (round-3 verdict item 3: previously the q column was computed
+    in-flight behind a repartition, so the scan still read
+    full-precision vectors). tinyint storage makes the stored column
+    literally 1 byte/component in parquet (8x smaller than the
+    float64 source)."""
+    from ..operators.similarity import quantize_int8
+    from ..sources.lake import ensure_parquet
+
+    def build():
+        corpus, _ = _corpus_probes(spark, sf_dir)
+        return quantize_int8(corpus).select(
+            "vec_id",
+            F.transform("q", lambda x: x.cast("tinyint")).alias("q"),
+        )
+
+    return ensure_parquet(
+        spark,
+        sf_dir,
+        "int8_codes",
+        build,
+        source_file="embeddings.parquet",
+        extra_key="int8:sym127:v1",
     )
 
 
@@ -554,10 +632,15 @@ def embedding_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scan side reads the STORED ``array<tinyint>`` table
+    (``_int8_q``) — full-precision vectors appear in the plan only on
+    the (driver-resident) probe side."""
     from ..operators.similarity import quantized_topk
 
     corpus, probes = _corpus_probes(spark, sf_dir)
-    out = quantized_topk(corpus, probes, 5)
+    out = quantized_topk(
+        corpus, probes, 5, quantized=_int8_q(spark, sf_dir)
+    )
     return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
         "probe_id", "vec_id", "cosine"
     )
@@ -595,7 +678,9 @@ def embedding_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.similarity import _topk, cosine, quantized_topk
 
     corpus, probes = _corpus_probes(spark, sf_dir)
-    cand = quantized_topk(corpus, probes, 20).select("probe_id", "vec_id")
+    cand = quantized_topk(
+        corpus, probes, 20, quantized=_int8_q(spark, sf_dir)
+    ).select("probe_id", "vec_id")
     rer = (
         cand.join(corpus, "vec_id")
         .join(F.broadcast(probes), "probe_id")
@@ -943,6 +1028,97 @@ def doc_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("score")
         )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# BM25 constants — ES/Lucene defaults (the reference's memo `match`
+# is scored by ES's default BM25 similarity,
+# src/api/routes/v2-history/get_actions/functions.ts:154-169).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "doc_search_bm25",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM t
+    ), w AS (
+        SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM t
+    ), tf AS (
+        SELECT doc_id, word, dl, count(*) AS tf FROM w
+        WHERE word IN ('merge', 'window', 'customer')
+        GROUP BY doc_id, word, dl
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM w
+        WHERE word IN ('merge', 'window', 'customer') GROUP BY word
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf * ({_BM25_K1} + 1) /
+                   (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 4) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "search: BM25-scored multi-term search, top-20 — ES's default "
+    "similarity for the reference's memo `match` "
+    "(functions.ts:154-169), Lucene constants k1=1.2 b=0.75; closes "
+    "the last ES scoring-semantics gap (round-3 verdict item 4)",
+    headline=True,
+)
+def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones; the Lucene BM25Similarity form):
+
+        score(d) = sum over query terms t of
+            ln(1 + (N - df + 0.5)/(df + 0.5))          # idf
+            * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with dl = doc token count and avgdl its corpus mean — the
+    length-normalized, tf-saturating upgrade of ``doc_search_tfidf``.
+
+    Scale (same plan discipline as the TF-IDF twin): dl rides the
+    SAME narrow projection that explodes words, the corpus-side term
+    filter runs before any exchange, df and the (N, avgdl) scalar are
+    tiny broadcast sides, and the final top-k is a TakeOrdered — no
+    corpus-sized shuffle anywhere.
+    """
+    terms = ["merge", "window", "customer"]
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("ws")).alias("avgdl")
+    )
+    w = toks.select(
+        "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("word")
+    ).where(F.col("word").isin(terms))
+    tf = w.groupBy("doc_id", "word", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(_BM25_K1 + 1) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * norm), 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
     )

@@ -537,28 +537,36 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_dsir_weight",
-    """
-    WITH w AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-    ), src AS (
-        SELECT word, count(*) AS c FROM w GROUP BY word
-    ), tgt AS (
-        SELECT word, count(*) AS c FROM w JOIN documents USING (doc_id)
-        WHERE lang = 'en' GROUP BY word
-    ), tot AS (
-        SELECT (SELECT sum(c) FROM src) AS sn,
-               (SELECT sum(c) FROM tgt) AS tn,
-               (SELECT count(*) FROM src) AS v
-    )
+# Shared DuckDB fragment: dw(doc_id, n_words, dsir_logweight) — the
+# add-1-smoothed per-doc mean log-ratio of target vs source unigram
+# likelihood (target = the lang='en' slice).
+_DSIR_CORE_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), src AS (
+    SELECT word, count(*) AS c FROM w GROUP BY word
+), tgt AS (
+    SELECT word, count(*) AS c FROM w JOIN documents USING (doc_id)
+    WHERE lang = 'en' GROUP BY word
+), tot AS (
+    SELECT (SELECT sum(c) FROM src) AS sn,
+           (SELECT sum(c) FROM tgt) AS tn,
+           (SELECT count(*) FROM src) AS v
+), dw AS (
     SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
            round(avg(ln((coalesce(tgt.c, 0) + 1.0) / (tot.tn + tot.v))
                    - ln((src.c + 1.0) / (tot.sn + tot.v))), 4)
                AS dsir_logweight
     FROM w JOIN src USING (word) LEFT JOIN tgt USING (word) CROSS JOIN tot
-    GROUP BY w.doc_id ORDER BY w.doc_id
-    """,
+    GROUP BY w.doc_id
+)
+"""
+
+
+@register(
+    "doc_dsir_weight",
+    _DSIR_CORE_SQL
+    + "SELECT doc_id, n_words, dsir_logweight FROM dw ORDER BY doc_id",
     "text-analysis: DSIR-style importance weight — per-doc mean "
     "log-ratio of target-domain vs source unigram likelihood "
     "(Xie et al. 2023, Data Selection via Importance Resampling; "
@@ -568,8 +576,8 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance resampling weights for data selection: documents
     whose word distribution looks like the target domain score high;
-    resampling by these weights (e.g. ``hash_sample`` gated on a
-    weight threshold) yields the DSIR-selected corpus.
+    resampling by these weights (``doc_dsir_sample``) yields the
+    DSIR-selected corpus.
 
     Scale: same shape as ``doc_unigram_logprob`` — one explode feeds
     the (combiner-heavy) source and target count builds; the smoothed
@@ -577,6 +585,12 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts, so the scoring pass is map-side; wide exchanges touch
     only (word, count) and (doc_id, partial-avg) rows.
     """
+    return _dsir_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _dsir_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, dsir_logweight) — shared by the weight query
+    and the resampling query."""
     docs = _t(spark, sf_dir)["documents"]
     w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     src = w.groupBy("word").agg(F.count(F.lit(1)).alias("sc"))
@@ -605,7 +619,6 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
             F.round(F.avg(lr), 4).alias("dsir_logweight"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -674,3 +687,55 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return quality_classify(spark, docs).orderBy("doc_id")
+
+
+@register(
+    "doc_dsir_sample",
+    _DSIR_CORE_SQL
+    + """
+    , stats AS (SELECT avg(exp(dsir_logweight)) AS mw FROM dw)
+    SELECT doc_id, dsir_logweight,
+           round(least(1.0, 0.25 * exp(dsir_logweight) / mw), 4) AS keep_p
+    FROM dw CROSS JOIN stats
+    WHERE CAST(concat('0x', substr(md5('dsir' || CAST(doc_id AS STRING)),
+                                   1, 4)) AS BIGINT)
+          < least(1.0, 0.25 * exp(dsir_logweight) / mw) * 65536.0
+    ORDER BY doc_id
+    """,
+    "sampling: DSIR end-to-end — importance weights composed with the "
+    "deterministic weighted mixing sampler (target fraction 0.25; "
+    "keep iff salted-md5 u(id) < frac*w/mean_w) emitting the training "
+    "mix (Xie et al. 2023 resampling step; round-3 verdict item 6)",
+)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: documents are kept with
+    probability proportional to exp(dsir_logweight) at an overall
+    target fraction of 0.25 — deterministic (salted-md5 acceptance,
+    partition-invariant like ``doc_hash_sample``), so the selected
+    mix is reproducible on any cluster and in the oracle.
+
+    Plan shape: the weight frame's mean is ONE broadcast scalar; the
+    acceptance test is a narrow filter projection over the weight
+    frame — no additional shuffle beyond the weight computation
+    itself."""
+    from ..operators.sampling import weighted_sample
+
+    wts = _dsir_frame(spark, sf_dir).withColumn(
+        "__w", F.exp(F.col("dsir_logweight"))
+    )
+    mw = wts.agg(F.avg("__w").alias("__mw"))
+    kept = weighted_sample(wts, "doc_id", "__w", 0.25, seed="dsir")
+    return (
+        kept.crossJoin(F.broadcast(mw))
+        .select(
+            "doc_id",
+            "dsir_logweight",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.lit(0.25) * F.col("__w") / F.col("__mw")
+                ),
+                4,
+            ).alias("keep_p"),
+        )
+        .orderBy("doc_id")
+    )

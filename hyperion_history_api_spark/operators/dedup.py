@@ -113,8 +113,13 @@ def collapse_exact(
         .withColumn("__fp", _fingerprint(F.col(text_col)))
         .repartition(npart, F.col("__fp"))
     )
+    # min_by: the rep text deterministically belongs to the min-id doc
+    # (F.first within a group is pick-any; identical token sequences
+    # make it semantically safe, but raw text could differ in
+    # whitespace between runs)
     groups = keyed.groupBy("__fp").agg(
-        F.min(id_col).alias("__rep"), F.first(text_col).alias(text_col)
+        F.min(id_col).alias("__rep"),
+        F.min_by(text_col, F.col(id_col)).alias(text_col),
     )
     mapping = (
         keyed.select(F.col(id_col), "__fp")
@@ -189,7 +194,9 @@ def minhash_bands(
         f" AS band_val)"
         for b in range(bands)
     )
-    return hashed.selectExpr(id_col, f"inline(array({structs}))")
+    # backtick-quote: id_col is interpolated into parsed SQL, so a
+    # non-plain identifier (dots/hyphens/keywords) must be quoted
+    return hashed.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
 
 
 class DedupIndex(NamedTuple):

@@ -157,3 +157,74 @@ def global_shuffle(
 
 def shuffle_key_sql(id_expr: str, *, seed: str = "shuffle") -> str:
     return f"md5('{seed}' || CAST({id_expr} AS STRING))"
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    fraction: float,
+    *,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic importance-weighted sampling — the resampling
+    half of DSIR (Xie et al. 2023): keep a row iff
+
+        u(id) < fraction * w / mean(w)        (clamped at 1)
+
+    with u(id) = the 16-bit salted-md5 bucket of the stable id mapped
+    to [0, 1). Expected kept fraction = ``fraction`` (exactly, when no
+    row clamps); a row's fate is a pure function of (seed, id, its
+    weight, the corpus mean weight) — partition-invariant and
+    bit-reproducible in the DuckDB oracle, unlike RNG acceptance.
+
+    Scale: ONE tiny mean-weight aggregate broadcast into a narrow
+    filter projection — no shuffle of the corpus, no state. The
+    comparison is integer-bucket < p*65536 (same double arithmetic in
+    both engines)."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("double")
+    mean_w = df.agg(F.avg(weight_col).alias("__mw"))
+    # explicit mean>0 guard: an all-zero-weight corpus keeps nothing
+    # (NULL p fails the filter) instead of raising a divide-by-zero
+    # under ANSI mode — and the guard must NOT go through
+    # least(1.0, try_divide(...)), because least() skips NULL operands
+    # and would silently turn the degenerate case into keep-all.
+    # (Positive weights — e.g. exp(logweight) — never hit this, so the
+    # SQL twin divides plainly.)
+    p = F.when(
+        F.col("__mw") > 0,
+        F.least(
+            F.lit(1.0),
+            F.lit(fraction) * F.col(weight_col) / F.col("__mw"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(mean_w))
+        .where(u < p * F.lit(65536.0))
+        .drop("__mw")
+    )
+
+
+def weighted_pred_sql(
+    id_expr: str,
+    weight_expr: str,
+    mean_expr: str,
+    fraction: float,
+    *,
+    seed: str = "wsample",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s keep predicate."""
+    u = (
+        f"CAST(concat('0x', substr(md5('{seed}' || "
+        f"CAST({id_expr} AS STRING)), 1, 4)) AS BIGINT)"
+    )
+    return (
+        f"{u} < least(1.0, {fraction} * ({weight_expr}) / ({mean_expr}))"
+        " * 65536.0"
+    )

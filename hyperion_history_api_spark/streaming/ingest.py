@@ -155,12 +155,14 @@ def enrich_with_blocks(
     block cadence ~0.5s), so Spark can GC join state for blocks older
     than watermark+slack instead of buffering both streams forever.
     Falls back to a plain equi-join in batch mode."""
-    streaming = actions.isStreaming or blocks.isStreaming
     a = actions.withWatermark(ts_col, watermark) if actions.isStreaming else actions
     b = blocks.withWatermark(block_ts_col, watermark) if blocks.isStreaming else blocks
     bb = b.withColumnRenamed(key, "__bk")
     cond = F.col(key) == F.col("__bk")
-    if streaming:
+    # the range constraint exists ONLY for stream-stream state GC; in a
+    # stream-static join it would silently drop actions whose ts
+    # deviates more than slack from their block's ts
+    if actions.isStreaming and blocks.isStreaming:
         cond = (
             cond
             & (F.col(ts_col) >= F.col(block_ts_col) - F.expr(f"INTERVAL {slack}"))

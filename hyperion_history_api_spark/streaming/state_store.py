@@ -43,6 +43,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _snap_version(snap_dir: str) -> int:
+    """Version encoded in a snapshot dir name ``v{version}-{uuid}``.
+    Parsed up to the '-' separator (not a fixed-width slice) so the
+    name stays parseable if the zero-padded version ever widens past
+    8 digits."""
+    return int(snap_dir[1:].split("-", 1)[0])
+
+
 def merge_update_by_block(
     current: DataFrame | None,
     updates: DataFrame,
@@ -207,7 +215,7 @@ class ParquetStateStore:
         m = self.read_manifest()
         if m is None:
             return []
-        return [int(h[1:9]) for h in m.get("history", [])] + [m["version"]]
+        return [_snap_version(h) for h in m.get("history", [])] + [m["version"]]
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel within the retained window: read the snapshot a
@@ -221,7 +229,7 @@ class ParquetStateStore:
             if version == m["version"]:
                 return self.current()
             for h in m.get("history", []):
-                if int(h[1:9]) == version:
+                if _snap_version(h) == version:
                     return self.spark.read.parquet(os.path.join(self.path, h))
         raise ValueError(
             f"version {version} not in retained window {self.versions()}"

@@ -68,3 +68,25 @@ def test_global_shuffle_same_permutation_any_partitioning(spark):
     # different seed -> different permutation (epochs differ)
     c = [r[0] for r in global_shuffle(docs, "doc_id", seed="epoch2").select("doc_id").collect()]
     assert c != a
+
+
+def test_weighted_sample_partition_invariant_and_proportional(spark):
+    from hyperion_history_api_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark).withColumn(
+        "w", (F.col("doc_id") % 4 + 1).cast("double")
+    )
+    a = _ids(weighted_sample(docs.repartition(1), "doc_id", "w", 0.3))
+    b = _ids(weighted_sample(docs.repartition(11, "lang"), "doc_id", "w", 0.3))
+    assert a == b and a
+    # acceptance scales with weight: the heaviest stratum (w=4) must
+    # keep at least the lightest's (w=1) rate on any non-trivial corpus
+    kept = weighted_sample(docs, "doc_id", "w", 0.3)
+    n4 = docs.where(F.col("w") == 4.0).count()
+    n1 = docs.where(F.col("w") == 1.0).count()
+    k4 = kept.where(F.col("w") == 4.0).count() / max(n4, 1)
+    k1 = kept.where(F.col("w") == 1.0).count() / max(n1, 1)
+    assert k4 > k1
+    # zero-weight rows are never kept
+    z = docs.withColumn("w", F.lit(0.0))
+    assert weighted_sample(z, "doc_id", "w", 0.9).count() == 0
