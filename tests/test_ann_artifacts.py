@@ -87,3 +87,48 @@ def test_stored_codes_match_inline_encoding(spark):
     stored = _pq_coded(spark, SF_DIR).select("vec_id", "codes")
     assert stored.count() == inline.count()
     assert stored.exceptAll(inline).count() == 0
+
+
+def test_extend_pq_codes_union_equals_full_rebuild(spark):
+    """Incremental index growth is lossless: stored-history codes +
+    a batch encoded with the frozen codebook == encoding the whole
+    corpus in one go (so probes against the extended index are
+    probes against the rebuild)."""
+    from pyspark.sql import functions as F
+
+    from hyperion_history_api_spark.api.dedup_sim import _pq_codes_hist
+    from hyperion_history_api_spark.operators.similarity import (
+        extend_pq_codes,
+        pq_encode,
+    )
+
+    corpus, _ = _corpus_probes(spark, SF_DIR)
+    cb = _pq_codebook(spark, SF_DIR)
+    extended = extend_pq_codes(
+        _pq_codes_hist(spark, SF_DIR),
+        corpus.where(F.col("vec_id") % 10 == 0),
+        cb,
+    )
+    rebuild = pq_encode(corpus, cb).select("vec_id", "codes")
+    assert extended.count() == rebuild.count()
+    assert extended.exceptAll(rebuild).count() == 0
+
+
+def test_cell_drift_fractions_sum_to_one(spark):
+    from hyperion_history_api_spark.api.dedup_sim import _km_cells
+    from hyperion_history_api_spark.operators.similarity import (
+        cell_population_drift,
+    )
+    from pyspark.sql import functions as F
+
+    cells = _km_cells(spark, SF_DIR)
+    d = cell_population_drift(
+        cells.where(F.col("vec_id") % 10 != 0),
+        cells.where(F.col("vec_id") % 10 == 0),
+    )
+    sums = d.agg(
+        F.round(F.sum("frac_stored"), 2).alias("s"),
+        F.round(F.sum("frac_batch"), 2).alias("b"),
+    ).collect()[0]
+    assert abs(sums["s"] - 1.0) < 0.02 and abs(sums["b"] - 1.0) < 0.02
+    assert d.where(F.col("drift") < 0).count() == 0
