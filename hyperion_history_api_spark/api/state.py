@@ -7,6 +7,8 @@ The ``events`` log plays the delta log; (user_id, event_type) plays
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -286,3 +288,70 @@ def get_creator_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.select(
         "user_id", F.col("event_id").alias("creation_seq"), F.col("ts").alias("created_at")
     ).orderBy("user_id")
+
+
+@register(
+    "state_time_travel_v1",
+    """
+    SELECT user_id, event_type, event_id, round(value, 4) AS value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id <= 800
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    "S8/S11 time travel: table state AS OF a historical snapshot "
+    "version of the manifest-pointer state store (round-3 verdict "
+    "item 9 — the fork-shielding story end-to-end; oracle = latest "
+    "row per key restricted to the first commit's block range)",
+)
+def state_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VERSION AS OF`` on the bespoke state store: two merge commits
+    are applied (events <= 800, then 800 < events <= 1600) and the
+    query reads snapshot VERSION 1 back through ``read_version`` —
+    exactly the state the store served between the commits, which the
+    oracle reproduces as the as-of-800 window. The store is built once
+    per (sf_dir, source fingerprint) under the lake root and the timed
+    plan is a pure parquet scan of the retained v1 snapshot (snapshot
+    isolation: commit 2 never mutated v1's files).
+    """
+    import json
+    import shutil
+
+    from ..sources.lake import _source_fingerprint, lake_root
+    from ..streaming.state_store import ParquetStateStore
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    root = lake_root() / sf_name / "state_tt"
+    keyf = root / "_tt_key.json"
+    want = {"v": 1, "src": _source_fingerprint(sf_dir, "events.parquet")}
+    try:
+        fresh = json.loads(keyf.read_text()) == want
+    except (OSError, ValueError):
+        fresh = False
+    store = ParquetStateStore(
+        spark,
+        str(root),
+        ["user_id", "event_type"],
+        block_col="event_id",
+        keep_versions=4,
+    )
+    if not fresh:
+        shutil.rmtree(root, ignore_errors=True)
+        ev = _t(spark, sf_dir)["events"].select(
+            "user_id", "event_type", "event_id", "value"
+        )
+        store.apply_batch(ev.where(F.col("event_id") <= 800))
+        store.apply_batch(
+            ev.where((F.col("event_id") > 800) & (F.col("event_id") <= 1600))
+        )
+        keyf.write_text(json.dumps(want))
+    v1 = store.read_version(1)
+    return v1.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round("value", 4).alias("value"),
+    ).orderBy("user_id", "event_type")
