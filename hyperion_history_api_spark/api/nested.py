@@ -854,3 +854,90 @@ def hyp_regroup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("trx_id", "act_digest", "canonical_ordinal")
         .limit(500)
     )
+
+
+# ------------------------------------------------------- scored memo match
+# The reference's memo `match` (functions.ts:154-169) is scored by
+# ES's DEFAULT BM25 similarity — the fuzzy variant above covers the
+# match semantics; this closes the SCORING semantics on the same
+# surface (Lucene constants k1=1.2, b=0.75; corpus = transfer actions,
+# dl = memo length in tokens).
+
+
+@register(
+    "hyp_memo_search_bm25",
+    ACTIONS_CTE + """
+    , m AS (
+        SELECT global_sequence, string_split(transfer.memo, ' ') AS ws
+        FROM actions WHERE transfer IS NOT NULL
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM m
+    ), w AS (
+        SELECT global_sequence, len(ws) AS dl, unnest(ws) AS word FROM m
+    ), tf AS (
+        SELECT global_sequence, word, dl, count(*) AS tf FROM w
+        WHERE word IN ('model', 'refund', 'fee')
+        GROUP BY global_sequence, word, dl
+    ), df AS (
+        SELECT word, count(DISTINCT global_sequence) AS df FROM w
+        WHERE word IN ('model', 'refund', 'fee') GROUP BY word
+    ), scored AS (
+        SELECT tf.global_sequence,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 4) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN stats
+        GROUP BY tf.global_sequence
+    )
+    SELECT global_sequence, score FROM scored
+    ORDER BY score DESC, global_sequence ASC LIMIT 20
+    """,
+    "P9 scored memo match — BM25 (ES default similarity, "
+    "functions.ts:154-169) over the promoted @transfer.memo field on "
+    "the stored actions lake; completes the reference's match "
+    "semantics with its SCORING semantics (k1=1.2, b=0.75)",
+)
+def hyp_memo_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-ranked memo search on the Hyperion surface: the same
+    BM25 plan as ``doc_search_bm25`` pointed at the nested lake — the
+    memo tokenization and dl ride one narrow projection over the
+    transfer-pruned scan, term filter pre-exchange, df/stats broadcast,
+    TakeOrdered top-20."""
+    terms = ["model", "refund", "fee"]
+    k1, b = 1.2, 0.75
+    a = lake_actions(spark, sf_dir)
+    m = a.where(F.col("transfer").isNotNull()).select(
+        "global_sequence", F.split(F.col("transfer.memo"), " ").alias("ws")
+    )
+    stats = m.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("ws")).alias("avgdl")
+    )
+    w = m.select(
+        "global_sequence",
+        F.size("ws").alias("dl"),
+        F.explode("ws").alias("word"),
+    ).where(F.col("word").isin(terms))
+    tf = w.groupBy("global_sequence", "word", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = w.groupBy("word").agg(
+        F.count_distinct("global_sequence").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("global_sequence")
+        .agg(F.round(F.sum(idf * norm), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("global_sequence").asc())
+        .limit(20)
+    )
