@@ -291,8 +291,14 @@ def test_incremental_dedup_probes_stored_index(spark):
     novel reps' bands feed both the probe and target unions); an
     in-plan history rebuild would add a third from the full corpus."""
     plan = _plan(_q("dedup_incremental", spark))
-    for frame in ("bands", "hashes", "members", "registry"):
+    for frame in ("bands", "hashes", "members"):
         assert f"dedup_idx_{frame}" in plan, f"missing stored {frame} scan"
+    # the registry scan runs inside the eager batch-split checkpoint
+    # (one O(batch) job at construction); the probe plan reads the
+    # materialized split back as an RDD scan — neither the batch
+    # source nor the registry appears in the probe DAG
+    assert "Scan ExistingRDD" in plan
+    assert "documents.parquet" not in plan
     assert plan.count("Generate inline") <= 2
 
 
