@@ -130,3 +130,40 @@ def test_adversarial_duplicate_structures(spark):
     assert any({a, b} & {3, 4} and {a, b} & batch_ids for a, b in ids)
     assert (3, 4) not in {(a, b) for a, b, _ in got}
     assert (5, 6) not in {(a, b) for a, b, _ in got}
+
+
+def test_persist_extend_probe_lifecycle_on_disk(spark, sf_dir, tmp_path):
+    """The full production lifecycle THROUGH STORAGE: build the index,
+    write its four frames to parquet, read them back, probe a batch,
+    extend, write/read again, probe the next batch — the union of
+    stored-index probe outputs still equals the one-shot full-corpus
+    pair set. This is what the registered dedup_incremental query
+    exercises for one step; here both the persist/reload boundary and
+    the extend step run twice."""
+    from hyperion_history_api_spark.operators.dedup import DedupIndex
+    from hyperion_history_api_spark.tables import load_tables
+
+    def roundtrip(index: DedupIndex, tag: str) -> DedupIndex:
+        frames = {}
+        for name, df in index._asdict().items():
+            p = str(tmp_path / f"{tag}_{name}")
+            df.write.mode("overwrite").parquet(p)
+            frames[name] = spark.read.parquet(p)
+        return DedupIndex(**frames)
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    seed = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    got = _pairs_set(minhash_lsh_pairs(seed, "text", "doc_id", threshold=0.5))
+    index = roundtrip(build_dedup_index(seed, "text", "doc_id"), "v0")
+    got |= _pairs_set(
+        incremental_pairs(index, b1, "text", "doc_id", threshold=0.5)
+    )
+    index = roundtrip(extend_dedup_index(index, b1, "text", "doc_id"), "v1")
+    got |= _pairs_set(
+        incremental_pairs(index, b2, "text", "doc_id", threshold=0.5)
+    )
+    want = _pairs_set(minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5))
+    assert got == want and want
