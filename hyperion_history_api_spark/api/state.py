@@ -326,7 +326,7 @@ def state_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
     root = lake_root() / sf_name / "state_tt"
     keyf = root / "_tt_key.json"
-    want = {"v": 1, "src": _source_fingerprint(sf_dir, "events.parquet")}
+    want = {"v": 2, "src": _source_fingerprint(sf_dir, "events.parquet")}
     try:
         fresh = json.loads(keyf.read_text()) == want
     except (OSError, ValueError):

@@ -203,11 +203,15 @@ class ParquetStateStore:
         except (OSError, ValueError):
             return None
 
+    def _read_snapshot(self, snap: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, snap))
+
     def current(self) -> DataFrame | None:
         m = self.read_manifest()
         if m is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, m["snapshot"]))
+        df = self._read_snapshot(m["snapshot"])
+        return df.drop("__b") if "__b" in df.columns else df
 
     def versions(self) -> list[int]:
         """Committed versions still resolvable (retained window, oldest
@@ -230,14 +234,45 @@ class ParquetStateStore:
                 return self.current()
             for h in m.get("history", []):
                 if _snap_version(h) == version:
-                    return self.spark.read.parquet(os.path.join(self.path, h))
+                    df = self._read_snapshot(h)
+                    return df.drop("__b") if "__b" in df.columns else df
         raise ValueError(
             f"version {version} not in retained window {self.versions()}"
         )
 
     # -- commit protocol ----------------------------------------------
 
-    def _commit(self, df: DataFrame) -> None:
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        """Attach the deterministic hash-bucket column: a pure function
+        of the natural key, so a row lives in the same ``__b=K/``
+        partition directory in every snapshot."""
+        return df.withColumn(
+            "__b",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.keys]),
+                F.lit(self.num_buckets),
+            ).cast("int"),
+        )
+
+    def _commit(
+        self,
+        df: DataFrame,
+        *,
+        link_from: str | None = None,
+        touched: list[int] | None = None,
+    ) -> None:
+        """Publish ``df`` (rows of the touched buckets, or everything
+        when ``link_from`` is None) as the next snapshot.
+
+        Copy-on-write at bucket granularity — the Delta/Iceberg
+        incremental-commit idea on plain parquet: the write lands only
+        the REWRITTEN ``__b=K/`` partition directories; every untouched
+        bucket's data files are **hard-linked** from the previous
+        snapshot (inode sharing, same trick as ``sources/lake_refresh``),
+        so per-commit IO is O(touched buckets), not O(state). GC of a
+        superseded snapshot unlinks its names; shared inodes survive in
+        the newer snapshots that link them. The manifest ``os.replace``
+        remains the single atomic commit point."""
         import json
 
         m = self.read_manifest()
@@ -245,7 +280,31 @@ class ParquetStateStore:
         history = (m.get("history", []) + [m["snapshot"]]) if m else []
         snap = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
         os.makedirs(self.path, exist_ok=True)
-        df.write.mode("overwrite").parquet(os.path.join(self.path, snap))
+        snap_dir = os.path.join(self.path, snap)
+        if link_from is None and df.isEmpty():
+            # empty initial state: plain write preserves the schema
+            # (a partitioned write of zero rows emits no footer at all)
+            df.write.mode("overwrite").parquet(snap_dir)
+        else:
+            self._bucket(df).repartition(
+                self.num_buckets, *self.keys
+            ).write.mode("overwrite").partitionBy("__b").parquet(snap_dir)
+            if link_from is not None:
+                for k in range(self.num_buckets):
+                    if touched is not None and k in touched:
+                        continue
+                    src = os.path.join(self.path, link_from, f"__b={k}")
+                    if not os.path.isdir(src):
+                        continue
+                    dst = os.path.join(snap_dir, f"__b={k}")
+                    os.makedirs(dst, exist_ok=True)
+                    for fname in os.listdir(src):
+                        if fname.startswith(("_", ".")):
+                            continue
+                        os.link(
+                            os.path.join(src, fname),
+                            os.path.join(dst, fname),
+                        )
         keep = (
             history[-(self.keep_versions - 1):] if self.keep_versions > 1 else []
         )
@@ -260,20 +319,67 @@ class ParquetStateStore:
     # -- operations ---------------------------------------------------
 
     def apply_batch(self, updates: DataFrame) -> None:
+        """Merge one update batch and commit ONLY its touched buckets.
+
+        The update batch names the buckets it can change (``__b`` is a
+        pure key hash), so the current-state read is pruned to those
+        partition directories (a real PartitionFilter on the snapshot
+        scan), the merge shuffles only touched-bucket rows, and the
+        commit links the rest forward — per-batch cost scales with the
+        batch's key spread, not the accumulated state. This is the
+        piece that makes a MERGE-maintained 100 TB state table
+        affordable per micro-batch."""
+        m = self.read_manifest()
+        cur_raw = self._read_snapshot(m["snapshot"]) if m else None
+        if cur_raw is None or "__b" not in cur_raw.columns:
+            # first commit, or a legacy/empty unpartitioned snapshot:
+            # full merge + full partitioned write
+            merged = merge_update_by_block(
+                self.current(),
+                updates,
+                self.keys,
+                block_col=self.block_col,
+                present_col=self.present_col,
+            )
+            self._commit(merged)
+            return
+        upd = self._bucket(updates).localCheckpoint(eager=True)
+        touched = sorted(
+            r["__b"] for r in upd.select("__b").distinct().collect()
+        )
+        cur_touched = cur_raw.where(F.col("__b").isin(touched)).drop("__b")
         merged = merge_update_by_block(
-            self.current(),
-            updates,
+            cur_touched,
+            upd.drop("__b"),
             self.keys,
             block_col=self.block_col,
             present_col=self.present_col,
         )
-        # repartition on key => co-located future merges and point reads
-        self._commit(merged.repartition(self.num_buckets, *self.keys))
+        self._commit(merged, link_from=m["snapshot"], touched=touched)
 
     def retract_forked(self, forked: DataFrame, *, on: str = "block_id") -> None:
         """S11 fork rollback through the same commit protocol: readers
-        see the pre-fork or post-fork snapshot, never a mix."""
-        cur = self.current()
-        if cur is None:
+        see the pre-fork or post-fork snapshot, never a mix. Buckets
+        holding no forked rows are linked forward unchanged (the fork
+        set is tiny, so most buckets are untouched)."""
+        m = self.read_manifest()
+        if m is None:
             return
-        self._commit(fork_retract(cur, forked, on=on))
+        cur_raw = self._read_snapshot(m["snapshot"])
+        if "__b" not in cur_raw.columns:
+            self._commit(fork_retract(self.current(), forked, on=on))
+            return
+        fk = F.broadcast(forked.select(on).distinct())
+        touched = sorted(
+            r["__b"]
+            for r in cur_raw.join(fk, on=on)
+            .select("__b")
+            .distinct()
+            .collect()
+        )
+        cur_touched = cur_raw.where(F.col("__b").isin(touched)).drop("__b")
+        self._commit(
+            fork_retract(cur_touched, forked, on=on),
+            link_from=m["snapshot"],
+            touched=touched,
+        )

@@ -119,3 +119,110 @@ def test_time_travel_within_retained_window(spark, tmp_path):
     assert st.versions() == [2, 3, 4]
     with pytest.raises(ValueError, match="not in retained window"):
         st.read_version(1)
+
+
+def test_incremental_commit_links_untouched_buckets(spark, tmp_path):
+    """Bucket-level copy-on-write: a batch touching one key rewrites
+    only that key's bucket; every other bucket's data files in the new
+    snapshot are the SAME INODES as the previous snapshot's (hard
+    links), and the merged state equals the naive full merge."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    st = ParquetStateStore(
+        spark, str(tmp_path / "st"), ["k"], block_col="b", num_buckets=8,
+        keep_versions=4,
+    )
+    base = spark.createDataFrame(
+        [(i, 1, f"x{i}") for i in range(64)], "k int, b int, v string"
+    )
+    st.apply_batch(base)
+    snap1 = st.read_manifest()["snapshot"]
+    st.apply_batch(
+        spark.createDataFrame([(7, 2, "updated")], "k int, b int, v string")
+    )
+    m = st.read_manifest()
+    snap2 = m["snapshot"]
+
+    def inodes(snap, bucket):
+        d = os.path.join(st.path, snap, f"__b={bucket}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    touched = st._bucket(
+        spark.createDataFrame([(7,)], "k int")
+    ).collect()[0]["__b"]
+    linked = rewritten = 0
+    for k in range(8):
+        a, b = inodes(snap1, k), inodes(snap2, k)
+        if k == touched:
+            assert a != b  # rewritten bucket: new files
+            rewritten += 1
+        elif a is not None:
+            assert a == b  # untouched bucket: same inodes
+            linked += 1
+    assert rewritten == 1 and linked >= 5
+    # merged state == naive full merge
+    rows = {(r["k"], r["b"], r["v"]) for r in st.current().collect()}
+    want = {(i, 1, f"x{i}") for i in range(64) if i != 7} | {(7, 2, "updated")}
+    assert rows == want
+
+
+def test_incremental_commit_prunes_snapshot_scan(spark, tmp_path):
+    """The touched-bucket read is a real partition-pruned scan:
+    PartitionFilters on __b, not a full-snapshot filter."""
+    from pyspark.sql import functions as F
+
+    st = ParquetStateStore(
+        spark, str(tmp_path / "st"), ["k"], block_col="b", num_buckets=8,
+    )
+    st.apply_batch(
+        spark.createDataFrame(
+            [(i, 1, i * 1.0) for i in range(40)], "k int, b int, v double"
+        )
+    )
+    snap = st.read_manifest()["snapshot"]
+    pruned = st._read_snapshot(snap).where(F.col("__b").isin([3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__b" in plan
+
+
+def test_incremental_deletes_and_retraction_still_correct(spark, tmp_path):
+    """present=0 deletes and fork retraction through the bucket-
+    incremental path produce the same state as the semantics demand."""
+    st = ParquetStateStore(
+        spark,
+        str(tmp_path / "st"),
+        ["k"],
+        block_col="b",
+        present_col="p",
+        num_buckets=4,
+        keep_versions=4,
+    )
+    st.apply_batch(
+        spark.createDataFrame(
+            [(i, 1, 1, f"blk{i % 3}") for i in range(12)],
+            "k int, b int, p int, block_id string",
+        )
+    )
+    # delete k=5 via present=0; stale replay for k=6 is dropped
+    st.apply_batch(
+        spark.createDataFrame(
+            [(5, 2, 0, "blk9"), (6, 0, 1, "blk9")],
+            "k int, b int, p int, block_id string",
+        )
+    )
+    ks = {r["k"] for r in st.current().collect()}
+    assert 5 not in ks and 6 in ks and len(ks) == 11
+    # retract everything written by blk1
+    st.retract_forked(
+        spark.createDataFrame([("blk1",)], "block_id string")
+    )
+    left = {r["k"] for r in st.current().collect()}
+    assert left == {k for k in range(12) if k % 3 != 1 and k != 5}
