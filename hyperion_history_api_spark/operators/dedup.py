@@ -311,16 +311,29 @@ def extend_dedup_index(
 ) -> DedupIndex:
     """The append step after a batch's pairs are emitted: known docs
     add membership rows only; novel texts add their rep's signature,
-    hashes, membership and registry rows."""
+    hashes, membership and registry rows.
+
+    Idempotent under at-least-once replay: a doc id already present
+    in ``members`` adds nothing (anti-join guard) — the crash window
+    that matters is a replay AFTER a successful index commit (e.g.
+    foreachBatch re-runs before the checkpoint acked), where every
+    replayed fingerprint is registered, so without the guard each
+    replay would stack duplicate membership rows and the expansion
+    legs would emit duplicated pair rows forever after. Novel-side
+    frames need no guard: a replayed batch's fps are all registered,
+    so its novel split is empty."""
     known, new_members, new_groups = _split_batch(index, new_docs, text_col, id_col)
     new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
     new_hashed = hashed_shingles(new_reps, text_col, id_col, shingle_n=shingle_n)
+    additions = known.unionByName(new_members).join(
+        index.members.select(id_col), id_col, "left_anti"
+    )
     return DedupIndex(
         bands=index.bands.unionByName(
             minhash_bands(new_hashed, id_col, num_hashes=num_hashes, bands=bands)
         ),
         hashes=index.hashes.unionByName(new_hashed),
-        members=index.members.unionByName(known).unionByName(new_members),
+        members=index.members.unionByName(additions),
         registry=index.registry.unionByName(new_groups.select("__fp", "__rep")),
     )
 

@@ -167,3 +167,25 @@ def test_persist_extend_probe_lifecycle_on_disk(spark, sf_dir, tmp_path):
     )
     want = _pairs_set(minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5))
     assert got == want and want
+
+
+def test_extend_is_replay_idempotent(spark, sf_dir):
+    """Extending twice with the same batch (the replay-after-commit
+    crash window) changes nothing: membership/registry/bands row
+    counts stay fixed, so expansion never emits duplicated pairs."""
+    from hyperion_history_api_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    seed = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    index = extend_dedup_index(
+        build_dedup_index(seed, "text", "doc_id"), b1, "text", "doc_id"
+    )
+    counts = {
+        f: getattr(index, f).count()
+        for f in ("bands", "hashes", "members", "registry")
+    }
+    again = extend_dedup_index(index, b1, "text", "doc_id")
+    for f, n in counts.items():
+        assert getattr(again, f).count() == n, f
+    assert counts["members"] == seed.count() + b1.count()
