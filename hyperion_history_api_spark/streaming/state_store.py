@@ -286,8 +286,12 @@ class ParquetStateStore:
             # (a partitioned write of zero rows emits no footer at all)
             df.write.mode("overwrite").parquet(snap_dir)
         else:
+            # repartition on the BUCKET id so each task holds whole
+            # buckets and every __b=K/ dir gets ~1 file (repartitioning
+            # on the raw keys would spray each bucket across all tasks
+            # -> num_buckets^2 small files per snapshot)
             self._bucket(df).repartition(
-                self.num_buckets, *self.keys
+                self.num_buckets, F.col("__b")
             ).write.mode("overwrite").partitionBy("__b").parquet(snap_dir)
             if link_from is not None:
                 for k in range(self.num_buckets):
@@ -343,14 +347,18 @@ class ParquetStateStore:
             )
             self._commit(merged)
             return
-        upd = self._bucket(updates).localCheckpoint(eager=True)
+        # touched-bucket discovery is one tiny distinct over the
+        # (typically already-persisted) batch — no checkpoint: an
+        # eager materialization job here costs more than recomputing
+        # the one-column bucket projection twice
         touched = sorted(
-            r["__b"] for r in upd.select("__b").distinct().collect()
+            r["__b"]
+            for r in self._bucket(updates).select("__b").distinct().collect()
         )
         cur_touched = cur_raw.where(F.col("__b").isin(touched)).drop("__b")
         merged = merge_update_by_block(
             cur_touched,
-            upd.drop("__b"),
+            updates,
             self.keys,
             block_col=self.block_col,
             present_col=self.present_col,
