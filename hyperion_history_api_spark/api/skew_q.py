@@ -1,0 +1,89 @@
+"""Skew-handling queries — the heatmap profile and the salted hot-key
+join (operators/skew.py), oracle-checked.
+
+The reference ships skew handling as infrastructure config
+(``scaling.routing_mode: "heatmap"``, deserializer.ts:612-645): hot
+contract accounts get a worker pool instead of one queue. Here the
+same capability is a query-plan property, so it is testable: the
+profile is deterministic (hash-sampled) and the salted join's result
+is provably identical to the plain join — the oracle for
+``skew_join_salted`` IS the plain join SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, _t
+
+
+@register(
+    "skew_key_profile",
+    """
+    WITH s AS (
+      SELECT event_type FROM events
+      WHERE substr(md5('skew' || CAST(event_id AS STRING)), 1, 4) < '4000'
+    ), c AS (
+      SELECT event_type, count(*) AS key_rows FROM s GROUP BY event_type
+    ), t AS (SELECT sum(key_rows) AS tot FROM c)
+    SELECT event_type, key_rows,
+           round(key_rows * 1.0 / tot, 4) AS share
+    FROM c CROSS JOIN t
+    ORDER BY share DESC, event_type
+    """,
+    "scale/skew: deterministic key-heat profile (hash-sampled 25%) — "
+    "the reference's heatmap routing input as an oracle-checked query",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key share of the action log on a deterministic 25% sample;
+    the planner input for ``choose_join_strategy``. The sample filter
+    is the same salted-md5 bucket both engines compute bit-identically
+    (cutoff 0.25 * 2^16 = 0x4000)."""
+    from ..operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir)["events"]
+    return key_skew_profile(
+        ev, "event_type", id_col="event_id", sample_fraction=0.25
+    )
+
+
+@register(
+    "skew_join_salted",
+    """
+    WITH d AS (
+      SELECT event_type, count(*) AS type_events,
+             round(avg(value), 4) AS type_avg_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, d.type_events,
+           d.type_avg_value
+    FROM events e JOIN d USING (event_type)
+    ORDER BY event_id
+    """,
+    "scale/skew: hot-key fact-dim join through the salted path "
+    "(salts=8) — result provably equals the plain join, so the "
+    "oracle is the unsalted SQL; plan audit pins the (key, salt) "
+    "exchange and the dim-side replication generator",
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its type's global stats through the
+    salted join: `event_type` has ~5 distinct values, so an unsalted
+    shuffle join would land the whole fact table on 5 reduce tasks
+    no matter how many executors exist — the straggler shape the
+    heatmap pool exists for. Salting with 8 sub-keys spreads each hot
+    key over 8 tasks; the dim side (here deliberately NOT broadcast —
+    this path exists for broadcast-ineligible dims) is replicated 8x
+    by a generator, a dim-IO-for-parallelism trade taken only when
+    the profile proves a straggler (`choose_join_strategy`)."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir)["events"]
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_events"),
+        F.round(F.avg("value"), 4).alias("type_avg_value"),
+    )
+    fact = ev.select("event_id", "event_type", "value")
+    return salted_join(
+        fact, dim, "event_type", salt_id_col="event_id", salts=8
+    ).orderBy("event_id")

@@ -1,0 +1,173 @@
+"""Skew-aware join execution — key-heat profiling, salted
+replication, and cost-gated strategy choice.
+
+Reference anchor: the reference's ``scaling.routing_mode: "heatmap"``
+(src/indexer/workers/deserializer.ts:612-645 routes a hot contract
+account's messages round-robin over an assigned worker POOL;
+src/indexer/modules/master.ts:1077 maintains that pool map). That is
+hand-rolled skew salting: one hot key fanned over N workers instead
+of hashing to a single queue. The Spark-first translation keeps the
+same three ingredients but expresses them declaratively:
+
+- ``key_skew_profile`` is the heatmap: per-key row share measured on
+  a DETERMINISTIC hash sample (salted-md5 bucket like
+  ``operators/sampling.py``), so the profile itself is reproducible
+  and oracle-checkable — not an RNG estimate.
+- ``salted_join`` is the worker pool: the fact side's hot key is
+  split into ``salts`` sub-keys (``pmod(xxhash64(id), salts)``) and
+  the dim side is replicated once per salt with a generator — the
+  join key becomes (key, salt), so one hot key occupies ``salts``
+  reduce tasks instead of one straggler. Salting never changes the
+  join RESULT (each fact row still meets exactly one replica of its
+  dim row), which is why the oracle for a salted query is the plain
+  join SQL.
+- ``choose_join_strategy`` is the routing_mode switch: broadcast when
+  the dim fits (no shuffle at all beats any salting), salt when the
+  profiled top-key share says a single reduce task would carry a
+  constant fraction of the fact table, plain shuffle otherwise.
+
+Relation to AQE: ``spark.sql.adaptive.skewJoin.enabled`` already
+splits oversized partitions of sort-merge joins at runtime from
+shuffle statistics. Salting complements it where AQE can't reach —
+broadcast-ineligible dims under ``ShuffledHashJoin``, skew known
+ahead of time (the heatmap case: hot system contracts are hot every
+day), and engines/stages AQE doesn't re-plan. Aggregation skew is
+deliberately NOT salted here: Spark's partial (map-side) aggregation
+already collapses algebraic aggs per map task, so a groupBy on a
+5-value key ships at most 5 rows per task regardless of skew.
+
+Scale: the profile is one narrow sample-filter + groupBy on the key
+(tiny output); salting adds a ``salts``-way replication of the dim
+side only — the classic trade of dim-side IO for reduce-side
+parallelism, chosen only when the profile proves a straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket, _cutoff_hex
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    *,
+    id_col: str,
+    sample_fraction: float = 1.0,
+    seed: str = "skew",
+) -> DataFrame:
+    """Per-key heat: ``(key, key_rows, share)`` over a deterministic
+    hash sample (``sample_fraction`` of rows by salted-md5 bucket of
+    ``id_col``), descending by share.
+
+    Deterministic by construction — the same rows are sampled on any
+    cluster and in the oracle — so a planner decision taken from this
+    profile is reproducible, unlike one taken from ``df.sample``.
+    Scale: the sample predicate is a narrow map over the scan; the
+    groupBy output is one row per distinct key (bounded by key
+    cardinality, not data size); the total is one broadcast scalar.
+    """
+    d = df
+    if sample_fraction < 1.0:
+        d = df.where(
+            hash_bucket(F.col(id_col), seed) < _cutoff_hex(sample_fraction)
+        )
+    counts = d.groupBy(key_col).agg(F.count("*").alias("key_rows"))
+    total = counts.agg(F.sum("key_rows").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "key_rows",
+            F.round(F.col("key_rows") / F.col("__total"), 4).alias("share"),
+        )
+        .orderBy(F.desc("share"), key_col)
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    salt_id_col: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` to ``dim`` on ``on`` with the fact side's key
+    salted into ``salts`` sub-keys and the dim side replicated once
+    per salt — the heatmap worker-pool shape as a DataFrame plan.
+
+    The fact salt is ``pmod(xxhash64(salt_id_col), salts)``: a pure
+    function of a stable fact column, so the plan is deterministic
+    (replay-identical), yet uniform across salts. The dim side gets a
+    generator (``explode(sequence(...))``) — ``salts`` copies of each
+    dim row, NOT a broadcast: this path exists precisely for dims too
+    big to broadcast. Each fact row matches exactly the one replica
+    carrying its salt, so the result equals the unsalted join for
+    both ``inner`` and ``left`` (pinned by tests/test_skew.py).
+
+    Scale: the join shuffles on (key, salt) — a key carrying p% of
+    the fact table occupies ``salts`` reduce tasks at p/salts each
+    instead of one straggler at p. Cost: dim IO × salts. Worth it iff
+    the profile shows a genuinely hot key; ``choose_join_strategy``
+    applies that gate.
+    """
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_id_col)), F.lit(salts))
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return f.join(d, [on, "__salt"], how).drop("__salt")
+
+
+def choose_join_strategy(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    salt_id_col: str,
+    broadcast_rows: int = 100_000,
+    skew_share: float = 0.2,
+    sample_fraction: float = 0.05,
+    salts: int = 8,
+    how: str = "inner",
+) -> tuple[DataFrame, str]:
+    """Pick broadcast / salted / shuffle for this join and return
+    ``(joined_df, strategy)``.
+
+    Planner-time cost: one dim count (at production scale a catalog
+    statistics lookup; here an explicit count job, documented) and —
+    only when the dim is broadcast-ineligible — one profile job over
+    the deterministic sample. Decision order mirrors real cost:
+
+    1. dim fits (``<= broadcast_rows``) -> ``broadcast`` (zero
+       fact shuffle beats everything; salting would be pure waste);
+    2. profiled top-key share ``>= skew_share`` -> ``salted`` (a
+       single reduce task would otherwise carry that share of the
+       fact table no matter how many executors exist);
+    3. otherwise -> plain ``shuffle`` (uniform keys spread fine;
+       replication would add dim IO for nothing).
+    """
+    if dim.count() <= broadcast_rows:
+        return fact.join(F.broadcast(dim), on, how), "broadcast"
+    top = (
+        key_skew_profile(
+            fact, on, id_col=salt_id_col, sample_fraction=sample_fraction
+        )
+        .select("share")
+        .first()
+    )
+    if top is not None and top["share"] >= skew_share:
+        return (
+            salted_join(
+                fact, dim, on, salt_id_col=salt_id_col, salts=salts, how=how
+            ),
+            "salted",
+        )
+    return fact.join(dim, on, how), "shuffle"

@@ -84,3 +84,4 @@ from .api import table_handlers_q as _table_handlers_q  # noqa: E402,F401
 from .api import misc_endpoints as _misc_endpoints  # noqa: E402,F401
 from .api import curation as _curation  # noqa: E402,F401
 from .api import pipeline_aggs as _pipeline_aggs  # noqa: E402,F401
+from .api import skew_q as _skew_q  # noqa: E402,F401

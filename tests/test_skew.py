@@ -1,0 +1,147 @@
+"""Skew-aware join strategies (operators/skew.py): salted-join
+result equivalence, plan shape, profile determinism, and the
+strategy chooser's three decisions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.operators.skew import (
+    choose_join_strategy,
+    key_skew_profile,
+    salted_join,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _dim(ev):
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("type_events"),
+        F.round(F.avg("value"), 4).alias("type_avg_value"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_inner_across_salt_counts(spark):
+    ev = _events(spark).select("event_id", "event_type", "value")
+    dim = _dim(_events(spark))
+    plain = _rows(ev.join(dim, "event_type"))
+    for salts in (1, 3, 8):
+        got = _rows(
+            salted_join(
+                ev, dim, "event_type", salt_id_col="event_id", salts=salts
+            )
+        )
+        assert got == plain, f"salts={salts} diverged from plain join"
+
+
+def test_salted_join_equals_plain_left_with_unmatched_fact_rows(spark):
+    """Left join: fact rows whose key has no dim row must survive
+    exactly once (not salts times, not zero)."""
+    ev = _events(spark).select("event_id", "event_type", "value")
+    dim = _dim(_events(spark)).where(F.col("event_type") != "error")
+    plain = _rows(ev.join(dim, "event_type", "left"))
+    got = _rows(
+        salted_join(
+            ev, dim, "event_type", salt_id_col="event_id", salts=5, how="left"
+        )
+    )
+    assert got == plain
+    n_error = sum(1 for r in got if r[0] == "error")
+    assert n_error > 0 and any(r[-1] is None for r in got if r[0] == "error")
+
+
+def test_salted_join_plan_shape(spark):
+    """The scale contract: the join key includes the salt (hot key
+    spread over `salts` reduce tasks), the dim side carries a
+    replication generator, and nothing broadcast — this path exists
+    for broadcast-ineligible dims."""
+    ev = _events(spark).select("event_id", "event_type", "value")
+    dim = _dim(_events(spark))
+    df = salted_join(ev, dim, "event_type", salt_id_col="event_id", salts=8)
+    # At fixture scale Catalyst correctly broadcasts the 5-row dim;
+    # emulate the broadcast-INELIGIBLE dim this path exists for.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "__salt" in plan
+    assert "Generate" in plan  # explode(sequence(0, salts-1)) on dim
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_profile_partition_invariant_and_deterministic(spark):
+    ev = _events(spark)
+    a = key_skew_profile(
+        ev, "event_type", id_col="event_id", sample_fraction=0.25
+    ).collect()
+    b = key_skew_profile(
+        ev.repartition(13, "event_id"),
+        "event_type",
+        id_col="event_id",
+        sample_fraction=0.25,
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    shares = [r["share"] for r in a]
+    assert shares == sorted(shares, reverse=True)
+    assert abs(sum(shares) - 1.0) < 1e-6
+
+
+def test_chooser_broadcasts_small_dim(spark):
+    ev = _events(spark).select("event_id", "event_type", "value")
+    dim = _dim(_events(spark))
+    df, strategy = choose_join_strategy(
+        ev, dim, "event_type", salt_id_col="event_id"
+    )
+    assert strategy == "broadcast"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chooser_salts_when_profile_shows_hot_key(spark):
+    """With broadcast ruled out, ~5 uniform event types profile at
+    ~0.2 share each — above a 0.15 gate a single reduce task would
+    carry 1/5 of the fact table, so the chooser salts."""
+    ev = _events(spark).select("event_id", "event_type", "value")
+    dim = _dim(_events(spark))
+    df, strategy = choose_join_strategy(
+        ev,
+        dim,
+        "event_type",
+        salt_id_col="event_id",
+        broadcast_rows=0,
+        skew_share=0.15,
+        sample_fraction=0.5,
+    )
+    assert strategy == "salted"
+    assert _rows(df) == _rows(ev.join(dim, "event_type"))
+
+
+def test_chooser_plain_shuffle_when_keys_spread(spark):
+    """user_id (~150 distinct, uniform) profiles far below the gate:
+    replication would add dim IO for nothing."""
+    ev = _events(spark).select("event_id", "user_id", "value")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    df, strategy = choose_join_strategy(
+        ev,
+        dim,
+        "user_id",
+        salt_id_col="event_id",
+        broadcast_rows=0,
+        skew_share=0.15,
+        sample_fraction=0.5,
+    )
+    assert strategy == "shuffle"
+    assert _rows(df) == _rows(ev.join(dim, "user_id"))
