@@ -190,3 +190,46 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return resize_ppm(synth_media(docs), box=8).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_bmp",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, 16),
+                   j -> CAST(concat('0x', substr(md5(text), 2*j - 1, 2))
+                             AS BIGINT)) AS db,
+               3 + doc_id % 14 AS w,
+               2 + doc_id % 9 AS h
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(((3*w + 3) // 4) * 4 AS INT) AS stride,
+           CAST(w * h AS BIGINT) AS n_units,
+           round(list_sum(list_transform(generate_series(0, 3*w*h - 1),
+                 i -> db[(i % 16) + 1])) * 1.0 / (3*w*h), 4) AS mean_val,
+           round(list_sum(list_transform(generate_series(0, 3*w - 1),
+                 i -> db[(i % 16) + 1])) * 1.0 / (3*w), 4) AS top_row_mean,
+           round(list_sum(list_transform(generate_series(0, w*h - 1),
+                 p -> db[((3*p) % 16) + 1])) * 1.0 / (w*h), 4) AS chan0_mean
+    FROM d ORDER BY media_id
+    """,
+    "multimodal: REAL Windows BMP decode (struct headers, pixel-data "
+    "offset, 4-byte row stride padding, bottom-up row order) — the "
+    "oracle checks order-sensitive (top row) and channel-sensitive "
+    "(byte 0 of each pixel) means, so every layout rule of the "
+    "container is load-bearing",
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize honest 24-bit BI_RGB BMP files from the corpus
+    (widths cover all four stride-padding residues) and decode them
+    for real: header struct-parse + validation, offset seek, padded
+    stride walk, bottom-up row reversal. One Arrow pass each way, no
+    shuffle; a wrong stride, a skipped row flip, or reading the pad
+    bytes all break the hash."""
+    from ..sources.multimodal import decode_bmp, synth_media_bmp
+
+    docs = _t(spark, sf_dir)["documents"]
+    return decode_bmp(synth_media_bmp(docs)).orderBy("media_id")

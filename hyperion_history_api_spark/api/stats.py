@@ -141,6 +141,60 @@ def percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_value_approx",
+    """
+    WITH ex AS (
+      SELECT count(*) AS n_rows,
+             max(value) - min(value) AS rng,
+             quantile_cont(value, 0.50) AS e50,
+             quantile_cont(value, 0.95) AS e95,
+             quantile_cont(value, 0.99) AS e99,
+             approx_quantile(value, 0.50) AS a50,
+             approx_quantile(value, 0.95) AS a95,
+             approx_quantile(value, 0.99) AS a99
+      FROM events
+    )
+    SELECT n_rows,
+           abs(a50 - e50) <= 0.02 * rng AS p50_ok,
+           abs(a95 - e95) <= 0.02 * rng AS p95_ok,
+           abs(a99 - e99) <= 0.02 * rng AS p99_ok
+    FROM ex
+    """,
+    "A6 percentiles, ES-default approximate form — single-pass "
+    "mergeable sketch gated against the exact quantiles (same "
+    "tolerance-gate oracle pattern as the PQ/LSH recall gates)",
+)
+def percentiles_value_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES's percentiles agg is APPROXIMATE by default (t-digest);
+    `percentiles_value` keeps the exact interpolated form for the
+    oracle, and this row runs the production sketch: one pass,
+    bounded memory, mergeable across partitions (map-side partial
+    merge — no row shuffle, only sketch shuffle), which is the only
+    percentile shape that works on a 100 TB column. Sketches differ
+    between engines (Spark: Greenwald-Khanna; DuckDB: t-digest), so
+    the oracle gates both against their engine's EXACT quantiles at
+    2% of the value range — the hash matches iff both sketches are
+    honest, mirroring the ANN recall gates."""
+    ev = _t(spark, sf_dir)["events"]
+    ex = ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.max("value") - F.min("value")).alias("rng"),
+        F.expr("percentile(value, 0.50)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+        F.expr("percentile_approx(value, 0.50, 1000)").alias("a50"),
+        F.expr("percentile_approx(value, 0.95, 1000)").alias("a95"),
+        F.expr("percentile_approx(value, 0.99, 1000)").alias("a99"),
+    )
+    return ex.select(
+        "n_rows",
+        (F.abs(F.col("a50") - F.col("e50")) <= 0.02 * F.col("rng")).alias("p50_ok"),
+        (F.abs(F.col("a95") - F.col("e95")) <= 0.02 * F.col("rng")).alias("p95_ok"),
+        (F.abs(F.col("a99") - F.col("e99")) <= 0.02 * F.col("rng")).alias("p99_ok"),
+    )
+
+
+@register(
     "terms_agg_event_type",
     """
     SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value

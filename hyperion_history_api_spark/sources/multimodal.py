@@ -393,3 +393,138 @@ def resize_ppm(media: DataFrame, box: int = 8) -> DataFrame:
         .mapInPandas(run, schema)
         .withColumn("out_mean", F.round("out_mean", 4))
     )
+
+
+# ------------------------------------------------------------- BMP
+# A third stdlib-only real format, chosen because its container is
+# genuinely adversarial where PPM is trivial: little-endian struct
+# headers with a pixel-data OFFSET field, rows padded to 4-byte
+# boundaries (stride != 3*w for most widths), and BOTTOM-UP row
+# order. The decoder must honor all three; the oracle checks
+# order-sensitive values (top-row mean) and channel-sensitive values
+# (first-channel mean), so a decoder that ignores the offset, the
+# padding, or the row flip cannot hash-match.
+
+
+def synth_media_bmp(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Windows BMP files (24-bit BI_RGB) from the
+    documents table: w = 3+id%14, h = 2+id%9 (widths cover all four
+    stride-padding residues), logical top-down pixel byte stream =
+    md5(text) digest repeated over 3*w*h bytes, then stored the way
+    BMP requires — bottom-up, each row zero-padded to a 4-byte
+    stride. Any external image tool opens these files."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+
+        import pandas as _pd
+
+        def build(media_id: int, text: str) -> bytes:
+            dg = _hl.md5(text.encode("utf-8")).digest()
+            w, h = 3 + media_id % 14, 2 + media_id % 9
+            n = 3 * w * h
+            logical = (dg * (n // 16 + 1))[:n]
+            stride = (3 * w + 3) & ~3
+            pad = b"\x00" * (stride - 3 * w)
+            body = b"".join(
+                logical[3 * w * r : 3 * w * (r + 1)] + pad
+                for r in range(h - 1, -1, -1)
+            )
+            header = _st.pack(
+                "<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54
+            ) + _st.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                2835, 2835, 0, 0,
+            )
+            return header + body
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        build(int(m), t)
+                        for m, t in zip(pdf["media_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(run, "media_id long, payload binary")
+
+
+BMP_DECODE_SCHEMA = (
+    "media_id long, width int, height int, stride int, n_units long, "
+    "mean_val double, top_row_mean double, chan0_mean double"
+)
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """REAL BMP decode: struct-parses both headers (magic, declared
+    file size, pixel-data offset, dimensions, bpp, compression),
+    validates them, then reconstructs the logical top-down pixel
+    array by seeking to the offset, stepping the padded stride, and
+    reversing the bottom-up row order. Emits order-sensitive
+    (top_row_mean) and channel-sensitive (chan0_mean: byte 0 of each
+    pixel) digests alongside the full mean, so every layout rule the
+    format has is load-bearing for the oracle hash. Arrow-batched
+    single pass, no shuffle — identical scale shape to the PPM/WAV
+    decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        import numpy as _np
+        import pandas as _pd
+
+        def one(media_id: int, payload: bytes) -> dict:
+            magic, fsize, _, _, off = _st.unpack_from("<2sIHHI", payload, 0)
+            hsz, w, h, planes, bpp, comp = _st.unpack_from(
+                "<IiiHHI", payload, 14
+            )
+            if (
+                magic != b"BM"
+                or fsize != len(payload)
+                or hsz != 40
+                or planes != 1
+                or bpp != 24
+                or comp != 0
+            ):
+                raise ValueError(f"not an uncompressed 24-bit BMP: {media_id}")
+            stride = (3 * w + 3) & ~3
+            rows = [
+                _np.frombuffer(
+                    payload[off + r * stride : off + r * stride + 3 * w],
+                    dtype=_np.uint8,
+                )
+                for r in range(h - 1, -1, -1)  # stored bottom-up
+            ]
+            logical = _np.concatenate(rows).astype("float64")
+            return {
+                "media_id": media_id,
+                "width": w,
+                "height": h,
+                "stride": stride,
+                "n_units": w * h,
+                "mean_val": float(logical.mean()),
+                "top_row_mean": float(logical[: 3 * w].mean()),
+                "chan0_mean": float(logical[0::3].mean()),
+            }
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                [
+                    one(int(m), bytes(p))
+                    for m, p in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    # JVM-side HALF_UP rounding (see decode_media)
+    out = media.select("media_id", "payload").mapInPandas(
+        run, BMP_DECODE_SCHEMA
+    )
+    for c in ("mean_val", "top_row_mean", "chan0_mean"):
+        out = out.withColumn(c, F.round(c, 4))
+    return out
