@@ -85,6 +85,82 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_bloom_probe",
+    """
+    WITH fpd AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), hist AS (
+      SELECT fp FROM fpd WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT fp FROM fpd WHERE doc_id % 20 = 0
+    ),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    hist_pos AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(fp || '#' || CAST(j AS STRING)),
+                                      1, 8)) AS BIGINT) % 262144 AS pos
+      FROM hist CROSS JOIN js
+    ), batch AS (SELECT doc_id, fp FROM fpd WHERE doc_id % 10 = 0),
+    probe AS (
+      SELECT doc_id, j,
+             CAST(concat('0x', substr(md5(fp || '#' || CAST(j AS STRING)),
+                                      1, 8)) AS BIGINT) % 262144 AS pos
+      FROM batch CROSS JOIN js
+    ), hits AS (
+      SELECT doc_id, count(DISTINCT j) = 4 AS bloom_hit
+      FROM probe JOIN hist_pos USING (pos) GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(h.bloom_hit, FALSE) AS bloom_hit,
+           b.fp IN (SELECT fp FROM hist) AS exact_dup
+    FROM batch b LEFT JOIN hits h USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    "dedup: Bloom-filter membership probe of an arriving batch "
+    "against indexed history (Dolma-style trillion-token exact "
+    "dedup) — md5-derived bit positions make the flagged set, "
+    "including false positives, bit-identical in both engines",
+)
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup the way trillion-token pipelines run it:
+    history membership lives in a Bloom bit set (m=2^18, k=4) and the
+    arriving batch (doc_id % 10 == 0) probes it without ever joining
+    the history corpus — O(batch) probe work, history touched only to
+    build the index. The registered plan uses the positions-table
+    form (broadcast equi-join on the bit position, all JVM-side);
+    `bloom_probe_bytes` is the packed 32 KiB bitmap twin with
+    bit-identical flags (tests/test_bloom.py). `exact_dup` rides
+    along to expose the false-positive set — deterministic here by
+    the md5 position contract, so the oracle hash-checks it too."""
+    from ..operators.bloom import bloom_positions, bloom_probe_join
+
+    docs = _t(spark, sf_dir)["documents"]
+    fpd = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    # the fixture has no exact duplicates, so half the batch is a
+    # simulated RE-INGEST: its fingerprints are already indexed —
+    # those rows must bloom-hit (no false negatives), the rest must
+    # miss (modulo the deterministic false positives)
+    hist = fpd.where(F.col("doc_id") % 10 != 0).unionAll(
+        fpd.where(F.col("doc_id") % 20 == 0)
+    )
+    batch = fpd.where(F.col("doc_id") % 10 == 0)
+    probed = bloom_probe_join(
+        batch, bloom_positions(hist, "fp"), "fp", "doc_id"
+    )
+    exact = hist.select("fp").distinct().withColumn("__h", F.lit(1))
+    return (
+        probed.join(F.broadcast(exact), "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("__h").isNotNull().alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "doc_quality_score",
     """
     SELECT doc_id,
