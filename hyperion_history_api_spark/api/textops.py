@@ -121,6 +121,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against indexed history (Dolma-style trillion-token exact "
     "dedup) — md5-derived bit positions make the flagged set, "
     "including false positives, bit-identical in both engines",
+    headline=True,
 )
 def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup the way trillion-token pipelines run it:

@@ -29,7 +29,7 @@ def _dim(ev):
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 def test_salted_join_equals_plain_inner_across_salt_counts(spark):
@@ -145,3 +145,29 @@ def test_chooser_plain_shuffle_when_keys_spread(spark):
     )
     assert strategy == "shuffle"
     assert _rows(df) == _rows(ev.join(dim, "user_id"))
+
+
+def test_salted_join_null_keys_and_empty_sides(spark):
+    """Null join keys match nothing in either form; empty fact/dim
+    degrade identically to the plain join."""
+    from pyspark.sql import Row
+
+    fact = spark.createDataFrame(
+        [Row(id=1, k="a"), Row(id=2, k=None), Row(id=3, k="b")]
+    )
+    dim = spark.createDataFrame([Row(k="a", v=10), Row(k=None, v=99)])
+    for how in ("inner", "left"):
+        plain = _rows(fact.join(dim, "k", how))
+        got = _rows(
+            salted_join(fact, dim, "k", salt_id_col="id", salts=4, how=how)
+        )
+        assert got == plain, f"how={how}"
+    empty_dim = dim.where(F.lit(False))
+    assert _rows(
+        salted_join(fact, empty_dim, "k", salt_id_col="id", salts=4)
+    ) == _rows(fact.join(empty_dim, "k"))
+    empty_fact = fact.where(F.lit(False))
+    assert (
+        salted_join(empty_fact, dim, "k", salt_id_col="id", salts=4).count()
+        == 0
+    )
