@@ -87,3 +87,45 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         fact, dim, "event_type", salt_id_col="event_id", salts=8
     ).orderBy("event_id")
+
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import zorder_terms
+
+    body = " + ".join(
+        zorder_terms("user_id", "(event_id div 16)", 16)
+    ).replace(" div ", " // ")
+    return f"""
+    SELECT event_id, user_id, CAST({body} AS BIGINT) AS zkey
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """
+
+
+@register(
+    "zorder_key_check",
+    _zorder_sql(),
+    "scale/layout: Morton (Z-order) clustering key over "
+    "(user_id, block-scaled event_id) — pure integer arithmetic, the "
+    "identical expression generated for both engines; the lake-layout "
+    "technique that lets parquet min/max stats prune BOTH the account "
+    "and the block-range predicate (Delta OPTIMIZE ZORDER analog)",
+)
+def zorder_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order key as an oracle row: bit-interleaves the two hot
+    filter dimensions of the action log. `cluster_by_zorder` writes
+    files as compact (a, b) rectangles with this key (pruning proven
+    by tests/test_zorder.py against real parquet footer stats);
+    here the key itself is hash-checked so the layout is
+    deterministic on any engine."""
+    from ..operators.zorder import zorder_key
+
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.where(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "user_id",
+            zorder_key("user_id", "(event_id div 16)").alias("zkey"),
+        )
+        .orderBy("event_id")
+    )
