@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, _t
+from ..sources.hyperion_model import ACTIONS_CTE
 
 
 @register(
@@ -128,4 +129,65 @@ def zorder_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             zorder_key("user_id", "(event_id div 16)").alias("zkey"),
         )
         .orderBy("event_id")
+    )
+
+
+def _zorder_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actions lake re-clustered on the Morton key of the two hot
+    filter dimensions (account-carrying ``user_id``, block-scaled
+    ``block_num``) — stored once via ``ensure_parquet`` like every
+    other lake artifact. Files become compact (account, block)
+    rectangles, so parquet min/max stats prune BOTH predicate
+    dimensions of the reference's flagship scan
+    (get_actions/functions.ts: account + block range), where the
+    single-dim index sort prunes only the block side."""
+    from ..operators.zorder import cluster_by_zorder
+    from ..sources import hyperion_model as hm
+    from ..sources.lake import ensure_parquet
+
+    def build() -> DataFrame:
+        return cluster_by_zorder(
+            hm.build_actions(spark, sf_dir),
+            "user_id",
+            "(block_num div 16)",
+            num_files=32,
+        ).drop("__z")
+
+    return ensure_parquet(
+        spark, sf_dir, "actions_zorder", build, extra_key="zorder-v1"
+    )
+
+
+@register(
+    "hyp_actions_zorder_scan",
+    ACTIONS_CTE
+    + """
+    SELECT global_sequence, block_num, user_id, act_account,
+           len(notified) AS n_notified
+    FROM actions
+    WHERE user_id = 7 AND block_num BETWEEN 200 AND 1200
+    ORDER BY global_sequence
+    """,
+    "scale/layout: the flagship account+block-range scan served from "
+    "a Z-order-clustered copy of the actions lake — both predicates "
+    "reach the stored scan as PushedFilters AND both prune files via "
+    "min/max stats (single-dim index sort prunes only the block side)",
+)
+def hyp_actions_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account + block-range page query against the Z-ordered stored
+    actions. Same result as the block-part lake (the oracle is the
+    plain actions SQL); what changes is the LAYOUT: at 100 TB a hot
+    account's rows live in ~sqrt(files) files instead of every file
+    in the block range."""
+    a = _zorder_actions(spark, sf_dir)
+    return (
+        a.where((F.col("user_id") == 7) & F.col("block_num").between(200, 1200))
+        .select(
+            "global_sequence",
+            "block_num",
+            "user_id",
+            "act_account",
+            F.size("notified").cast("long").alias("n_notified"),
+        )
+        .orderBy("global_sequence")
     )
