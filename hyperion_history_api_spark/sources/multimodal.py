@@ -491,6 +491,8 @@ def decode_bmp(media: DataFrame) -> DataFrame:
                 or planes != 1
                 or bpp != 24
                 or comp != 0
+                or w <= 0
+                or h <= 0  # negative h = top-down variant, not handled
             ):
                 raise ValueError(f"not an uncompressed 24-bit BMP: {media_id}")
             stride = (3 * w + 3) & ~3
