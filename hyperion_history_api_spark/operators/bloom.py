@@ -88,7 +88,14 @@ def bloom_probe_join(
     ``(id, fp, bloom_hit)`` where bloom_hit <=> all k positions of
     the fingerprint are set. The positions table broadcasts while it
     fits; past broadcast size the same equi-join runs partitioned on
-    ``pos`` — the scale-out Bloom probe."""
+    ``pos`` — the scale-out Bloom probe.
+
+    The broadcast hint is CONDITIONAL on m: the positions table is at
+    most m rows, so it is hinted only while its worst-case packed size
+    (m longs) stays under ~64 MB. Past that (the 2^33-bit trillion-doc
+    sizing) no hint is applied and the optimizer plans a partitioned
+    equi-join on ``pos`` — forcing the hint there would materialize a
+    multi-GB broadcast on the driver."""
     probe = batch.select(
         F.col(id_col),
         F.col(fp_col),
@@ -101,8 +108,12 @@ def bloom_probe_join(
             )
         ).alias("j", "pos"),
     )
+    # m rows x ~24B in-plan row width; 64MB gate => m <= ~2^21 hinted
+    pos_side = (
+        F.broadcast(positions) if m * 24 <= 64 * 1024 * 1024 else positions
+    )
     hits = (
-        probe.join(F.broadcast(positions), "pos")
+        probe.join(pos_side, "pos")
         .groupBy(id_col)
         .agg((F.count_distinct("j") == k).alias("bloom_hit"))
     )

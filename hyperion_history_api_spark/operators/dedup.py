@@ -433,7 +433,13 @@ def incremental_pairs(
     # O(1) count on the already-checkpointed split, so a bulk backfill
     # batch falls back to the shuffle join instead of a giant
     # broadcast.
-    if ann.count() * bands * 24 < 64 * 1024 * 1024:
+    # Per-row width: a 32-hex-char band_val string + id + object/plan
+    # overhead is ~100 B in-memory (not the 24 B a packed long would
+    # cost), and the probe union can approach 2x batch-rows x bands
+    # (stored touched-group bands + novel reps' bands). Gate on that
+    # realistic estimate so a bulk backfill falls back to the shuffle
+    # join before the broadcast reaches hundreds of MB.
+    if ann.count() * bands * 2 * 100 < 64 * 1024 * 1024:
         n = F.broadcast(n)
     n = n.alias("n")
     o = index.bands.unionByName(new_bands).alias("o")

@@ -117,6 +117,14 @@ def salted_join(
     """
     if salts < 1:
         raise ValueError("salts must be >= 1")
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # right/full would null-extend each UNMATCHED dim row once per
+        # salt replica — `salts` duplicate rows the unsalted join never
+        # emits. Only fact-side-preserving joins are salt-equivalent.
+        raise ValueError(
+            f"salted_join is result-equivalent to the unsalted join only "
+            f"for inner/left/left_semi/left_anti, not {how!r}"
+        )
     f = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_id_col)), F.lit(salts))
     )
@@ -156,6 +164,10 @@ def choose_join_strategy(
     """
     if dim.count() <= broadcast_rows:
         return fact.join(F.broadcast(dim), on, how), "broadcast"
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # dim-preserving joins can't be salted (see salted_join); past
+        # broadcast size they go straight to the plain shuffle.
+        return fact.join(dim, on, how), "shuffle"
     top = (
         key_skew_profile(
             fact, on, id_col=salt_id_col, sample_fraction=sample_fraction

@@ -309,13 +309,33 @@ class ParquetStateStore:
                             os.path.join(src, fname),
                             os.path.join(dst, fname),
                         )
+            # An all-deleted commit (empty merge, every bucket touched)
+            # emits no parquet footers and links nothing — the snapshot
+            # dir would be unreadable. Fall back to the schema-preserving
+            # plain empty write so the next current()/read_version works.
+            if not any(
+                e.startswith("__b=") for e in os.listdir(snap_dir)
+            ):
+                df.write.mode("overwrite").parquet(snap_dir)
         keep = (
             history[-(self.keep_versions - 1):] if self.keep_versions > 1 else []
         )
         gc = [h for h in history if h not in keep]
         tmp = self._manifest_file() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "snapshot": snap, "history": keep}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "snapshot": snap,
+                    "history": keep,
+                    # bucketing modulus is part of the snapshot layout:
+                    # a reopen with a different num_buckets must NOT take
+                    # the bucket-pruned incremental path (rows would be
+                    # merged under the wrong modulus / dropped)
+                    "num_buckets": self.num_buckets,
+                },
+                f,
+            )
         os.replace(tmp, self._manifest_file())  # THE commit point
         for h in gc:  # retained-window GC after the pointer moves
             shutil.rmtree(os.path.join(self.path, h), ignore_errors=True)
@@ -335,9 +355,16 @@ class ParquetStateStore:
         affordable per micro-batch."""
         m = self.read_manifest()
         cur_raw = self._read_snapshot(m["snapshot"]) if m else None
-        if cur_raw is None or "__b" not in cur_raw.columns:
-            # first commit, or a legacy/empty unpartitioned snapshot:
-            # full merge + full partitioned write
+        if (
+            cur_raw is None
+            or "__b" not in cur_raw.columns
+            or (m is not None and m.get("num_buckets") != self.num_buckets)
+        ):
+            # first commit, a legacy/empty unpartitioned snapshot, or a
+            # reopen under a DIFFERENT bucketing modulus (the stored
+            # __b values are stale — bucket-pruned reads would miss
+            # existing rows and drop high-index buckets):
+            # full merge + full partitioned write under the new modulus
             merged = merge_update_by_block(
                 self.current(),
                 updates,
@@ -374,7 +401,10 @@ class ParquetStateStore:
         if m is None:
             return
         cur_raw = self._read_snapshot(m["snapshot"])
-        if "__b" not in cur_raw.columns:
+        if (
+            "__b" not in cur_raw.columns
+            or m.get("num_buckets") != self.num_buckets
+        ):
             self._commit(fork_retract(self.current(), forked, on=on))
             return
         fk = F.broadcast(forked.select(on).distinct())

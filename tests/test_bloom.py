@@ -90,3 +90,21 @@ def test_probe_plan_is_jvm_side_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_probe_drops_broadcast_hint_past_size_gate(spark):
+    """The 2^33-bit scale-out form must NOT force a broadcast: past
+    the size gate the hint is omitted and flags are unchanged (the
+    optimizer is free to pick a partitioned equi-join)."""
+    fpd = _fp_docs(spark)
+    hist = fpd.where(F.col("doc_id") % 10 != 0)
+    batch = fpd.where(F.col("doc_id") % 10 == 0)
+    big_m = 1 << 33  # 8 Gbit: way past the 64MB positions-table gate
+    pos = bloom_positions(hist, "fp", m=big_m)
+    df = bloom_probe_join(batch, pos, "fp", "doc_id", m=big_m)
+    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast
+    # flags still correct: every batch fp present in history must hit
+    hist_fps = {r["fp"] for r in hist.select("fp").distinct().collect()}
+    for r in df.collect():
+        if r["fp"] in hist_fps:
+            assert r["bloom_hit"]

@@ -171,3 +171,29 @@ def test_salted_join_null_keys_and_empty_sides(spark):
         salted_join(empty_fact, dim, "k", salt_id_col="id", salts=4).count()
         == 0
     )
+
+
+def test_salted_join_rejects_dim_preserving_join_types(spark):
+    """right/full would emit `salts` null-extended copies of each
+    unmatched dim row — salted_join refuses them, and the chooser
+    routes such joins to the plain shuffle past broadcast size."""
+    import pytest
+
+    ev = _events(spark).select("event_id", "event_type", "value")
+    dim = _dim(_events(spark))
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(
+                ev, dim, "event_type", salt_id_col="event_id", how=how
+            )
+    df, strategy = choose_join_strategy(
+        ev,
+        dim,
+        "event_type",
+        salt_id_col="event_id",
+        broadcast_rows=0,   # force past the broadcast gate
+        skew_share=0.0,     # would otherwise always salt
+        how="full",
+    )
+    assert strategy == "shuffle"
+    assert _rows(df) == _rows(ev.join(dim, "event_type", "full"))

@@ -226,3 +226,66 @@ def test_incremental_deletes_and_retraction_still_correct(spark, tmp_path):
     )
     left = {r["k"] for r in st.current().collect()}
     assert left == {k for k in range(12) if k % 3 != 1 and k != 5}
+
+
+def test_reopen_with_different_num_buckets_stays_correct(spark, tmp_path):
+    """The modulus is part of the snapshot layout: reopening with a
+    different num_buckets must NOT take the bucket-pruned incremental
+    path (stale __b values would make the merge miss existing rows and
+    drop buckets >= the new modulus). The manifest records the modulus
+    and a mismatch falls back to the full-rewrite merge."""
+    st8 = ParquetStateStore(
+        spark, str(tmp_path / "st"), ["k"], block_col="b", num_buckets=8,
+    )
+    st8.apply_batch(
+        spark.createDataFrame(
+            [(i, 1, f"x{i}") for i in range(32)], "k int, b int, v string"
+        )
+    )
+    assert st8.read_manifest()["num_buckets"] == 8
+    # reopen the same path under a 3-bucket modulus and update one key
+    st3 = ParquetStateStore(
+        spark, str(tmp_path / "st"), ["k"], block_col="b", num_buckets=3,
+    )
+    st3.apply_batch(
+        spark.createDataFrame([(7, 2, "updated")], "k int, b int, v string")
+    )
+    rows = {(r["k"], r["v"]) for r in st3.current().collect()}
+    want = {(i, f"x{i}") for i in range(32) if i != 7} | {(7, "updated")}
+    assert rows == want  # no stale duplicate for k=7, no dropped buckets
+    assert st3.read_manifest()["num_buckets"] == 3
+    # and the NEXT commit under the new modulus takes the pruned path
+    st3.apply_batch(
+        spark.createDataFrame([(9, 2, "u9")], "k int, b int, v string")
+    )
+    rows2 = {(r["k"], r["v"]) for r in st3.current().collect()}
+    assert (9, "u9") in rows2 and len(rows2) == 32
+
+
+def test_all_deleted_incremental_commit_stays_readable(spark, tmp_path):
+    """A tombstone batch deleting the last remaining rows produces an
+    empty merge with every bucket touched: the commit must still land
+    a readable snapshot (schema-preserving empty write), not an empty
+    directory that breaks schema inference."""
+    st = ParquetStateStore(
+        spark, str(tmp_path / "st"), ["k"], block_col="b",
+        present_col="p", num_buckets=4,
+    )
+    st.apply_batch(
+        spark.createDataFrame(
+            [(1, 1, 1, "a"), (2, 1, 1, "b")], "k int, b int, p int, v string"
+        )
+    )
+    st.apply_batch(
+        spark.createDataFrame(
+            [(1, 2, 0, "x"), (2, 2, 0, "x")], "k int, b int, p int, v string"
+        )
+    )
+    cur = st.current()  # must not raise schema-inference errors
+    assert cur.count() == 0
+    assert set(cur.columns) >= {"k", "b", "p", "v"}
+    # the store remains usable after the wipe
+    st.apply_batch(
+        spark.createDataFrame([(3, 3, 1, "c")], "k int, b int, p int, v string")
+    )
+    assert {r["k"] for r in st.current().collect()} == {3}
