@@ -322,19 +322,56 @@ def extend_dedup_index(
     legs would emit duplicated pair rows forever after. Novel-side
     frames need no guard: a replayed batch's fps are all registered,
     so its novel split is empty."""
-    known, new_members, new_groups = _split_batch(index, new_docs, text_col, id_col)
+    delta = dedup_index_delta(
+        index,
+        new_docs,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return DedupIndex(
+        bands=index.bands.unionByName(delta.bands),
+        hashes=index.hashes.unionByName(delta.hashes),
+        members=index.members.unionByName(delta.members),
+        registry=index.registry.unionByName(delta.registry),
+    )
+
+
+def dedup_index_delta(
+    index: DedupIndex,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+) -> DedupIndex:
+    """The per-frame ADDITIONS of the extend step — each frame holds
+    only the batch's new rows (same guards as
+    :func:`extend_dedup_index`, which is now ``index ∪ delta``).
+
+    This is the frame a DELTA COMMIT persists: a streaming index store
+    can append O(batch) rows per micro-batch and hard-link history
+    forward instead of rewriting the whole index union every commit
+    (``streaming/dedup_ingest.DedupIndexStore.commit_delta``)."""
+    known, new_members, new_groups = _split_batch(
+        index, new_docs, text_col, id_col
+    )
     new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
     new_hashed = hashed_shingles(new_reps, text_col, id_col, shingle_n=shingle_n)
     additions = known.unionByName(new_members).join(
         index.members.select(id_col), id_col, "left_anti"
     )
     return DedupIndex(
-        bands=index.bands.unionByName(
-            minhash_bands(new_hashed, id_col, num_hashes=num_hashes, bands=bands)
+        bands=minhash_bands(
+            new_hashed, id_col, num_hashes=num_hashes, bands=bands
         ),
-        hashes=index.hashes.unionByName(new_hashed),
-        members=index.members.unionByName(additions),
-        registry=index.registry.unionByName(new_groups.select("__fp", "__rep")),
+        hashes=new_hashed,
+        members=additions,
+        registry=new_groups.select("__fp", "__rep"),
     )
 
 

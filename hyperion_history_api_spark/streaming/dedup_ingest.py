@@ -39,31 +39,77 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     DedupIndex,
     build_dedup_index,
-    extend_dedup_index,
+    dedup_index_delta,
     incremental_pairs,
     minhash_lsh_pairs,
 )
 
 _FRAMES = ("bands", "hashes", "members", "registry")
 
+# Compaction clustering key per frame: the column the hot probe path
+# equi-joins / looks up on, so a compacted frame is range-clustered
+# (footer min/max prunes) AND lands in few large files.
+_CLUSTER_KEY = {
+    "bands": "band_val",   # probe joins on (band_id, band_val)
+    "hashes": None,        # fetched by id; id_col name is caller-owned
+    "members": "__rep",    # expansion legs join on the group rep
+    "registry": "__fp",    # fingerprint lookup of arriving docs
+}
+
 
 class DedupIndexStore:
     """Manifest-pointer persistence for a :class:`DedupIndex`: each
-    commit writes the four frames into a fresh ``v<NNNNNNNN>-<uuid>/``
-    directory and atomically swaps ONE pointer file, so readers and
-    the next batch's extend see all four frames from the same version
-    — never bands of one version against a registry of another.
-    Superseded versions are retained for ``keep_versions`` commits
-    (in-flight reader protection), then GC'd."""
+    commit writes into a fresh ``v<NNNNNNNN>-<uuid>/`` directory and
+    atomically swaps ONE pointer file, so readers and the next batch's
+    extend see all four frames from the same version — never bands of
+    one version against a registry of another. Superseded versions are
+    retained for ``keep_versions`` commits (in-flight reader
+    protection), then GC'd.
+
+    Two commit granularities (the Delta-lake append/OPTIMIZE split):
+
+    - :meth:`commit_delta` persists only the batch's ADDITIONS —
+      previous data files are hard-linked forward (inode sharing, the
+      state_store trick) and the delta lands as a few new files.
+      Per-commit IO is O(batch), which is what makes a streaming index
+      affordable; the cost is fragmentation — after N commits each
+      frame is ~N-way split and every probe opens every file.
+    - :meth:`compact` is the ``OPTIMIZE``: rewrite each frame
+      range-clustered by its probe key (bands by ``band_val``, members
+      by rep, registry by fp) into few large files, published through
+      the SAME atomic manifest swap — readers of the pre-compaction
+      version keep their (linked) files, and rows are bit-identical
+      (pinned by tests/test_streaming_dedup.py).
+
+    Reference anchor: the ES segment-merge / index-lifecycle behavior
+    this mirrors (src/indexer/modules/lifecycleManager.ts:18-60 —
+    Hyperion actively merges segments and rolls indices rather than
+    letting write-granularity segments accumulate).
+    """
 
     MANIFEST = "MANIFEST.json"
 
     def __init__(
-        self, spark: SparkSession, path: str, *, keep_versions: int = 2
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        keep_versions: int = 2,
+        compact_every: int | None = None,
+        compact_target_files: int = 4,
+        delta_write_partitions: int = 2,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keep_versions = max(1, keep_versions)
+        # auto-compact after every K delta commits (None = manual only)
+        self.compact_every = compact_every
+        self.compact_target_files = max(1, compact_target_files)
+        # a micro-batch delta is O(batch) rows — landing it at shuffle
+        # parallelism would add ~shuffle_partitions tiny files per
+        # frame per commit; coalescing to a couple of files per frame
+        # cuts the fragmentation RATE ~16x before compaction even runs
+        self.delta_write_partitions = max(1, delta_write_partitions)
 
     def _manifest_file(self) -> str:
         return os.path.join(self.path, self.MANIFEST)
@@ -87,30 +133,121 @@ class DedupIndexStore:
             }
         )
 
-    def commit(self, index: DedupIndex) -> None:
+    # -- commit protocol ----------------------------------------------
+
+    @staticmethod
+    def _canon(df: DataFrame) -> DataFrame:
+        """Canonical column order for every written file: files of one
+        frame directory must agree (linked v1 files + appended delta
+        files are read as one parquet dataset)."""
+        return df.select(*sorted(df.columns))
+
+    def _publish(self, snap: str, *, extra: dict | None = None) -> None:
+        """Atomically move the manifest pointer to ``snap`` and GC
+        versions that fell out of the retained window. Hard-linked
+        data files shared with newer snapshots survive GC (the unlink
+        removes one name; the inode lives on)."""
         m = self.read_manifest()
         version = (m["version"] + 1) if m else 1
         history = (m.get("history", []) + [m["snapshot"]]) if m else []
-        snap = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
-        os.makedirs(self.path, exist_ok=True)
-        for f in _FRAMES:
-            getattr(index, f).write.mode("overwrite").parquet(
-                os.path.join(self.path, snap, f)
-            )
         keep = (
             history[-(self.keep_versions - 1):]
             if self.keep_versions > 1
             else []
         )
         gc = [h for h in history if h not in keep]
+        manifest = {"version": version, "snapshot": snap, "history": keep}
+        manifest.update(extra or {})
         tmp = self._manifest_file() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump(
-                {"version": version, "snapshot": snap, "history": keep}, fh
-            )
+            json.dump(manifest, fh)
         os.replace(tmp, self._manifest_file())
         for h in gc:
             shutil.rmtree(os.path.join(self.path, h), ignore_errors=True)
+
+    def _new_snap_dir(self) -> tuple[str, str]:
+        m = self.read_manifest()
+        version = (m["version"] + 1) if m else 1
+        snap = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(self.path, exist_ok=True)
+        return snap, os.path.join(self.path, snap)
+
+    def commit(self, index: DedupIndex) -> None:
+        """Full-index commit (seed / rebuild): writes all four frames."""
+        snap, snap_dir = self._new_snap_dir()
+        for f in _FRAMES:
+            self._canon(getattr(index, f)).write.mode("overwrite").parquet(
+                os.path.join(snap_dir, f)
+            )
+        self._publish(snap)
+
+    def commit_delta(self, delta: DedupIndex) -> None:
+        """Append-only commit: hard-link every data file of the
+        current snapshot forward, then land only the delta rows as new
+        files. IO is O(batch); the manifest swap stays the single
+        atomic commit point (a crash mid-write leaves an orphan dir
+        and an intact pointer)."""
+        m = self.read_manifest()
+        if m is None:
+            raise ValueError("commit_delta requires a seeded index store")
+        snap, snap_dir = self._new_snap_dir()
+        prev = os.path.join(self.path, m["snapshot"])
+        delta_commits = int(m.get("delta_commits", 0)) + 1
+        for f in _FRAMES:
+            src = os.path.join(prev, f)
+            dst = os.path.join(snap_dir, f)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+            self._canon(getattr(delta, f)).coalesce(
+                self.delta_write_partitions
+            ).write.mode("append").parquet(dst)
+        self._publish(snap, extra={"delta_commits": delta_commits})
+        if self.compact_every and delta_commits >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> None:
+        """The OPTIMIZE pass: rewrite each frame range-clustered by
+        its probe key into ``compact_target_files`` files and publish
+        as a fresh version (``delta_commits`` resets). Equality is
+        structural — same rows, new physical layout."""
+        index = self.read()
+        if index is None:
+            return
+        snap, snap_dir = self._new_snap_dir()
+        for f in _FRAMES:
+            df = getattr(index, f)
+            key = _CLUSTER_KEY[f]
+            if key is None or key not in df.columns:
+                # hashes: cluster on the caller-named id column (the
+                # only non-__h column of the frame)
+                key = next(c for c in df.columns if c != "__h")
+            (
+                self._canon(df)
+                .repartitionByRange(self.compact_target_files, F.col(key))
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(os.path.join(snap_dir, f))
+            )
+        self._publish(snap, extra={"delta_commits": 0, "compacted": True})
+
+    def frame_file_counts(self) -> dict[str, int]:
+        """Data files per frame of the current snapshot (the
+        fragmentation observable the compaction bench tracks)."""
+        m = self.read_manifest()
+        if m is None:
+            return {}
+        base = os.path.join(self.path, m["snapshot"])
+        return {
+            f: sum(
+                1
+                for e in os.listdir(os.path.join(base, f))
+                if e.endswith(".parquet")
+            )
+            for f in _FRAMES
+        }
 
 
 def make_dedup_sink(
@@ -120,10 +257,18 @@ def make_dedup_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    compact_every: int | None = 8,
 ):
-    """foreachBatch sink: probe -> append pairs -> extend -> commit.
+    """foreachBatch sink: probe -> append pairs -> delta-commit the
+    index additions (O(batch) IO, history hard-linked forward), with
+    an automatic compaction every ``compact_every`` delta commits so
+    probe cost stays flat over a long ingest run.
     Returns ``(sink, paths)`` like ``make_ingest_sink``."""
-    store = DedupIndexStore(spark, os.path.join(out_dir, "dedup_index"))
+    store = DedupIndexStore(
+        spark,
+        os.path.join(out_dir, "dedup_index"),
+        compact_every=compact_every,
+    )
     pairs_path = os.path.join(out_dir, "dup_pairs")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -136,16 +281,19 @@ def make_dedup_sink(
                 pairs = minhash_lsh_pairs(
                     batch, text_col, id_col, threshold=threshold
                 )
-                new_index = build_dedup_index(batch, text_col, id_col)
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(pairs_path, f"ingest_batch={batch_id}")
+                )
+                store.commit(build_dedup_index(batch, text_col, id_col))
             else:
                 pairs = incremental_pairs(
                     index, batch, text_col, id_col, threshold=threshold
                 )
-                new_index = extend_dedup_index(index, batch, text_col, id_col)
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_path, f"ingest_batch={batch_id}")
-            )
-            store.commit(new_index)
+                delta = dedup_index_delta(index, batch, text_col, id_col)
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(pairs_path, f"ingest_batch={batch_id}")
+                )
+                store.commit_delta(delta)
         finally:
             batch.unpersist()
 

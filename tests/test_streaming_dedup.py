@@ -70,3 +70,154 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     assert read_pairs(spark, paths["pairs"]).count() >= n_before
     got2 = _pairs_set(read_pairs(spark, paths["pairs"]))
     assert got2 >= want  # replay may add already-known pairs, never lose
+
+
+def _docs(spark):
+    return load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+
+
+def _frame_rows(idx):
+    def hashable(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    out = {}
+    for f in ("bands", "hashes", "members", "registry"):
+        df = getattr(idx, f)
+        df = df.select(*sorted(df.columns))  # order-insensitive compare
+        out[f] = frozenset(
+            tuple(hashable(v) for v in r) for r in df.collect()
+        )
+    return out
+
+
+def test_delta_commit_equals_full_extend_and_links_history(spark, tmp_path):
+    """commit_delta lands only the batch's additions (previous files
+    hard-linked forward, O(batch) IO) yet the committed index equals
+    the full extend union row-for-row."""
+    from hyperion_history_api_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_delta,
+        extend_dedup_index,
+    )
+
+    docs = _docs(spark)
+    seed = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    store = DedupIndexStore(spark, str(tmp_path / "idx"), keep_versions=2)
+    store.commit(build_dedup_index(seed, "text", "doc_id"))
+    files_v1 = store.frame_file_counts()
+    inode_v1 = {
+        os.stat(os.path.join(root, f)).st_ino
+        for root, _, fs in os.walk(store.path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    for b in (b1, b2):
+        idx = store.read()
+        store.commit_delta(dedup_index_delta(idx, b, "text", "doc_id"))
+    # reference: the pure in-memory extend chain over the same waves
+    want = build_dedup_index(seed, "text", "doc_id")
+    want = extend_dedup_index(want, b1, "text", "doc_id")
+    want = extend_dedup_index(want, b2, "text", "doc_id")
+    assert _frame_rows(store.read()) == _frame_rows(want)
+    # fragmentation observable: appended files accumulate...
+    files_v3 = store.frame_file_counts()
+    assert sum(files_v3.values()) > sum(files_v1.values())
+    # ...and the v1 data files were linked forward, not rewritten
+    inode_v3 = {
+        os.stat(os.path.join(root, f)).st_ino
+        for root, _, fs in os.walk(
+            os.path.join(store.path, store.read_manifest()["snapshot"])
+        )
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert inode_v1 <= inode_v3
+
+
+def test_compaction_preserves_pairs_and_reduces_files(spark, tmp_path):
+    """The OPTIMIZE pass: after many delta commits, compact() rewrites
+    each frame clustered by its probe key — probe results (the pairs a
+    next batch would emit) are IDENTICAL before/after, row sets are
+    identical, and the file count collapses to the target."""
+    from hyperion_history_api_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_delta,
+        incremental_pairs,
+    )
+
+    docs = _docs(spark)
+    store = DedupIndexStore(
+        spark, str(tmp_path / "idx"), compact_target_files=2
+    )
+    store.commit(
+        build_dedup_index(
+            docs.where(F.col("doc_id") % 6 == 0), "text", "doc_id"
+        )
+    )
+    for i in range(1, 5):
+        idx = store.read()
+        store.commit_delta(
+            dedup_index_delta(
+                idx,
+                docs.where(F.col("doc_id") % 6 == i),
+                "text",
+                "doc_id",
+            )
+        )
+    probe = docs.where(F.col("doc_id") % 6 == 5)
+    before_idx = store.read()
+    before_rows = _frame_rows(before_idx)
+    before_pairs = _pairs_set(
+        incremental_pairs(before_idx, probe, "text", "doc_id", threshold=0.5)
+    )
+    frag = store.frame_file_counts()
+    store.compact()
+    after_idx = store.read()
+    assert _frame_rows(after_idx) == before_rows
+    after_pairs = _pairs_set(
+        incremental_pairs(after_idx, probe, "text", "doc_id", threshold=0.5)
+    )
+    assert after_pairs == before_pairs and before_pairs
+    compacted = store.frame_file_counts()
+    assert all(v <= 2 for v in compacted.values())
+    assert sum(compacted.values()) < sum(frag.values())
+    m = store.read_manifest()
+    assert m.get("compacted") and m.get("delta_commits") == 0
+    # the store keeps working after compaction
+    store.commit_delta(
+        dedup_index_delta(store.read(), probe, "text", "doc_id")
+    )
+    assert store.read().members.count() == docs.count()
+
+
+def test_auto_compaction_every_k_delta_commits(spark, tmp_path):
+    from hyperion_history_api_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_delta,
+    )
+
+    docs = _docs(spark)
+    store = DedupIndexStore(
+        spark, str(tmp_path / "idx"), compact_every=2, compact_target_files=2
+    )
+    store.commit(
+        build_dedup_index(
+            docs.where(F.col("doc_id") % 4 == 0), "text", "doc_id"
+        )
+    )
+    for i in range(1, 4):
+        store.commit_delta(
+            dedup_index_delta(
+                store.read(),
+                docs.where(F.col("doc_id") % 4 == i),
+                "text",
+                "doc_id",
+            )
+        )
+    m = store.read_manifest()
+    # 3 delta commits with compact_every=2: one auto-compaction fired
+    # (after the 2nd), and one delta commit followed it
+    assert m["delta_commits"] == 1
+    assert store.read().members.count() == docs.count()
