@@ -1464,7 +1464,15 @@ def embedding_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from-scratch reassignment by construction.
 
 _DRIFT_TAU = 0.2           # anchor-dot cutoff defining the drifted batch
-_REFRESH_DRIFT = 0.05      # max per-cell drift that triggers retrain
+# Max per-cell drift that triggers the retrain. NOTE (ADVICE r5): the
+# DuckDB twin `_kmr_cte_sql` ALWAYS unrolls the warm retrain, while the
+# Spark side serves the stale codebook when measured drift stays below
+# this threshold — so the refresh oracle rows are only hash-equal on
+# fixtures where the trigger FIRES. All three sf fixtures do fire
+# (asserted by tests/test_kmeans.py::test_refresh_triggers_on_sf_fixture);
+# if a fixture change stops triggering, that test pinpoints it before
+# the oracle sweep reports a bare hash mismatch.
+_REFRESH_DRIFT = 0.05
 _KMR_KEY = f"kmr:k{_KM_K}:i{_KM_ITERS}:tau{_DRIFT_TAU}:d{_REFRESH_DRIFT}:v1"
 _KMR_CACHE: dict[str, tuple[dict, dict, bool]] = {}
 
@@ -1674,7 +1682,7 @@ def embedding_cell_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_ivf_refreshed_topk",
     _kmr_cte_sql()
-    + """,
+    + f""",
     probes AS (SELECT vec_id AS probe_id, v AS pe FROM eall WHERE vec_id < 5),
     pcell AS (
         SELECT probe_id, pe, cell FROM (
@@ -1684,7 +1692,7 @@ def embedding_cell_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (sqrt(list_dot_product(p.pe, p.pe)) *
                         sqrt(list_dot_product(c.cent, c.cent))) DESC,
                        c.cell ASC) AS cr
-            FROM probes p CROSS JOIN w3 c
+            FROM probes p CROSS JOIN w{_KM_ITERS} c
         ) WHERE cr <= 2
     ), scored AS (
         SELECT probe_id, e.vec_id,

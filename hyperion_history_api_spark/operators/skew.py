@@ -49,6 +49,21 @@ from pyspark.sql import functions as F
 
 from .sampling import hash_bucket, _cutoff_hex
 
+#: Join types for which salting is result-equivalent to the unsalted
+#: join (each fact row meets exactly one replica of its dim row; no
+#: dim-preserving null-extension that would duplicate per salt).
+#: Keys are Spark's accepted spellings normalized via _norm_how.
+_SALT_SAFE_HOW = frozenset(
+    {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}
+)
+
+
+def _norm_how(how: str) -> str:
+    """Normalize a Spark join-type spelling (lowercase, strip ``_``),
+    mirroring Spark's own ``JoinType.apply`` alias handling so the
+    salt-safety gate accepts every spelling Spark itself accepts."""
+    return how.lower().replace("_", "")
+
 
 def key_skew_profile(
     df: DataFrame,
@@ -117,13 +132,13 @@ def salted_join(
     """
     if salts < 1:
         raise ValueError("salts must be >= 1")
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    if _norm_how(how) not in _SALT_SAFE_HOW:
         # right/full would null-extend each UNMATCHED dim row once per
         # salt replica — `salts` duplicate rows the unsalted join never
         # emits. Only fact-side-preserving joins are salt-equivalent.
         raise ValueError(
             f"salted_join is result-equivalent to the unsalted join only "
-            f"for inner/left/left_semi/left_anti, not {how!r}"
+            f"for inner/left/semi/anti (any Spark spelling), not {how!r}"
         )
     f = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_id_col)), F.lit(salts))
@@ -164,7 +179,7 @@ def choose_join_strategy(
     """
     if dim.count() <= broadcast_rows:
         return fact.join(F.broadcast(dim), on, how), "broadcast"
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    if _norm_how(how) not in _SALT_SAFE_HOW:
         # dim-preserving joins can't be salted (see salted_join); past
         # broadcast size they go straight to the plain shuffle.
         return fact.join(dim, on, how), "shuffle"

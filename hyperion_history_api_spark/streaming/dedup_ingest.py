@@ -142,19 +142,27 @@ class DedupIndexStore:
         files are read as one parquet dataset)."""
         return df.select(*sorted(df.columns))
 
-    def _publish(self, snap: str, *, extra: dict | None = None) -> None:
+    def _publish(
+        self,
+        snap: str,
+        *,
+        extra: dict | None = None,
+        retain_extra: int = 0,
+    ) -> None:
         """Atomically move the manifest pointer to ``snap`` and GC
         versions that fell out of the retained window. Hard-linked
         data files shared with newer snapshots survive GC (the unlink
-        removes one name; the inode lives on)."""
+        removes one name; the inode lives on). ``retain_extra`` widens
+        the window for THIS publish only — used when an auto-compaction
+        follows a delta commit inside one sink invocation, so the
+        delta+compact pair consumes a single retention step and an
+        in-flight reader of the pre-delta snapshot keeps its full
+        ``keep_versions`` commits of protection."""
         m = self.read_manifest()
         version = (m["version"] + 1) if m else 1
         history = (m.get("history", []) + [m["snapshot"]]) if m else []
-        keep = (
-            history[-(self.keep_versions - 1):]
-            if self.keep_versions > 1
-            else []
-        )
+        window = self.keep_versions - 1 + max(0, retain_extra)
+        keep = history[-window:] if window > 0 else []
         gc = [h for h in history if h not in keep]
         manifest = {"version": version, "snapshot": snap, "history": keep}
         manifest.update(extra or {})
@@ -206,9 +214,12 @@ class DedupIndexStore:
             ).write.mode("append").parquet(dst)
         self._publish(snap, extra={"delta_commits": delta_commits})
         if self.compact_every and delta_commits >= self.compact_every:
-            self.compact()
+            # the paired compaction must not burn a retention slot of
+            # its own (two publishes in one sink invocation would halve
+            # the documented in-flight reader window)
+            self.compact(retain_extra=1)
 
-    def compact(self) -> None:
+    def compact(self, *, retain_extra: int = 0) -> None:
         """The OPTIMIZE pass: rewrite each frame range-clustered by
         its probe key into ``compact_target_files`` files and publish
         as a fresh version (``delta_commits`` resets). Equality is
@@ -231,7 +242,11 @@ class DedupIndexStore:
                 .write.mode("overwrite")
                 .parquet(os.path.join(snap_dir, f))
             )
-        self._publish(snap, extra={"delta_commits": 0, "compacted": True})
+        self._publish(
+            snap,
+            extra={"delta_commits": 0, "compacted": True},
+            retain_extra=retain_extra,
+        )
 
     def frame_file_counts(self) -> dict[str, int]:
         """Data files per frame of the current snapshot (the

@@ -101,8 +101,18 @@ def test_probe_drops_broadcast_hint_past_size_gate(spark):
     big_m = 1 << 33  # 8 Gbit: way past the 64MB positions-table gate
     pos = bloom_positions(hist, "fp", m=big_m)
     df = bloom_probe_join(batch, pos, "fp", "doc_id", m=big_m)
-    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "ResolvedHint" not in analyzed  # no forced broadcast
+    # Assert on the ANALYZED plan: ResolvedHint survives analysis but
+    # is folded into the Join node during optimization, so checking the
+    # optimized plan would pass even with a forced broadcast (ADVICE r5).
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast hint
+    # Belt and braces: the gated (small-m) form DOES hint, so the same
+    # check on it must find the hint — proving the assertion can fail.
+    small = bloom_probe_join(
+        batch, bloom_positions(hist, "fp"), "fp", "doc_id"
+    )
+    small_analyzed = small._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in small_analyzed
     # flags still correct: every batch fp present in history must hit
     hist_fps = {r["fp"] for r in hist.select("fp").distinct().collect()}
     for r in df.collect():
