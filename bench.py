@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hyperion_history_api_spark import registry  # noqa: E402
 from hyperion_history_api_spark.session import get_spark  # noqa: E402
 
-RUNS = 3
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
 
 
 def _load_sentinel() -> float:

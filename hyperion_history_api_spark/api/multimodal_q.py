@@ -93,7 +93,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read) — the oracle re-derives every header field AND the exact
 # pixel/sample mean from the synthesis formulas in SQL, so a decoder
 # that didn't truly read the payload cannot hash-match. PIL/av
-# formats (JPEG/PNG/MP4) remain behind the documented stub gate.
+# formats (JPEG/MP4) remain behind the documented stub gate; PNG
+# became a real stdlib decode in round 6 (multimodal_decode_png).
 
 _MEDIA_BYTES_CTE = """
 WITH d AS (
@@ -233,3 +234,56 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return decode_bmp(synth_media_bmp(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_png",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, 16),
+                   j -> CAST(concat('0x', substr(md5(text), 2*j - 1, 2))
+                             AS BIGINT)) AS db,
+               3 + doc_id % 12 AS w,
+               2 + doc_id % 9 AS h
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_units,
+           CAST(least(h, 5) AS INT) AS n_filters,
+           round(list_sum(list_transform(generate_series(0, 3*w*h - 1),
+                 i -> db[(i % 16) + 1])) * 1.0 / (3*w*h), 4) AS mean_val,
+           round(list_sum(list_transform(generate_series(0, 3*w - 1),
+                 i -> db[(i % 16) + 1])) * 1.0 / (3*w), 4) AS top_row_mean,
+           round(list_sum(list_transform(
+                 generate_series(3*w*(h-1), 3*w*h - 1),
+                 i -> db[(i % 16) + 1])) * 1.0 / (3*w), 4)
+               AS bottom_row_mean,
+           round(list_sum(list_transform(generate_series(0, w*h - 1),
+                 p -> db[((3*p) % 16) + 1])) * 1.0 / (w*h), 4) AS chan0_mean
+    FROM d ORDER BY media_id
+    """,
+    "multimodal: REAL PNG decode — the first COMPRESSED format "
+    "(stdlib zlib inflate, chunk CRC-32 verification, and inversion "
+    "of all five scanline filters incl. the Paeth predictor; the "
+    "synthesizer varies the filter per row, so Up/Average/Paeth "
+    "chain across rows) — oracle re-derives order-, row- and "
+    "channel-sensitive means of the reconstructed pixels plus the "
+    "distinct-filter count",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize honest non-interlaced 8-bit RGB PNG files from the
+    corpus (filter type (id + row) % 5 forward-applied per scanline,
+    one deflated IDAT, CRC-framed chunks) and decode them for real:
+    signature + CRC validation, IHDR parse, inflate, and per-byte
+    filter inversion against already-reconstructed neighbors. A wrong
+    Paeth tie-break, a skipped CRC, or a misread filter byte corrupts
+    the chained rows and breaks the hash. The filter forward/inverse
+    pair is additionally pinned against independent literal fixtures
+    in tests/test_multimodal_real.py (round-trip symmetry is not
+    trusted). One Arrow pass each way, no shuffle."""
+    from ..sources.multimodal import decode_png, synth_media_png
+
+    docs = _t(spark, sf_dir)["documents"]
+    return decode_png(synth_media_png(docs)).orderBy("media_id")

@@ -197,8 +197,10 @@ _pbv(__name__)
 # full pixel/sample reads. The oracle cross-checks every decoded
 # header field and the pixel/sample MEAN against the synthesis
 # formulas re-derived in SQL — so a decoder that didn't actually read
-# the payload cannot pass. PIL/av formats (JPEG/PNG/MP4) remain
-# behind the documented decode_stub gate above.
+# the payload cannot pass. PNG joined them in round 6 (stdlib zlib
+# — see the PNG section below); JPEG/MP4 remain behind the
+# documented decode_stub gate above (their codecs genuinely need
+# PIL/av).
 
 SYNTH_SR = 8000  # WAV sample rate
 
@@ -528,5 +530,226 @@ def decode_bmp(media: DataFrame) -> DataFrame:
         run, BMP_DECODE_SCHEMA
     )
     for c in ("mean_val", "top_row_mean", "chan0_mean"):
+        out = out.withColumn(c, F.round(c, 4))
+    return out
+
+
+# ------------------------------------------------------------- PNG
+# The first COMPRESSED real format (round-4 verdict item 4): PNG needs
+# nothing beyond the stdlib — ``zlib`` for the IDAT inflate and CRC-32,
+# ``struct`` for the big-endian chunk framing. What makes it genuinely
+# adversarial is the per-scanline FILTER layer: every row is stored as
+# a delta against its left/up/up-left neighbors under one of five
+# filter types (None/Sub/Up/Average/Paeth), so a decoder that botches
+# any inverse — or the Paeth predictor's tie-breaking — corrupts every
+# pixel downstream of the first filtered row. The synthesizer assigns
+# filter (media_id + row) % 5, so all five types are load-bearing
+# across the corpus, and Up/Average/Paeth chain across rows, so errors
+# cannot stay local. The oracle re-derives the LOGICAL pixel stream
+# (digest-repeated bytes) in SQL; the filter forward/inverse pair is
+# additionally pinned against hand-computed byte fixtures in
+# tests/test_multimodal_real.py, which breaks the mirrored-bug symmetry
+# a round-trip-only check would allow.
+
+
+def _png_predictor(ft: int, a: int, b: int, c: int) -> int:
+    """Per-byte PNG filter predictor (RFC 2083 §6): ``a`` = byte bpp
+    back in this row, ``b`` = same position previous row, ``c`` =
+    previous row bpp back. Shared by the encoder (subtract) and the
+    decoder (add) — the pair is pinned against independent literal
+    fixtures, not just against itself."""
+    if ft == 0:
+        return 0
+    if ft == 1:
+        return a
+    if ft == 2:
+        return b
+    if ft == 3:
+        return (a + b) // 2
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_media_png(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG files (8-bit RGB, color type 2,
+    non-interlaced) from the documents table: w = 3+id%12, h =
+    2+id%9, logical pixel stream = md5(text) digest repeated over
+    3*w*h bytes. Scanline r is stored under filter (id + r) % 5 with
+    the delta FORWARD-applied, the filtered stream deflated into one
+    IDAT, and every chunk framed with its big-endian length and
+    CRC-32 — honest files any external viewer opens."""
+
+    pred = _png_predictor  # closure-captured: ships by value, no
+    # package import on the worker (see extract_features docstring)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+        import zlib as _zl
+
+        import pandas as _pd
+
+        def build(media_id: int, text: str) -> bytes:
+            dg = _hl.md5(text.encode("utf-8")).digest()
+            w, h = 3 + media_id % 12, 2 + media_id % 9
+            n = 3 * w * h
+            logical = (dg * (n // 16 + 1))[:n]
+            scan = bytearray()
+            prev = bytes(3 * w)
+            for r in range(h):
+                row = logical[3 * w * r : 3 * w * (r + 1)]
+                ft = (media_id + r) % 5
+                scan.append(ft)
+                for i in range(3 * w):
+                    a = row[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    scan.append((row[i] - pred(ft, a, b, c)) & 0xFF)
+                prev = row
+
+            def chunk(typ: bytes, data: bytes) -> bytes:
+                return (
+                    _st.pack(">I", len(data))
+                    + typ
+                    + data
+                    + _st.pack(">I", _zl.crc32(typ + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = _st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zl.compress(bytes(scan)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        build(int(m), t)
+                        for m, t in zip(pdf["media_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(run, "media_id long, payload binary")
+
+
+PNG_DECODE_SCHEMA = (
+    "media_id long, width int, height int, n_units long, n_filters int, "
+    "mean_val double, top_row_mean double, bottom_row_mean double, "
+    "chan0_mean double"
+)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL PNG decode: validates the 8-byte signature, walks the
+    chunk stream verifying each CRC-32, parses IHDR (8-bit RGB,
+    non-interlaced only), inflates the concatenated IDAT payload,
+    then INVERTS the per-scanline filter chain — Sub/Up/Average/Paeth
+    reconstructed byte-by-byte from already-decoded neighbors. Emits
+    order-sensitive (top/bottom row) and channel-sensitive means over
+    the reconstructed pixels plus the count of distinct filter types
+    seen, so the filter layer, the inflate, and the chunk framing are
+    all load-bearing for the oracle hash. Arrow-batched single pass,
+    no shuffle — identical scale shape to the PPM/WAV/BMP decoders."""
+
+    pred = _png_predictor  # closure-captured (see synth_media_png)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+        import zlib as _zl
+
+        import numpy as _np
+        import pandas as _pd
+
+        def one(media_id: int, payload: bytes) -> dict:
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError(f"not a PNG: {media_id}")
+            pos, ihdr, idat, ended = 8, None, b"", False
+            while pos < len(payload):
+                if pos + 8 > len(payload):
+                    raise ValueError(f"truncated PNG chunk: {media_id}")
+                (ln,) = _st.unpack_from(">I", payload, pos)
+                if pos + 12 + ln > len(payload):
+                    raise ValueError(f"truncated PNG chunk: {media_id}")
+                typ = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + ln]
+                (crc,) = _st.unpack_from(">I", payload, pos + 8 + ln)
+                if _zl.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"bad CRC in {typ!r}: {media_id}")
+                if typ == b"IHDR":
+                    ihdr = data
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    ended = True
+                    break
+                pos += 12 + ln
+            if ihdr is None or not ended:
+                raise ValueError(f"missing IHDR/IEND: {media_id}")
+            w, h, depth, ctype, comp, filt, interlace = _st.unpack(
+                ">IIBBBBB", ihdr
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"only 8-bit non-interlaced RGB supported: {media_id}"
+                )
+            scan = _zl.decompress(idat)
+            if len(scan) != h * (1 + 3 * w):
+                raise ValueError(f"IDAT length mismatch: {media_id}")
+            out = bytearray()
+            prev = bytes(3 * w)
+            filters = set()
+            for r in range(h):
+                off = r * (1 + 3 * w)
+                ft = scan[off]
+                if ft > 4:
+                    raise ValueError(f"bad filter {ft}: {media_id}")
+                filters.add(ft)
+                row = bytearray(3 * w)
+                frow = scan[off + 1 : off + 1 + 3 * w]
+                for i in range(3 * w):
+                    a = row[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    row[i] = (frow[i] + pred(ft, a, b, c)) & 0xFF
+                out += row
+                prev = bytes(row)
+            px = _np.frombuffer(bytes(out), dtype=_np.uint8).astype(
+                "float64"
+            )
+            return {
+                "media_id": media_id,
+                "width": w,
+                "height": h,
+                "n_units": w * h,
+                "n_filters": len(filters),
+                "mean_val": float(px.mean()),
+                "top_row_mean": float(px[: 3 * w].mean()),
+                "bottom_row_mean": float(px[3 * w * (h - 1) :].mean()),
+                "chan0_mean": float(px[0::3].mean()),
+            }
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                [
+                    one(int(m), bytes(p))
+                    for m, p in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    # JVM-side HALF_UP rounding (see decode_media)
+    out = media.select("media_id", "payload").mapInPandas(
+        run, PNG_DECODE_SCHEMA
+    )
+    for c in ("mean_val", "top_row_mean", "bottom_row_mean", "chan0_mean"):
         out = out.withColumn(c, F.round(c, 4))
     return out
