@@ -1788,3 +1788,183 @@ def embedding_ivf_refresh_recall(
         F.lit(bool(triggered)).alias("refresh_triggered"),
         F.lit(bool(n_fresh >= n_stale)).alias("refreshed_ge_stale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Realistic-k quantizer (round-4 verdict item 3 / round-6 item 3): the
+# k=8 Lloyd rows above stay as the hash-matched SEMANTICS proof (the
+# oracle can unroll 3 rounds x 8 cells in SQL); this tier is the SCALE
+# shape — k-means|| (Bahmani et al., VLDB 2012) oversampling init
+# feeding the warm-started Lloyd, at k = min(256, n/4) (256 at sf0.1;
+# the cap keeps >= 4 vectors/cell on the tiny fixtures — a production
+# quantizer uses the same code with k in the thousands). Training and
+# assignment run on L2-NORMALIZED vectors (spherical k-means) so the
+# cell geometry matches the cosine serving metric. The init's salted-
+# hash sampling is not SQL-expressible, so correctness is gated the
+# embedding_pq_recall way: a measured recall floor against exact brute
+# force (0.92-0.96 across all three fixtures at nprobe = 0.375*k —
+# the fixture's random vectors are the ANN worst case; clustered real
+# embeddings need far smaller nprobe), plus unit determinism /
+# partition-invariance pins and a stored-artifact plan audit.
+
+_KBIG_MAX_K = 256
+_KBIG_ITERS = 2
+_KBIG_NPROBE_FRAC = 0.375
+_KBIG_RECALL_FLOOR = 0.9
+_KBIG_KEY = f"kbig:k{_KBIG_MAX_K}:i{_KBIG_ITERS}:sph:v1"
+_KBIG_CACHE: dict[str, tuple[int, int, dict[int, list[float]]]] = {}
+
+
+def _kbig_corpus(spark: SparkSession, sf_dir: str):
+    """Corpus with an L2-normalized twin column ``en`` (JVM-side
+    transform; spherical-k-means training view)."""
+    from ..operators.similarity import dot as _dot
+
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    return (
+        corpus.withColumn(
+            "en",
+            F.transform(
+                "e", lambda x: x / F.sqrt(_dot(F.col("e"), F.col("e")))
+            ),
+        ),
+        probes,
+    )
+
+
+def _kbig_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, dict[int, list[float]]]:
+    """(k, n_init_seeds, codebook): k-means|| init + warm Lloyd,
+    trained once per fixture and cached (the stored-artifact frames
+    below are what queries actually scan)."""
+    key = _os.path.normpath(sf_dir)
+    if key not in _KBIG_CACHE:
+        from ..operators.similarity import (
+            kmeans_parallel_init,
+            kmeans_warm_retrain,
+        )
+
+        corpus, _ = _kbig_corpus(spark, sf_dir)
+        corpus = corpus.persist()
+        n = corpus.count()
+        k = min(_KBIG_MAX_K, n // 4)
+        init = kmeans_parallel_init(corpus, k, vec_col="en")
+        cb = kmeans_warm_retrain(
+            corpus, init, iters=_KBIG_ITERS, vec_col="en"
+        )
+        corpus.unpersist()
+        _KBIG_CACHE[key] = (k, len(init), cb)
+    return _KBIG_CACHE[key]
+
+
+def _kbig_cells(spark: SparkSession, sf_dir: str):
+    """Stored (vec_id, cell) under the realistic-k codebook — the
+    partition column of the embedding lake at scale."""
+    from ..operators.similarity import kmeans_assign
+    from ..sources.lake import ensure_parquet
+
+    def build():
+        _, _, cb = _kbig_state(spark, sf_dir)
+        corpus, _ = _kbig_corpus(spark, sf_dir)
+        return kmeans_assign(corpus, cb, vec_col="en").select(
+            "vec_id", "cell"
+        )
+
+    return ensure_parquet(
+        spark, sf_dir, "kbig_cells", build,
+        source_file="embeddings.parquet", extra_key=_KBIG_KEY,
+    )
+
+
+def _kbig_cents(spark: SparkSession, sf_dir: str):
+    from ..sources.lake import ensure_parquet
+
+    def build():
+        _, _, cb = _kbig_state(spark, sf_dir)
+        return spark.createDataFrame(
+            [(c, v) for c, v in sorted(cb.items())],
+            "cell int, centroid array<double>",
+        )
+
+    return ensure_parquet(
+        spark, sf_dir, "kbig_centroids", build,
+        source_file="embeddings.parquet", extra_key=_KBIG_KEY,
+    )
+
+
+def _kbig_nprobe(k: int) -> int:
+    return max(2, round(_KBIG_NPROBE_FRAC * k))
+
+
+@register(
+    "embedding_ivf_k256_topk",
+    None,
+    "similarity: IVF top-k under the REALISTIC-k quantizer — "
+    "k-means|| oversampling init (salted-hash determinism, no RNG) + "
+    "warm-started spherical Lloyd at k=min(256, n/4); serving scans "
+    "the stored cells/codebook artifacts only (plan-audited). The "
+    "hash-based || sampling is not SQL-expressible, so this row is "
+    "rows-only; correctness is carried by embedding_ivf_k256_recall "
+    "and the unit determinism pins",
+)
+def embedding_ivf_k256_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same serving plan as the trained-k8 tier — broadcast codebook
+    cell routing + cell equi-join on the stored assignment — at the
+    scale-realistic cell count. Nothing is trained in this plan."""
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    k, _, _ = _kbig_state(spark, sf_dir)
+    out = ivf_nprobe_topk(
+        corpus.join(_kbig_cells(spark, sf_dir), "vec_id"),
+        probes,
+        5,
+        nprobe=_kbig_nprobe(k),
+        cell_col="cell",
+        centroids=_kbig_cents(spark, sf_dir),
+    )
+    return out.orderBy("probe_id", F.col("cosine").desc(), "vec_id").select(
+        "probe_id", "vec_id", "cosine"
+    )
+
+
+@register(
+    "embedding_ivf_k256_recall",
+    """
+    SELECT CAST(25 AS BIGINT) AS n_expected,
+           CAST(1 AS BOOLEAN) AS k_realistic,
+           CAST(1 AS BOOLEAN) AS all_cells_survived,
+           CAST(1 AS BOOLEAN) AS recall_ok
+    """,
+    "similarity: recall gate for the realistic-k quantizer — IVF "
+    "recall@5 at nprobe=0.375k vs exact brute force must clear 0.9 "
+    "(measured: 0.92 sf0.001, 0.96 sf0.01, 0.92 sf0.1 — deterministic "
+    "per fixture: salted-hash init, no RNG), k must equal the "
+    "min(256, n/4) contract, and every || seed must survive the warm "
+    "retrain (no empty-cell collapse)",
+)
+def embedding_ivf_k256_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honesty gate (embedding_pq_recall pattern): ground truth =
+    brute_force_topk; approx = the stored-artifact IVF serving plan
+    above. The fixture's random vectors are the ANN worst case, which
+    is exactly why the floor is measured and pinned here rather than
+    assumed."""
+    corpus, probes = _corpus_probes(spark, sf_dir)
+    k, _n_init, cb = _kbig_state(spark, sf_dir)
+    n = corpus.count()
+    gt = brute_force_topk(corpus, probes, 5).select("probe_id", "vec_id")
+    ap = ivf_nprobe_topk(
+        corpus.join(_kbig_cells(spark, sf_dir), "vec_id"),
+        probes,
+        5,
+        nprobe=_kbig_nprobe(k),
+        cell_col="cell",
+        centroids=_kbig_cents(spark, sf_dir),
+    ).select("probe_id", "vec_id")
+    n_gt = gt.count()
+    n_hit = gt.join(ap, ["probe_id", "vec_id"]).count()
+    return gt.agg(F.count("*").alias("n_expected")).select(
+        "n_expected",
+        F.lit(bool(k == min(_KBIG_MAX_K, n // 4))).alias("k_realistic"),
+        F.lit(bool(len(cb) == k)).alias("all_cells_survived"),
+        F.lit(bool(n_hit >= _KBIG_RECALL_FLOOR * n_gt)).alias("recall_ok"),
+    )

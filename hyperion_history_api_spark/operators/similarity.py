@@ -432,6 +432,135 @@ def kmeans_warm_retrain(
     return cents
 
 
+def nearest_center_dist2(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    *,
+    vec_col: str = "e",
+    out_col: str = "__d2",
+) -> DataFrame:
+    """Squared L2 distance to the nearest of ``centers`` — the cost
+    column k-means‖ samples against. One Arrow-batched matmul pass;
+    the center set rides the UDF closure (O(centers x dims), the same
+    broadcast budget as :func:`kmeans_assign`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centers, dtype="float64")
+    csq = (C * C).sum(axis=1)
+
+    @pandas_udf("double")
+    def d2(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype="float64")
+        D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + csq[None, :]
+        return pd.Series(np.maximum(D.min(1), 0.0))
+
+    return corpus.withColumn(out_col, d2(vec_col))
+
+
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int,
+    *,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    seed: str = "kmpar",
+) -> dict[int, list[float]]:
+    """Deterministic k-means‖ (scalable k-means++) initialization —
+    the realistic-k seeding a 100-TB quantizer needs (round-4 verdict
+    item 3: first-k init is fine for k=8 semantics proofs, but a
+    codebook with thousands of cells seeded from the first k rows
+    collapses whole regions of the space into single cells).
+
+    Bahmani et al., VLDB 2012 (public literature), re-expressed with
+    this repo's determinism contract in place of RNG:
+
+    - round sampling uses a salted ``xxhash64`` uniform in [0,1) per
+      (row, round) instead of a random draw — the same rows are picked
+      on any cluster, any partitioning, any run;
+    - each of ``rounds`` passes is one Arrow-batched distance map
+      (:func:`nearest_center_dist2`) + one sum + one filtered collect
+      of ~``oversample`` candidate rows (default 2k) — the ONLY
+      driver-side data is the candidate set, O(rounds x 2k x dims),
+      the documented training-sample budget (same class as the PQ/BPE
+      samples);
+    - candidate weighting is one broadcast-assign + count agg;
+    - the final reduction of ~rounds x 2k weighted candidates to k
+      seeds runs driver-side in numpy as deterministic weighted
+      maximin (heaviest candidate first, then argmax weight x d²,
+      ties to lowest candidate index) — O(candidates x k) on a few
+      thousand rows, no corpus access.
+
+    Feed the result to :func:`kmeans_warm_retrain` for the Lloyd
+    rounds; cells are renumbered 0..k'-1 (k' <= k when the corpus has
+    fewer distinct points than k)."""
+    l = oversample or 2 * k
+    first = (
+        corpus.orderBy(id_col).select(id_col, vec_col).first()
+    )
+    centers: list[list[float]] = [[float(x) for x in first[vec_col]]]
+    cand_rows: list[tuple[int, list[float]]] = [
+        (int(first[id_col]), centers[0])
+    ]
+    for r in range(rounds):
+        d = nearest_center_dist2(corpus, centers, vec_col=vec_col)
+        phi = d.agg(F.sum("__d2").alias("s")).first()["s"] or 0.0
+        if phi <= 0.0:
+            break  # every point coincides with a center already
+        u = (
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(f"{seed}:{r}")),
+                F.lit(1 << 20),
+            )
+            / float(1 << 20)
+        )
+        picked = (
+            d.where(u < F.lit(float(l)) * F.col("__d2") / F.lit(phi))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        new = [
+            (int(p[id_col]), [float(x) for x in p[vec_col]])
+            for p in picked
+        ]
+        if not new:
+            break
+        cand_rows.extend(new)
+        centers.extend(v for _, v in new)
+    # dedupe candidates by id (a row can be sampled in several rounds)
+    seen: dict[int, list[float]] = {}
+    for cid, v in cand_rows:
+        seen.setdefault(cid, v)
+    cand_ids = sorted(seen)
+    cand = {i: seen[cid] for i, cid in enumerate(cand_ids)}
+    # weight candidates by how much corpus they attract
+    assigned = kmeans_assign(corpus, cand, vec_col=vec_col)
+    wrows = assigned.groupBy("cell").agg(F.count("*").alias("w")).collect()
+    weights = {int(r["cell"]): int(r["w"]) for r in wrows}
+    # deterministic weighted maximin reduction to k seeds (driver-side
+    # numpy over the candidate set only)
+    ids = sorted(cand)
+    X = np.array([cand[i] for i in ids], dtype="float64")
+    w = np.array([weights.get(i, 0) for i in ids], dtype="float64")
+    if len(ids) <= k:
+        chosen = list(range(len(ids)))
+    else:
+        start = int(np.lexsort((ids, -w))[0])  # heaviest, ties low id
+        chosen = [start]
+        d2 = ((X - X[start]) ** 2).sum(1)
+        while len(chosen) < k:
+            score = w * d2
+            nxt = int(np.lexsort((ids, -score))[0])
+            if score[nxt] <= 0.0:
+                break  # remaining candidates duplicate chosen seeds
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(1))
+    return {
+        c: [float(x) for x in X[i]] for c, i in enumerate(sorted(chosen))
+    }
+
+
 def cell_moves(old_cells: DataFrame, new_cells: DataFrame) -> DataFrame:
     """The MOVE-SET of a quantizer refresh: ``(vec_id, old_cell,
     new_cell)`` for exactly the vectors whose assignment changed.

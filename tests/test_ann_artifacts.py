@@ -132,3 +132,20 @@ def test_cell_drift_fractions_sum_to_one(spark):
     ).collect()[0]
     assert abs(sums["s"] - 1.0) < 0.02 and abs(sums["b"] - 1.0) < 0.02
     assert d.where(F.col("drift") < 0).count() == 0
+
+
+def test_k256_serving_plan_scans_stored_artifacts_only(spark):
+    """Realistic-k tier plan audit (round-6 verdict item 3): the
+    serving plan reads the stored kbig cells + codebook parquet and
+    contains neither a training aggregation nor any Python stage —
+    the k-means|| init and the Lloyd rounds happened offline."""
+    from hyperion_history_api_spark.registry import all_specs
+
+    df = all_specs()["embedding_ivf_k256_topk"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = _scans(df)
+    assert any("cell" in s for s in scans), scans       # kbig_cells
+    assert any("centroid" in s for s in scans), scans   # kbig_centroids
+    assert "posexplode" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -136,3 +136,55 @@ def test_refresh_triggers_on_sf_fixture(spark):
     _stale, refreshed, triggered = dedup_sim._refresh_state(spark, SF_DIR)
     assert triggered is True
     assert refreshed is not _stale
+
+
+# -- k-means|| init (realistic-k tier, round 6) ------------------------
+
+
+def test_parallel_init_deterministic_and_partition_invariant(spark):
+    from hyperion_history_api_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    c = _corpus(spark)
+    a = kmeans_parallel_init(c, 32)
+    b = kmeans_parallel_init(c.repartition(13), 32)
+    assert a == b  # salted-hash sampling, no RNG: bit-identical seeds
+    assert len(a) == 32
+    assert sorted(a) == list(range(32))  # renumbered 0..k-1
+
+
+def test_parallel_init_caps_at_distinct_points(spark):
+    from hyperion_history_api_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    c = _corpus(spark).where(F.col("vec_id") < 10)
+    seeds = kmeans_parallel_init(c, 64)
+    assert 1 <= len(seeds) <= 10  # can't seed more cells than points
+
+
+def test_parallel_init_spreads_better_than_first_k(spark):
+    """The point of k-means||: seeds cover the space, so the trained
+    codebook's inertia (sum of squared distances to the assigned
+    centroid) is no worse than the naive first-k init at the same
+    iteration budget — pinned on the deterministic fixture."""
+    from hyperion_history_api_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_parallel_init,
+        kmeans_warm_retrain,
+        nearest_center_dist2,
+    )
+
+    c = _corpus(spark)
+    k = 32
+
+    def inertia(cb):
+        cents = [v for _, v in sorted(cb.items())]
+        assigned = kmeans_assign(c, cb)
+        d = nearest_center_dist2(assigned, cents)
+        return d.agg(F.sum("__d2")).first()[0]
+
+    par = kmeans_warm_retrain(c, kmeans_parallel_init(c, k), iters=2)
+    naive = kmeans_warm_retrain(c, kmeans_train(c, k=k, iters=0), iters=2)
+    assert inertia(par) <= inertia(naive)
