@@ -38,11 +38,12 @@ import json
 import os
 import shutil
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..commitlog import link_tree as _link_tree
+from ..commitlog import replace_dir
 from . import hyperion_model as hm
 from .lake import (
     BLOCK_PART_SIZE,
@@ -62,21 +63,6 @@ _INCR_BUILDERS = {
     "actions": hm.build_actions,
     "deltas": hm.build_deltas,
 }
-
-
-def _link_tree(src: Path, dst: Path) -> None:
-    """Mirror ``src`` into ``dst`` with hard links (fall back to copy if
-    the filesystem refuses links)."""
-    dst.mkdir(parents=True, exist_ok=True)
-    for entry in src.iterdir():
-        target = dst / entry.name
-        if entry.is_dir():
-            _link_tree(entry, target)
-        else:
-            try:
-                os.link(entry, target)
-            except OSError:
-                shutil.copy2(entry, target)
 
 
 def refresh_partitioned(
@@ -133,10 +119,7 @@ def refresh_partitioned(
             manifest = {"version": LAKE_VERSION, "source": None, "extra": ""}
         manifest["increments"] = int(manifest.get("increments", 0)) + 1
         _manifest_path(tmp).write_text(json.dumps(manifest))
-        old = dest.parent / f".{name}.old.{uuid.uuid4().hex[:8]}"
-        os.rename(dest, old)
-        os.rename(tmp, dest)
-        shutil.rmtree(old, ignore_errors=True)
+        replace_dir(tmp, dest)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -203,10 +186,7 @@ def retract_blocks_above(
         manifest["increments"] = int(manifest.get("increments", 0)) + 1
         manifest["retracted_above"] = int(fork_block)
         _manifest_path(tmp).write_text(json.dumps(manifest))
-        old = dest.parent / f".{name}.old.{uuid.uuid4().hex[:8]}"
-        os.rename(dest, old)
-        os.rename(tmp, dest)
-        shutil.rmtree(old, ignore_errors=True)
+        replace_dir(tmp, dest)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

@@ -28,14 +28,12 @@ tests/test_streaming_dedup.py).
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..commitlog import CommitLog, link_files
 from ..operators.dedup import (
     DedupIndex,
     build_dedup_index,
@@ -87,8 +85,6 @@ class DedupIndexStore:
     letting write-granularity segments accumulate).
     """
 
-    MANIFEST = "MANIFEST.json"
-
     def __init__(
         self,
         spark: SparkSession,
@@ -101,7 +97,10 @@ class DedupIndexStore:
     ) -> None:
         self.spark = spark
         self.path = path
-        self.keep_versions = max(1, keep_versions)
+        # commit protocol (versioning, pointer swap, retention GC) is
+        # the shared CommitLog; this class keeps only index POLICY
+        # (which frames, delta layout, compaction clustering)
+        self.log = CommitLog(path, keep_versions=keep_versions)
         # auto-compact after every K delta commits (None = manual only)
         self.compact_every = compact_every
         self.compact_target_files = max(1, compact_target_files)
@@ -111,15 +110,8 @@ class DedupIndexStore:
         # cuts the fragmentation RATE ~16x before compaction even runs
         self.delta_write_partitions = max(1, delta_write_partitions)
 
-    def _manifest_file(self) -> str:
-        return os.path.join(self.path, self.MANIFEST)
-
     def read_manifest(self) -> dict | None:
-        try:
-            with open(self._manifest_file()) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+        return self.log.read_manifest()
 
     def read(self) -> DedupIndex | None:
         m = self.read_manifest()
@@ -142,52 +134,14 @@ class DedupIndexStore:
         files are read as one parquet dataset)."""
         return df.select(*sorted(df.columns))
 
-    def _publish(
-        self,
-        snap: str,
-        *,
-        extra: dict | None = None,
-        retain_extra: int = 0,
-    ) -> None:
-        """Atomically move the manifest pointer to ``snap`` and GC
-        versions that fell out of the retained window. Hard-linked
-        data files shared with newer snapshots survive GC (the unlink
-        removes one name; the inode lives on). ``retain_extra`` widens
-        the window for THIS publish only — used when an auto-compaction
-        follows a delta commit inside one sink invocation, so the
-        delta+compact pair consumes a single retention step and an
-        in-flight reader of the pre-delta snapshot keeps its full
-        ``keep_versions`` commits of protection."""
-        m = self.read_manifest()
-        version = (m["version"] + 1) if m else 1
-        history = (m.get("history", []) + [m["snapshot"]]) if m else []
-        window = self.keep_versions - 1 + max(0, retain_extra)
-        keep = history[-window:] if window > 0 else []
-        gc = [h for h in history if h not in keep]
-        manifest = {"version": version, "snapshot": snap, "history": keep}
-        manifest.update(extra or {})
-        tmp = self._manifest_file() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_file())
-        for h in gc:
-            shutil.rmtree(os.path.join(self.path, h), ignore_errors=True)
-
-    def _new_snap_dir(self) -> tuple[str, str]:
-        m = self.read_manifest()
-        version = (m["version"] + 1) if m else 1
-        snap = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
-        os.makedirs(self.path, exist_ok=True)
-        return snap, os.path.join(self.path, snap)
-
     def commit(self, index: DedupIndex) -> None:
         """Full-index commit (seed / rebuild): writes all four frames."""
-        snap, snap_dir = self._new_snap_dir()
+        snap, snap_dir = self.log.new_snapshot()
         for f in _FRAMES:
             self._canon(getattr(index, f)).write.mode("overwrite").parquet(
                 os.path.join(snap_dir, f)
             )
-        self._publish(snap)
+        self.log.publish(snap)
 
     def commit_delta(self, delta: DedupIndex) -> None:
         """Append-only commit: hard-link every data file of the
@@ -198,21 +152,16 @@ class DedupIndexStore:
         m = self.read_manifest()
         if m is None:
             raise ValueError("commit_delta requires a seeded index store")
-        snap, snap_dir = self._new_snap_dir()
+        snap, snap_dir = self.log.new_snapshot()
         prev = os.path.join(self.path, m["snapshot"])
         delta_commits = int(m.get("delta_commits", 0)) + 1
         for f in _FRAMES:
-            src = os.path.join(prev, f)
             dst = os.path.join(snap_dir, f)
-            os.makedirs(dst, exist_ok=True)
-            for fname in os.listdir(src):
-                if fname.startswith(("_", ".")):
-                    continue
-                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+            link_files(os.path.join(prev, f), dst)
             self._canon(getattr(delta, f)).coalesce(
                 self.delta_write_partitions
             ).write.mode("append").parquet(dst)
-        self._publish(snap, extra={"delta_commits": delta_commits})
+        self.log.publish(snap, extra={"delta_commits": delta_commits})
         if self.compact_every and delta_commits >= self.compact_every:
             # the paired compaction must not burn a retention slot of
             # its own (two publishes in one sink invocation would halve
@@ -227,7 +176,7 @@ class DedupIndexStore:
         index = self.read()
         if index is None:
             return
-        snap, snap_dir = self._new_snap_dir()
+        snap, snap_dir = self.log.new_snapshot()
         for f in _FRAMES:
             df = getattr(index, f)
             key = _CLUSTER_KEY[f]
@@ -242,7 +191,7 @@ class DedupIndexStore:
                 .write.mode("overwrite")
                 .parquet(os.path.join(snap_dir, f))
             )
-        self._publish(
+        self.log.publish(
             snap,
             extra={"delta_commits": 0, "compacted": True},
             retain_extra=retain_extra,

@@ -35,20 +35,13 @@ results match.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-
-def _snap_version(snap_dir: str) -> int:
-    """Version encoded in a snapshot dir name ``v{version}-{uuid}``.
-    Parsed up to the '-' separator (not a fixed-width slice) so the
-    name stays parseable if the zero-padded version ever widens past
-    8 digits."""
-    return int(snap_dir[1:].split("-", 1)[0])
+from ..commitlog import CommitLog, link_files
+from ..commitlog import snap_version as _snap_version
 
 
 def merge_update_by_block(
@@ -168,8 +161,6 @@ class ParquetStateStore:
     their parquet-only equivalent, isolated behind one class.
     """
 
-    MANIFEST = "MANIFEST.json"
-
     def __init__(
         self,
         spark: SparkSession,
@@ -187,21 +178,15 @@ class ParquetStateStore:
         self.block_col = block_col
         self.present_col = present_col
         self.num_buckets = num_buckets
-        self.keep_versions = max(1, keep_versions)
+        # commit protocol (versioning, pointer swap, retention GC) is
+        # the shared CommitLog; this class keeps only merge POLICY
+        # (bucketed copy-on-write, updateByBlock semantics)
+        self.log = CommitLog(path, keep_versions=keep_versions)
 
     # -- manifest -----------------------------------------------------
 
-    def _manifest_file(self) -> str:
-        return os.path.join(self.path, self.MANIFEST)
-
     def read_manifest(self) -> dict | None:
-        import json
-
-        try:
-            with open(self._manifest_file()) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+        return self.log.read_manifest()
 
     def _read_snapshot(self, snap: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, snap))
@@ -216,10 +201,7 @@ class ParquetStateStore:
     def versions(self) -> list[int]:
         """Committed versions still resolvable (retained window, oldest
         first, current last)."""
-        m = self.read_manifest()
-        if m is None:
-            return []
-        return [_snap_version(h) for h in m.get("history", [])] + [m["version"]]
+        return self.log.versions()
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel within the retained window: read the snapshot a
@@ -229,16 +211,12 @@ class ParquetStateStore:
         (Same contract as Delta/Iceberg ``VERSION AS OF`` bounded by
         the retention window.)"""
         m = self.read_manifest()
-        if m is not None:
-            if version == m["version"]:
-                return self.current()
-            for h in m.get("history", []):
-                if _snap_version(h) == version:
-                    df = self._read_snapshot(h)
-                    return df.drop("__b") if "__b" in df.columns else df
-        raise ValueError(
-            f"version {version} not in retained window {self.versions()}"
+        if m is not None and version == m["version"]:
+            return self.current()
+        df = self.spark.read.parquet(
+            self.log.version_snapshot_dir(version)
         )
+        return df.drop("__b") if "__b" in df.columns else df
 
     # -- commit protocol ----------------------------------------------
 
@@ -273,14 +251,7 @@ class ParquetStateStore:
         superseded snapshot unlinks its names; shared inodes survive in
         the newer snapshots that link them. The manifest ``os.replace``
         remains the single atomic commit point."""
-        import json
-
-        m = self.read_manifest()
-        version = (m["version"] + 1) if m else 1
-        history = (m.get("history", []) + [m["snapshot"]]) if m else []
-        snap = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
-        os.makedirs(self.path, exist_ok=True)
-        snap_dir = os.path.join(self.path, snap)
+        snap, snap_dir = self.log.new_snapshot()
         if link_from is None and df.isEmpty():
             # empty initial state: plain write preserves the schema
             # (a partitioned write of zero rows emits no footer at all)
@@ -300,15 +271,7 @@ class ParquetStateStore:
                     src = os.path.join(self.path, link_from, f"__b={k}")
                     if not os.path.isdir(src):
                         continue
-                    dst = os.path.join(snap_dir, f"__b={k}")
-                    os.makedirs(dst, exist_ok=True)
-                    for fname in os.listdir(src):
-                        if fname.startswith(("_", ".")):
-                            continue
-                        os.link(
-                            os.path.join(src, fname),
-                            os.path.join(dst, fname),
-                        )
+                    link_files(src, os.path.join(snap_dir, f"__b={k}"))
             # An all-deleted commit (empty merge, every bucket touched)
             # emits no parquet footers and links nothing — the snapshot
             # dir would be unreadable. Fall back to the schema-preserving
@@ -317,28 +280,11 @@ class ParquetStateStore:
                 e.startswith("__b=") for e in os.listdir(snap_dir)
             ):
                 df.write.mode("overwrite").parquet(snap_dir)
-        keep = (
-            history[-(self.keep_versions - 1):] if self.keep_versions > 1 else []
-        )
-        gc = [h for h in history if h not in keep]
-        tmp = self._manifest_file() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "snapshot": snap,
-                    "history": keep,
-                    # bucketing modulus is part of the snapshot layout:
-                    # a reopen with a different num_buckets must NOT take
-                    # the bucket-pruned incremental path (rows would be
-                    # merged under the wrong modulus / dropped)
-                    "num_buckets": self.num_buckets,
-                },
-                f,
-            )
-        os.replace(tmp, self._manifest_file())  # THE commit point
-        for h in gc:  # retained-window GC after the pointer moves
-            shutil.rmtree(os.path.join(self.path, h), ignore_errors=True)
+        # bucketing modulus is part of the snapshot layout: a reopen
+        # with a different num_buckets must NOT take the bucket-pruned
+        # incremental path (rows would be merged under the wrong
+        # modulus / dropped)
+        self.log.publish(snap, extra={"num_buckets": self.num_buckets})
 
     # -- operations ---------------------------------------------------
 
