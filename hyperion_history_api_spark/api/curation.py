@@ -6,6 +6,8 @@ the build brief).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -186,9 +188,7 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_curation_full",
-    f"""
+_CURATION_FULL_SQL = f"""
     WITH RECURSIVE scored AS (
         SELECT doc_id, text, lang,
                {_TOKENS_SQL} AS tokens,
@@ -237,7 +237,12 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM clean
     WHERE doc_id IN (SELECT id FROM keepers)
     GROUP BY split ORDER BY split
-    """,
+    """
+
+
+@register(
+    "corpus_curation_full",
+    _CURATION_FULL_SQL,
     "curation v2: quality -> language -> benchmark decontamination "
     "(eval slice doc_id%20==7) -> TRANSITIVE near-dup dedup (MinHash "
     "clusters, keeper=component min) -> deterministic split rollup",
@@ -363,3 +368,68 @@ def training_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "stream_curation_rollup",
+    _CURATION_FULL_SQL,
+    "curation v3 (streaming): the SAME end-to-end build — quality -> "
+    "decontam -> incremental near-dup dedup vs a persisted index -> "
+    "transitive keepers -> split rollup — run through a REAL "
+    "Structured-Streaming availableNow query in three arrival waves "
+    "(doc_id % 3), then folded; hash-matched against the batch "
+    "oracle, proving streamed == one-shot over the wave split "
+    "(streaming/curation_ingest.py; arbitrary-split equality pinned "
+    "by tests/test_streaming_curation.py)",
+)
+def stream_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the composed foreachBatch pipeline over a 3-wave feed of
+    the documents table and returns the fold's split rollup. The
+    streamed run happens once per fixture (the rollup is stored via
+    the lake cache); the oracle is corpus_curation_full's SQL
+    verbatim, so the hash gate proves stream == batch == SQL."""
+    import shutil
+    import tempfile
+
+    from ..sources.lake import ensure_parquet
+    from ..streaming.curation_ingest import (
+        curation_rollup,
+        make_curation_sink,
+    )
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir)["documents"].select(
+            "doc_id", "text", "lang"
+        )
+        tmp = tempfile.mkdtemp(prefix="stream_curation_")
+        try:
+            for i in range(3):
+                docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(tmp, "feed", f"wave{i}"))
+            sink, paths = make_curation_sink(
+                spark,
+                os.path.join(tmp, "out"),
+                docs.where(F.col("doc_id") % 20 == 7),
+            )
+            q = (
+                spark.readStream.schema(
+                    "doc_id long, text string, lang string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(tmp, "feed", "wave*"))
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(tmp, "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # materialize the fold before the feed dir goes away
+            return curation_rollup(spark, paths).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return ensure_parquet(
+        spark, sf_dir, "stream_curation_rollup", build,
+        source_file="documents.parquet", extra_key="v1:waves3",
+    ).orderBy("split")

@@ -90,6 +90,82 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _notified_enrichment(
+    a: DataFrame, **chooser_kwargs
+) -> tuple[DataFrame, str]:
+    """Core of ``hyp_notified_enrichment``: explode the nested
+    ``notified[]`` receivers into a fact stream and enrich each
+    notification with its receiver's global profile through the
+    COST-GATED join chooser (operators/skew.py:choose_join_strategy)
+    — the first hot serving path planned by the chooser rather than a
+    hand-picked strategy. Returns ``(df, strategy)`` so the plan audit
+    can pin the decision."""
+    from ..operators.skew import choose_join_strategy
+
+    fact = a.select(
+        "global_sequence",
+        "block_num",
+        F.explode("notified").alias("receiver"),
+    )
+    dim = fact.groupBy("receiver").agg(
+        F.count("*").alias("recv_notifications"),
+        F.max("block_num").alias("recv_last_block"),
+    )
+    joined, strategy = choose_join_strategy(
+        fact, dim, "receiver", salt_id_col="global_sequence", **chooser_kwargs
+    )
+    return (
+        joined.select(
+            "global_sequence",
+            "receiver",
+            "recv_notifications",
+            "recv_last_block",
+        ).orderBy("global_sequence", "receiver"),
+        strategy,
+    )
+
+
+@register(
+    "hyp_notified_enrichment",
+    ACTIONS_CTE
+    + """
+    , f AS (
+      SELECT global_sequence, block_num, unnest(notified) AS receiver
+      FROM actions
+    ), d AS (
+      SELECT receiver, count(*) AS recv_notifications,
+             max(block_num) AS recv_last_block
+      FROM f GROUP BY receiver
+    )
+    SELECT f.global_sequence, f.receiver, d.recv_notifications,
+           d.recv_last_block
+    FROM f JOIN d USING (receiver)
+    ORDER BY global_sequence, receiver
+    """,
+    "scale/skew: notified-receiver enrichment served THROUGH the "
+    "cost-gated join chooser (broadcast <-> salted <-> shuffle, "
+    "operators/skew.py:choose_join_strategy) — the result is "
+    "strategy-invariant (salted == broadcast == plain join), so the "
+    "oracle is the plain-join SQL and the hash gate holds whichever "
+    "branch the planner picks; the fixture decision and both "
+    "non-default branches are pinned by tests/test_skew.py",
+)
+def hyp_notified_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (action, notified-receiver) pair enriched with the
+    receiver's notification count and last-seen block — the reference
+    shape behind notified-account history pages
+    (get_actions/functions.ts notified filter + account stats). The
+    receiver key is exactly the heatmap-skewed dimension (hot
+    contracts appear in notified[] of nearly every row they touch),
+    so this is the join the chooser exists for: small dim at fixture
+    scale -> broadcast; a 100-TB receiver dim past broadcast size
+    with a hot key -> salted; uniform past broadcast -> shuffle."""
+    from ..sources.lake import lake_actions
+
+    df, _ = _notified_enrichment(lake_actions(spark, sf_dir))
+    return df
+
+
 def _zorder_sql() -> str:
     from ..operators.zorder import zorder_terms
 

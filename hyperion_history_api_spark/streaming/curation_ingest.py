@@ -1,0 +1,185 @@
+"""Streaming END-TO-END corpus curation (round-4 verdict item 6 /
+round-6 item 6): the full pretraining-data build — quality filter →
+language filter → benchmark decontamination → incremental near-dup
+dedup against a persisted index → transitive-cluster keeper selection
+→ deterministic split rollup — running as ONE ``foreachBatch``
+pipeline over arriving micro-batches, with the invariant that the
+streamed corpus equals the one-shot batch build
+(``api/curation.corpus_curation_full``) over ANY batch split.
+
+Why each stage composes streaming-safely:
+
+- quality/language scoring is per-row (narrow projections — a row's
+  verdict never depends on other rows);
+- decontamination is against a FIXED benchmark set supplied up front
+  (the realistic shape: eval benchmarks are static artifacts; grams
+  broadcast once), so a doc's verdict is batch-invariant;
+- near-dup pairs come from the persisted :class:`DedupIndexStore` —
+  each batch probes the stored index and extends it by delta, and the
+  union of per-batch pair outputs over any arrival order equals the
+  full-corpus ``minhash_lsh_pairs`` (the property
+  tests/test_streaming_dedup.py proves end-to-end);
+- keeper selection (component min over the accumulated pair graph)
+  and the split rollup are computed over the ACCUMULATED logs — they
+  are the serving-time fold, not per-batch state, because a late
+  arrival can join two existing duplicate clusters and flip a keeper:
+  any per-batch keeper decision would be unsound, so none is made.
+
+Scale shape per batch: narrow filters (pushed to the feed scan), one
+broadcast anti-join for decontamination, the O(batch) index
+probe/extend, two idempotent ``ingest_batch=<id>`` appends. The fold
+is one clustering pass over slim (id, tokens) + (id_a, id_b) rows —
+the corpus text is never re-read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import stopword_ratio, token_count
+from ..operators.dedup import (
+    build_dedup_index,
+    dedup_index_delta,
+    incremental_pairs,
+    minhash_lsh_pairs,
+)
+from .dedup_ingest import DedupIndexStore
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def curation_filter(
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lang: str = "en",
+    min_tokens: int = 30,
+    min_stop_ratio: float = 0.02,
+) -> DataFrame:
+    """The per-row quality/language stage (the ``kept`` CTE of
+    corpus_curation_full) — pure narrow projections, identical on a
+    batch or a micro-batch by construction."""
+    return batch.withColumn(
+        "tokens", token_count(F.col(text_col))
+    ).withColumn(
+        "stop_ratio", stopword_ratio(F.col(text_col), _STOPWORDS)
+    ).where(
+        (F.col(lang_col) == lang)
+        & (F.col("tokens") >= min_tokens)
+        & (F.col("stop_ratio") >= min_stop_ratio)
+    )
+
+
+def make_curation_sink(
+    spark: SparkSession,
+    out_dir: str,
+    eval_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    compact_every: int | None = 8,
+):
+    """foreachBatch sink for the composed curation pipeline.
+
+    ``eval_docs`` is the static benchmark frame (id + text): its docs
+    are excluded from the corpus and its n-grams decontaminate every
+    batch. Per batch: filter → decontam → append surviving rows to the
+    ``clean`` log → probe/extend the dedup index and append the
+    batch's near-dup pairs — both appends under the replay-idempotent
+    ``ingest_batch=<id>`` overwrite discipline, the index behind the
+    shared CommitLog pointer. Returns ``(sink, paths)``.
+    """
+    from ..operators.decontam import clean_corpus
+
+    store = DedupIndexStore(
+        spark,
+        os.path.join(out_dir, "dedup_index"),
+        compact_every=compact_every,
+    )
+    paths = {
+        "clean": os.path.join(out_dir, "clean"),
+        "pairs": os.path.join(out_dir, "dup_pairs"),
+        "index": store.path,
+    }
+    eval_ids = eval_docs.select(id_col)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        kept = curation_filter(batch, text_col=text_col)
+        clean = (
+            clean_corpus(
+                kept.join(F.broadcast(eval_ids), id_col, "left_anti"),
+                eval_docs,
+                text_col,
+                id_col,
+                hashed=False,
+                collapse=True,
+            )
+            .select(id_col, text_col, "tokens")
+            .persist()
+        )
+        try:
+            index = store.read()
+            if index is None:
+                pairs = minhash_lsh_pairs(
+                    clean, text_col, id_col, threshold=threshold
+                )
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(paths["pairs"], f"ingest_batch={batch_id}")
+                )
+                clean.write.mode("overwrite").parquet(
+                    os.path.join(paths["clean"], f"ingest_batch={batch_id}")
+                )
+                store.commit(build_dedup_index(clean, text_col, id_col))
+            else:
+                pairs = incremental_pairs(
+                    index, clean, text_col, id_col, threshold=threshold
+                )
+                delta = dedup_index_delta(index, clean, text_col, id_col)
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(paths["pairs"], f"ingest_batch={batch_id}")
+                )
+                clean.write.mode("overwrite").parquet(
+                    os.path.join(paths["clean"], f"ingest_batch={batch_id}")
+                )
+                store.commit_delta(delta)
+        finally:
+            clean.unpersist()
+
+    return sink, paths
+
+
+def curated_corpus(spark: SparkSession, paths: dict) -> DataFrame:
+    """The serving-time fold: accumulated clean rows + accumulated
+    pair graph → transitive duplicate clusters → keeper rows
+    (component min). Equals the batch build's keeper set over any
+    arrival split (pinned by tests/test_streaming_curation.py)."""
+    from ..operators.clustering import cluster_keepers
+
+    clean = spark.read.parquet(paths["clean"]).drop("ingest_batch")
+    pairs = spark.read.parquet(paths["pairs"]).drop("ingest_batch")
+    return cluster_keepers(clean, pairs, "doc_id").where(
+        F.col("is_keeper") == 1
+    )
+
+
+def curation_rollup(spark: SparkSession, paths: dict) -> DataFrame:
+    """Per-split doc/token rollup of the streamed curated corpus —
+    the ``corpus_curation_full`` output shape."""
+    from ..operators.sampling import hash_split
+
+    keepers = curated_corpus(spark, paths)
+    return (
+        hash_split(keepers, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("tokens").cast("long")).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )

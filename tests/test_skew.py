@@ -173,6 +173,31 @@ def test_salted_join_null_keys_and_empty_sides(spark):
     )
 
 
+def test_notified_enrichment_served_through_chooser(spark):
+    """The hot serving path (api/skew_q.py:hyp_notified_enrichment)
+    is planned by choose_join_strategy: at fixture scale the receiver
+    dim broadcasts (decision + BroadcastHashJoin pinned); with
+    broadcast ruled out, the receiver key's heat (hot contract
+    accounts ride in notified[] of most rows) trips the skew gate and
+    the SAME serving code salts — result identical both ways."""
+    from hyperion_history_api_spark.api.skew_q import _notified_enrichment
+    from hyperion_history_api_spark.sources.lake import lake_actions
+
+    a = lake_actions(spark, SF_DIR)
+    df, strategy = _notified_enrichment(a)
+    assert strategy == "broadcast"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    want = _rows(df)
+    assert want
+
+    salted_df, salted_strategy = _notified_enrichment(
+        a, broadcast_rows=0, skew_share=0.15, sample_fraction=0.5
+    )
+    assert salted_strategy == "salted"
+    assert _rows(salted_df) == want
+
+
 def test_salted_join_rejects_dim_preserving_join_types(spark):
     """right/full would emit `salts` null-extended copies of each
     unmatched dim row — salted_join refuses them, and the chooser
