@@ -91,7 +91,7 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _notified_enrichment(
-    a: DataFrame, **chooser_kwargs
+    a: DataFrame, stats_key: str | None = None, **chooser_kwargs
 ) -> tuple[DataFrame, str]:
     """Core of ``hyp_notified_enrichment``: explode the nested
     ``notified[]`` receivers into a fact stream and enrich each
@@ -99,7 +99,14 @@ def _notified_enrichment(
     COST-GATED join chooser (operators/skew.py:choose_join_strategy)
     — the first hot serving path planned by the chooser rather than a
     hand-picked strategy. Returns ``(df, strategy)`` so the plan audit
-    can pin the decision."""
+    can pin the decision.
+
+    The dim is the fact's own groupBy, so its row count IS the
+    receiver key's NDV — when ``stats_key`` names the lake, the
+    chooser's broadcast gate is fed from the catalog-stats cache
+    (sources/stats.py: one analyze job per process, O(1) after) and
+    the hot path plans with ZERO planner-time jobs. Without a key the
+    chooser falls back to its persist+count path."""
     from ..operators.skew import choose_join_strategy
 
     fact = a.select(
@@ -111,6 +118,12 @@ def _notified_enrichment(
         F.count("*").alias("recv_notifications"),
         F.max("block_num").alias("recv_last_block"),
     )
+    if stats_key is not None and "dim_rows" not in chooser_kwargs:
+        from ..sources.stats import column_ndv
+
+        chooser_kwargs["dim_rows"] = column_ndv(
+            fact, "receiver", cache_key=stats_key
+        )
     joined, strategy = choose_join_strategy(
         fact, dim, "receiver", salt_id_col="global_sequence", **chooser_kwargs
     )
@@ -162,7 +175,7 @@ def hyp_notified_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a hot key -> salted; uniform past broadcast -> shuffle."""
     from ..sources.lake import lake_actions
 
-    df, _ = _notified_enrichment(lake_actions(spark, sf_dir))
+    df, _ = _notified_enrichment(lake_actions(spark, sf_dir), stats_key=sf_dir)
     return df
 
 

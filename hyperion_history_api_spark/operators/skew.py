@@ -160,14 +160,22 @@ def choose_join_strategy(
     sample_fraction: float = 0.05,
     salts: int = 8,
     how: str = "inner",
+    dim_rows: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Pick broadcast / salted / shuffle for this join and return
     ``(joined_df, strategy)``.
 
     Planner-time cost: one dim count (at production scale a catalog
-    statistics lookup; here an explicit count job, documented) and —
-    only when the dim is broadcast-ineligible — one profile job over
-    the deterministic sample. Decision order mirrors real cost:
+    statistics lookup — callers that have one inject it via
+    ``dim_rows`` and pay zero planner jobs) and — only when the dim
+    is broadcast-ineligible — one profile job over the deterministic
+    sample. When the chooser must count a DERIVED dim itself, the dim
+    is persisted first so the count's work (often the dominant cost —
+    e.g. an aggregation over the fact) is reused by the join instead
+    of computed twice; the one-copy cache is strictly cheaper than
+    the double computation because the count must materialize the agg
+    anyway (A/B artifact: JOIN_CHOOSER_BENCH_r06.json). Decision
+    order mirrors real cost:
 
     1. dim fits (``<= broadcast_rows``) -> ``broadcast`` (zero
        fact shuffle beats everything; salting would be pure waste);
@@ -177,7 +185,13 @@ def choose_join_strategy(
     3. otherwise -> plain ``shuffle`` (uniform keys spread fine;
        replication would add dim IO for nothing).
     """
-    if dim.count() <= broadcast_rows:
+    if dim_rows is None:
+        # MEMORY_AND_DISK (the persist() default): a dim that turns
+        # out broadcast-ineligible may exceed executor memory and
+        # must spill, not OOM.
+        dim = dim.persist()
+        dim_rows = dim.count()
+    if dim_rows <= broadcast_rows:
         return fact.join(F.broadcast(dim), on, how), "broadcast"
     if _norm_how(how) not in _SALT_SAFE_HOW:
         # dim-preserving joins can't be salted (see salted_join); past

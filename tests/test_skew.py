@@ -222,3 +222,41 @@ def test_salted_join_rejects_dim_preserving_join_types(spark):
     )
     assert strategy == "shuffle"
     assert _rows(df) == _rows(ev.join(dim, "event_type", "full"))
+
+
+def test_catalog_stats_feed_the_chooser_without_planner_jobs(spark):
+    """sources/stats.py: the first column_ndv call runs the analyze
+    job and caches; afterwards the SAME cache key answers from the
+    dict even when the supplied frame would error if any job ran —
+    proof the hot path is O(1). Injected stats skip the chooser's
+    persist+count entirely, and the stats-fed serving decision is
+    result-identical to the statless one."""
+    from hyperion_history_api_spark.api.skew_q import _notified_enrichment
+    from hyperion_history_api_spark.sources.lake import lake_actions
+    from hyperion_history_api_spark.sources.stats import (
+        column_ndv,
+        invalidate_stats,
+    )
+
+    key = f"test-stats-{SF_DIR}"
+    invalidate_stats(key)
+    ev = _events(spark)
+    ndv = column_ndv(ev, "event_type", cache_key=key)
+    assert ndv == ev.select("event_type").distinct().count()  # rsd tiny here
+
+    poisoned = spark.range(1).select(
+        F.raise_error(F.lit("job ran on the stats hot path")).alias(
+            "event_type"
+        )
+    )
+    assert column_ndv(poisoned, "event_type", cache_key=key) == ndv
+    invalidate_stats(key)
+
+    a = lake_actions(spark, SF_DIR)
+    df_stats, strat_stats = _notified_enrichment(a, stats_key=SF_DIR)
+    assert strat_stats == "broadcast"
+    plan = df_stats._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    df_plain, strat_plain = _notified_enrichment(a)
+    assert strat_plain == "broadcast"
+    assert _rows(df_stats) == _rows(df_plain)
