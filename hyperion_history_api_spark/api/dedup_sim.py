@@ -1737,28 +1737,98 @@ def embedding_ivf_refreshed_topk(
     )
 
 
+def _ivf_arm_sql(tag: str, codebook: str, cells: str) -> str:
+    """One IVF nprobe=2 recall arm in DuckDB SQL: probe->cell routing
+    against ``codebook``, scoring within the ``cells`` assignment —
+    the exact template the hash-matched embedding_ivf_refreshed_topk
+    oracle uses, parameterized so the stale and refreshed arms are
+    derived from scratch instead of asserted."""
+    return f"""
+    pc_{tag} AS (
+        SELECT probe_id, pe, cell FROM (
+            SELECT p.probe_id, p.pe, c.cell,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       list_dot_product(p.pe, c.cent) /
+                       (sqrt(list_dot_product(p.pe, p.pe)) *
+                        sqrt(list_dot_product(c.cent, c.cent))) DESC,
+                       c.cell ASC) AS cr
+            FROM probes p CROSS JOIN {codebook} c
+        ) WHERE cr <= 2
+    ), ap_{tag} AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC)
+                       AS rn
+            FROM (
+                SELECT pc.probe_id, e.vec_id,
+                       round(list_dot_product(pc.pe, e.v) /
+                             (sqrt(list_dot_product(pc.pe, pc.pe)) *
+                              sqrt(list_dot_product(e.v, e.v))), 4)
+                           AS cosine
+                FROM pc_{tag} pc JOIN {cells} USING (cell)
+                     JOIN eall e USING (vec_id)
+                WHERE e.vec_id <> pc.probe_id
+            )
+        ) WHERE rn <= 5
+    ), h_{tag} AS (
+        SELECT count(*) AS n FROM ap_{tag} JOIN gt USING (probe_id, vec_id)
+    )"""
+
+
 @register(
     "embedding_ivf_refresh_recall",
-    """
-    SELECT CAST(25 AS BIGINT) AS n_expected,
+    _kmr_cte_sql()
+    + """,
+    probes AS (SELECT vec_id AS probe_id, v AS pe FROM eall
+               WHERE vec_id < 5),
+    gt AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC)
+                       AS rn
+            FROM (
+                SELECT p.probe_id, e.vec_id,
+                       round(list_dot_product(p.pe, e.v) /
+                             (sqrt(list_dot_product(p.pe, p.pe)) *
+                              sqrt(list_dot_product(e.v, e.v))), 4)
+                           AS cosine
+                FROM probes p CROSS JOIN eall e
+                WHERE e.vec_id <> p.probe_id
+            )
+        ) WHERE rn <= 5
+    ),"""
+    + _ivf_arm_sql("s", f"s{_KM_ITERS}", "sF")
+    + ","
+    + _ivf_arm_sql("w", f"w{_KM_ITERS}", "rF")
+    + """,
+    ne AS (SELECT count(*) AS n FROM gt)
+    SELECT ne.n AS n_expected,
+           round(h_s.n * 1.0 / ne.n, 4) AS recall_stale,
+           round(h_w.n * 1.0 / ne.n, 4) AS recall_refreshed,
            CAST(1 AS BOOLEAN) AS refresh_triggered,
-           CAST(1 AS BOOLEAN) AS refreshed_ge_stale
+           (h_w.n >= h_s.n) AS refreshed_ge_stale
+    FROM ne, h_s, h_w
     """,
     "similarity: recall gate for the drift refresh — IVF nprobe=2 "
-    "recall@5 vs exact brute force under the refreshed index must be "
-    ">= the stale index's on the drifted fixture (measured: 0.76 vs "
-    "0.72 at sf0.001, 0.88 vs 0.84 at sf0.01, 0.92 vs 0.92 at sf0.1), "
-    "and the drift trigger must actually fire",
+    "recall@5 vs exact brute force, MEASURED under the stale and the "
+    "refreshed index and emitted as columns; the oracle re-derives "
+    "both codebooks (SQL-unrolled Lloyd), both assignments, the "
+    "ground truth, and both recalls from scratch, so the hash gate "
+    "proves the measured numbers, not just the boolean; the trigger "
+    "flag is a fixture assertion (all three sf fixtures fire — "
+    "pinned by tests/test_kmeans.py)",
 )
 def embedding_ivf_refresh_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Honesty gate (embedding_pq_recall pattern): ground truth =
-    brute_force_topk; approx = ivf_nprobe_topk under (a) the stale
-    cells+codebook and (b) the refreshed ones; emits whether the
-    refresh fired and whether it held or improved recall."""
-    from ..operators.similarity import kmeans_assign
-
+    """Honesty gate, upgraded from booleans to measured values
+    (round-5 verdict note): ground truth = brute_force_topk; approx =
+    ivf_nprobe_topk under (a) the stale cells+codebook and (b) the
+    refreshed ones; emits both recall@5 values as columns the DuckDB
+    oracle independently re-computes, plus whether the refresh fired
+    and whether it held or improved recall."""
     stale, _refreshed, triggered = _refresh_state(spark, sf_dir)
     corpus, probes = _corpus_probes(spark, sf_dir)
     gt = brute_force_topk(corpus, probes, 5).select("probe_id", "vec_id")
@@ -1778,13 +1848,16 @@ def embedding_ivf_refresh_recall(
         [(c, v) for c, v in sorted(stale.items())],
         "cell int, centroid array<double>",
     )
+    n_expected = gt.count()
     n_stale = hits(_kmr_cells_stale(spark, sf_dir), stale_cents)
     n_fresh = hits(
         _kmr_cells_refreshed(spark, sf_dir),
         _kmr_cents_refreshed(spark, sf_dir),
     )
-    return gt.agg(F.count("*").alias("n_expected")).select(
-        "n_expected",
+    return spark.range(1).select(
+        F.lit(n_expected).cast("long").alias("n_expected"),
+        F.lit(round(n_stale / n_expected, 4)).alias("recall_stale"),
+        F.lit(round(n_fresh / n_expected, 4)).alias("recall_refreshed"),
         F.lit(bool(triggered)).alias("refresh_triggered"),
         F.lit(bool(n_fresh >= n_stale)).alias("refreshed_ge_stale"),
     )
