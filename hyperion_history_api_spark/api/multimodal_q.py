@@ -287,3 +287,59 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return decode_png(synth_media_png(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_gif",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, 16),
+                   j -> CAST(concat('0x', substr(md5(text), 2*j - 1, 2))
+                             AS BIGINT)) AS db,
+               3 + doc_id % 11 AS w,
+               2 + doc_id % 7 AS h,
+               CAST(1 AS BIGINT) << (2 + doc_id % 3) AS ps
+        FROM documents
+    ), ix AS (
+        SELECT doc_id, w, h, ps,
+               list_transform(generate_series(0, w*h - 1),
+                   j -> db[(j % 16) + 1] % ps) AS idx
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_units,
+           CAST(ps AS INT) AS palette_size,
+           round(list_sum(idx) * 1.0 / (w*h), 4) AS index_mean,
+           round(list_sum(list_transform(idx,
+                 i -> (i*37)%256 + (i*73)%256 + (i*11)%256)) * 1.0
+                 / (3*w*h), 4) AS mean_val,
+           round(list_sum(list_transform(idx[1:w],
+                 i -> (i*37)%256 + (i*73)%256 + (i*11)%256)) * 1.0
+                 / (3*w), 4) AS top_row_mean,
+           round(list_sum(list_transform(idx,
+                 i -> (i*37)%256)) * 1.0 / (w*h), 4) AS chan0_mean
+    FROM ix ORDER BY media_id
+    """,
+    "multimodal: REAL GIF decode — the second COMPRESSED format, "
+    "pure-Python GIF-variant LZW (LSB-first bit packing across "
+    "sub-blocks, clear/EOI, KwKwK, and the decoder-side early width "
+    "change at 2^W - 1) plus palette indirection; the oracle "
+    "re-derives the index-stream mean (LZW layer) AND palette-mapped "
+    "RGB means (lookup layer), order-sensitive via the top row",
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize honest GIF89a files from the corpus (global color
+    table, a Graphic Control Extension the decoder must skip,
+    LZW-compressed index stream in <=255-byte sub-blocks) and decode
+    them for real. The LZW encoder/decoder pair is pinned against
+    independently hand-derived byte fixtures in
+    tests/test_multimodal_real.py (incl. the KwKwK stream and the
+    width-growth boundary), so round-trip bug symmetry is not
+    trusted. One Arrow pass each way, no shuffle — same scale shape
+    as the PPM/WAV/BMP/PNG decoders."""
+    from ..sources.multimodal import decode_gif, synth_media_gif
+
+    docs = _t(spark, sf_dir)["documents"]
+    return decode_gif(synth_media_gif(docs)).orderBy("media_id")

@@ -198,9 +198,9 @@ _pbv(__name__)
 # header field and the pixel/sample MEAN against the synthesis
 # formulas re-derived in SQL — so a decoder that didn't actually read
 # the payload cannot pass. PNG joined them in round 6 (stdlib zlib
-# — see the PNG section below); JPEG/MP4 remain behind the
-# documented decode_stub gate above (their codecs genuinely need
-# PIL/av).
+# — see the PNG section below), then GIF (pure-Python LZW — see the
+# GIF section); JPEG/MP4 remain behind the documented decode_stub
+# gate above (their codecs genuinely need PIL/av).
 
 SYNTH_SR = 8000  # WAV sample rate
 
@@ -751,5 +751,315 @@ def decode_png(media: DataFrame) -> DataFrame:
         run, PNG_DECODE_SCHEMA
     )
     for c in ("mean_val", "top_row_mean", "bottom_row_mean", "chan0_mean"):
+        out = out.withColumn(c, F.round(c, 4))
+    return out
+
+
+# ------------------------------------------------------------- GIF
+# The second COMPRESSED real format (round 6): GIF needs nothing
+# beyond pure Python — the codec is LZW with GIF's variable-width
+# code packing, which is exactly the adversarial part. A decoder must
+# get four independent things right or corrupt everything downstream:
+# LSB-first bit packing across 255-byte sub-block boundaries, the
+# clear/EOI control codes, the code-width growth schedule (the
+# decoder runs one dictionary entry BEHIND the encoder, so it must
+# "early-change" at next == 2^W - 1 while the encoder changes at
+# next == 2^W), and the KwKwK case (a code referencing the entry
+# being defined by the very code stream position that uses it). The
+# palette indirection adds a fifth: stats are over palette-mapped
+# RGB, so an index-stream-only decode cannot pass. The encoder and
+# decoder are pinned against independently hand-derived byte fixtures
+# in tests/test_multimodal_real.py (round-trip symmetry is not
+# trusted), and the oracle re-derives index AND palette-mapped means
+# in SQL. Reference anchor: the indexer stores image attachments as
+# opaque binaries with typed metadata (src/indexer/ingest docs);
+# decode parity here is the Spark-side feature-extraction leg.
+
+
+def _lzw_encode(indexes: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW encode of an index stream (min code size
+    ``mcs``): emits CLEAR first, grows code width when the next free
+    code reaches 2^W (encoder side of the early-change contract),
+    resets the table via CLEAR at 4096, ends with EOI. Returns the
+    raw code bytes (LSB-first packed), NOT yet sub-block framed."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << mcs)},
+            eoi + 1,
+            mcs + 1,
+        )
+
+    table, nxt, width = fresh()
+    emit(clear, width)
+    w = b""
+    for k in indexes:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = nxt
+        nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4096:
+            emit(clear, width)
+            table, nxt, width = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW decode (inverse of ``_lzw_encode``): LSB-first
+    bit reads (absent trailing bits read as zero — the encoder
+    byte-pads with zeros, and EOI always fits either width), CLEAR
+    resets, KwKwK (code == next free) resolves to prev + prev[0],
+    and the width early-changes at next == 2^W - 1 because the
+    decoder's dictionary runs one entry behind the encoder's."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0
+    total = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            if pos < total and (data[pos >> 3] >> (pos & 7)) & 1:
+                v |= 1 << i
+            pos += 1
+        return v
+
+    def fresh() -> tuple[dict[int, bytes], int, int]:
+        return (
+            {i: bytes([i]) for i in range(1 << mcs)},
+            eoi + 1,
+            mcs + 1,
+        )
+
+    table, nxt, width = fresh()
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + width <= total or pos < total:
+        code = read(width)
+        if code == clear:
+            table, nxt, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code not in table:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} beyond table ({nxt})")
+        out += entry
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + entry[:1]
+            nxt += 1
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    raise ValueError("LZW stream ended without EOI")
+
+
+def _gif_palette(size: int) -> list[tuple[int, int, int]]:
+    """Deterministic palette: entry i -> ((i*37)%256, (i*73)%256,
+    (i*11)%256). Shared by the synthesizer, the decoder's oracle
+    (re-derived in SQL), and nothing else — so the decoder's palette
+    LOOKUP (not this formula) is what the hash checks."""
+    return [((i * 37) % 256, (i * 73) % 256, (i * 11) % 256) for i in range(size)]
+
+
+def synth_media_gif(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF89a files from the documents table:
+    w = 3+id%11, h = 2+id%7, palette 2^(2+id%3) entries from
+    _gif_palette, logical index stream = md5(text) digest repeated,
+    each byte mod palette size. The container is honest — logical
+    screen descriptor, global color table, a Graphic Control
+    Extension (so decoders must skip extension blocks), image
+    descriptor, LZW-compressed data split into <=255-byte sub-blocks,
+    trailer — any external viewer opens these."""
+
+    lzw = _lzw_encode  # closure-captured (see extract_features)
+    pal = _gif_palette
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+
+        import pandas as _pd
+
+        def build(media_id: int, text: str) -> bytes:
+            dg = _hl.md5(text.encode("utf-8")).digest()
+            w, h = 3 + media_id % 11, 2 + media_id % 7
+            mcs = 2 + media_id % 3
+            psize = 1 << mcs
+            n = w * h
+            idx = bytes((dg * (n // 16 + 1))[i] % psize for i in range(n))
+            gct = b"".join(bytes(c) for c in pal(psize))
+            lsd = _st.pack("<HHBBB", w, h, 0x80 | (mcs - 1), 0, 0)
+            gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+            imgd = _st.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+            code = lzw(idx, mcs)
+            blocks = b"".join(
+                bytes([len(code[i : i + 255])]) + code[i : i + 255]
+                for i in range(0, len(code), 255)
+            )
+            return (
+                b"GIF89a" + lsd + gct + gce + imgd
+                + bytes([mcs]) + blocks + b"\x00\x3b"
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        build(int(m), t)
+                        for m, t in zip(pdf["media_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(run, "media_id long, payload binary")
+
+
+GIF_DECODE_SCHEMA = (
+    "media_id long, width int, height int, n_units long, "
+    "palette_size int, index_mean double, mean_val double, "
+    "top_row_mean double, chan0_mean double"
+)
+
+
+def decode_gif(media: DataFrame) -> DataFrame:
+    """REAL GIF decode: validates the signature, parses the logical
+    screen descriptor, reads the global color table, SKIPS extension
+    blocks by their sub-block framing, parses the image descriptor,
+    reassembles the LZW stream from its sub-blocks, LZW-decodes the
+    index stream (variable-width codes, clear/EOI, KwKwK,
+    early-change), then maps indexes through the palette. Emits an
+    index-stream mean (proves the LZW layer) AND palette-mapped RGB
+    means (proves the lookup), order-sensitive via the top row.
+    Arrow-batched single pass, no shuffle — identical scale shape to
+    the PPM/WAV/BMP/PNG decoders."""
+
+    lzw = _lzw_decode  # closure-captured
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        import numpy as _np
+        import pandas as _pd
+
+        def one(media_id: int, payload: bytes) -> dict:
+            if payload[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError(f"not a GIF: {media_id}")
+            w, h, flags, _bg, _ar = _st.unpack_from("<HHBBB", payload, 6)
+            pos = 13
+            if not flags & 0x80:
+                raise ValueError(f"no global color table: {media_id}")
+            psize = 2 << (flags & 0x07)
+            gct = payload[pos : pos + 3 * psize]
+            if len(gct) < 3 * psize:
+                raise ValueError(f"truncated color table: {media_id}")
+            pos += 3 * psize
+            while True:
+                if pos >= len(payload):
+                    raise ValueError(f"no image data: {media_id}")
+                b = payload[pos]
+                if b == 0x3B:
+                    raise ValueError(f"trailer before image: {media_id}")
+                if b == 0x21:  # extension: label + sub-blocks
+                    pos += 2
+                    while pos < len(payload) and payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    if pos >= len(payload):
+                        raise ValueError(f"truncated extension: {media_id}")
+                    pos += 1
+                    continue
+                if b != 0x2C:
+                    raise ValueError(f"bad block 0x{b:02x}: {media_id}")
+                break
+            if pos + 11 > len(payload):
+                raise ValueError(f"truncated image descriptor: {media_id}")
+            _, left, top, iw, ih, ifl = _st.unpack_from("<BHHHHB", payload, pos)
+            pos += 10
+            if ifl & 0xC0:
+                raise ValueError(
+                    f"local color table/interlace unsupported: {media_id}"
+                )
+            if (iw, ih, left, top) != (w, h, 0, 0):
+                raise ValueError(f"sub-frame GIF unsupported: {media_id}")
+            mcs = payload[pos]
+            pos += 1
+            code = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError(f"unterminated image data: {media_id}")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                if pos + ln > len(payload):
+                    raise ValueError(f"truncated sub-block: {media_id}")
+                code += payload[pos : pos + ln]
+                pos += ln
+            idx = lzw(bytes(code), mcs)
+            if len(idx) != w * h:
+                raise ValueError(
+                    f"decoded {len(idx)} indexes for {w}x{h}: {media_id}"
+                )
+            ia = _np.frombuffer(idx, dtype=_np.uint8).astype("int64")
+            if int(ia.max(initial=0)) >= psize:
+                raise ValueError(f"index beyond palette: {media_id}")
+            p = _np.frombuffer(gct, dtype=_np.uint8).reshape(psize, 3)
+            px = p[ia].astype("float64")  # (n, 3) palette-mapped RGB
+            return {
+                "media_id": media_id,
+                "width": w,
+                "height": h,
+                "n_units": w * h,
+                "palette_size": psize,
+                "index_mean": float(ia.mean()),
+                "mean_val": float(px.mean()),
+                "top_row_mean": float(px[:w].mean()),
+                "chan0_mean": float(px[:, 0].mean()),
+            }
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                [
+                    one(int(m), bytes(p))
+                    for m, p in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run, GIF_DECODE_SCHEMA
+    )
+    for c in ("index_mean", "mean_val", "top_row_mean", "chan0_mean"):
         out = out.withColumn(c, F.round(c, 4))
     return out

@@ -361,3 +361,141 @@ def test_png_decode_rejects_corrupt_crc_and_truncation(spark):
     )
     with _pytest.raises(Exception, match="truncated|IEND|CRC|PNG|PythonException"):
         decode_png(truncated).collect()
+
+
+def test_gif_lzw_hand_derived_fixtures():
+    """The encoder and decoder are pinned against INDEPENDENT
+    hand-derived byte streams (worked out code-by-code from the LZW
+    rules, not generated by this code), so a mirrored bug in the pair
+    cannot cancel out. mcs=2: clear=4, EOI=5, first free code 6,
+    width starts at 3.
+
+    [0,0,0,0]: codes clear,0,6("00"),0,EOI; the add of "000" (code 7)
+    makes next==8==2^3, so the encoder bumps to 4-bit codes for the
+    final 0 and EOI. LSB-first packing of 001 000 110 0000 0101 ->
+    0x84 0xA1 0x00.
+
+    [1,1,1]: codes clear,1,6,EOI all 3-bit -> 0x8C 0x0B; decoding hits
+    the KwKwK case (code 6 read while 6 is the next UNdefined entry).
+    """
+    from hyperion_history_api_spark.sources.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_encode(bytes([0, 0, 0, 0]), 2) == bytes([0x84, 0xA1, 0x00])
+    assert _lzw_decode(bytes([0x84, 0xA1, 0x00]), 2) == bytes([0, 0, 0, 0])
+    assert _lzw_encode(bytes([1, 1, 1]), 2) == bytes([0x8C, 0x0B])
+    assert _lzw_decode(bytes([0x8C, 0x0B]), 2) == bytes([1, 1, 1])
+
+
+def test_gif_lzw_round_trips_across_width_growth():
+    """Deterministic streams long enough to cross several code-width
+    boundaries (and, at n=5000/mcs=2, the 4096-entry table reset)
+    survive encode->decode byte-identically for every GIF min-code
+    size the synthesizer emits."""
+    import random
+
+    from hyperion_history_api_spark.sources.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rnd = random.Random(13)
+    for mcs in (2, 3, 4, 8):
+        for n in (0, 1, 7, 300, 5000):
+            data = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    # stream ending without EOI must be rejected, and a code beyond
+    # the table must be rejected (0b111 = 7 unassigned right after
+    # clear+first code)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="EOI"):
+        _lzw_decode(bytes([0x04]), 2)  # clear then nothing
+    with _pytest.raises(ValueError, match="beyond table"):
+        # clear(100) 0(000) 7(111): 7 > next free (6)
+        _lzw_decode(bytes([0b11000100, 0b1]), 2)
+
+
+def test_gif_payloads_are_honest_files(spark):
+    """Container grammar: signature, logical screen descriptor flags
+    carrying the real palette size, a skippable extension block, and
+    a zero-terminated sub-block chain before the trailer."""
+    import struct
+
+    from hyperion_history_api_spark.sources.multimodal import synth_media_gif
+
+    docs = load_tables(spark, SF_DIR)["documents"].where(F.col("doc_id") < 6)
+    for r in synth_media_gif(docs).collect():
+        p = bytes(r["payload"])
+        assert p[:6] == b"GIF89a"
+        w, h, flags, _, _ = struct.unpack_from("<HHBBB", p, 6)
+        assert w == 3 + r["media_id"] % 11 and h == 2 + r["media_id"] % 7
+        assert flags & 0x80
+        assert p[13 + 3 * (2 << (flags & 7))] == 0x21  # GCE follows GCT
+        assert p[-1] == 0x3B and p[-2] == 0x00
+
+
+def test_gif_decode_matches_hand_computed_means(spark):
+    """Full-path check against numpy re-derivation from the synthesis
+    formula (digest-repeated indexes through the deterministic
+    palette) — independent of the Spark-side decode."""
+    import hashlib
+
+    import numpy as np
+
+    from hyperion_history_api_spark.sources.multimodal import (
+        _gif_palette,
+        decode_gif,
+        synth_media_gif,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].where(F.col("doc_id") < 8)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = {
+        r["media_id"]: r
+        for r in decode_gif(synth_media_gif(docs)).collect()
+    }
+    assert set(out) == set(texts)
+    for mid, text in texts.items():
+        r = out[mid]
+        w, h = 3 + mid % 11, 2 + mid % 7
+        ps = 1 << (2 + mid % 3)
+        dg = hashlib.md5(text.encode()).digest()
+        n = w * h
+        idx = np.array(
+            [(dg * (n // 16 + 1))[i] % ps for i in range(n)], dtype="int64"
+        )
+        pal = np.array(_gif_palette(ps), dtype="float64")
+        px = pal[idx]
+        assert (r["width"], r["height"], r["palette_size"]) == (w, h, ps)
+        assert r["index_mean"] == round(float(idx.mean()), 4)
+        assert r["mean_val"] == round(float(px.mean()), 4)
+        assert r["top_row_mean"] == round(float(px[:w].mean()), 4)
+        assert r["chan0_mean"] == round(float(px[:, 0].mean()), 4)
+
+
+def test_gif_decode_rejects_corrupt_streams(spark):
+    import pytest as _pytest
+
+    from hyperion_history_api_spark.sources.multimodal import (
+        decode_gif,
+        synth_media_gif,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].where(F.col("doc_id") < 2)
+    bad_sig = synth_media_gif(docs).withColumn(
+        "payload",
+        F.concat(F.lit(b"NOTGIF"), F.expr("substring(payload, 7)")),
+    )
+    with _pytest.raises(Exception, match="not a GIF|PythonException"):
+        decode_gif(bad_sig).collect()
+    # chop the tail: kills the trailer AND the sub-block terminator
+    truncated = synth_media_gif(docs).withColumn(
+        "payload", F.expr("substring(payload, 1, 30)")
+    )
+    with _pytest.raises(
+        Exception, match="unterminated|truncated|GIF|PythonException"
+    ):
+        decode_gif(truncated).collect()
