@@ -75,7 +75,7 @@ def main() -> None:
     )
     docs.count()
 
-    def run(ce: int | None) -> dict:
+    def run(ce: int | None) -> tuple[dict, object, str]:
         tmp = tempfile.mkdtemp(prefix="compbench-")
         store = DedupIndexStore(
             spark,
@@ -115,18 +115,50 @@ def main() -> None:
             ),
             "final_files": store.frame_file_counts(),
         }
-        shutil.rmtree(tmp, ignore_errors=True)
-        return out
+        return out, store, tmp
 
-    uncompacted = run(None)
-    compacted = run(compact_every)
+    uncompacted, store_u, tmp_u = run(None)
+    compacted, store_c, tmp_c = run(compact_every)
+
+    # Final-state interleaved A/B: the per-wave curves above confound
+    # fragmentation with the index simply GROWING (each wave adds
+    # rows, so later probes scan more data in both arms) and with host
+    # drift across the two sequential runs. At this point both stores
+    # hold row-identical indexes — the ONLY difference is file layout
+    # (append-only fragments vs compacted) — so alternating probes of
+    # the same final batch isolates the pure fragmentation cost.
+    probe_batch = docs.where(F.col("doc_id") % waves == waves - 1)
+    ab = {"uncompacted": [], "compacted": []}
+    for _ in range(7):
+        for name, store in (("uncompacted", store_u), ("compacted", store_c)):
+            idx = store.read()
+            t0 = time.monotonic()
+            incremental_pairs(
+                idx, probe_batch, "text", "doc_id", threshold=0.5
+            ).count()
+            ab[name].append(round(time.monotonic() - t0, 4))
+    final_ab = {
+        name: {
+            "median_sec": round(statistics.median(s), 4),
+            "spread_sec": round(max(s) - min(s), 4),
+            "files": sum(
+                (store_u if name == "uncompacted" else store_c)
+                .frame_file_counts()
+                .values()
+            ),
+        }
+        for name, s in ab.items()
+    }
+    shutil.rmtree(tmp_u, ignore_errors=True)
+    shutil.rmtree(tmp_c, ignore_errors=True)
     result = {
         "sf_dir": sf_dir,
         "waves": waves,
         "compact_every": compact_every,
         "uncompacted": uncompacted,
         "compacted": compacted,
-        # headline: latency growth second-half/first-half median
+        # latency growth second-half/first-half median (data growth +
+        # fragmentation + drift; see final_ab for fragmentation alone)
         "uncompacted_growth": round(
             uncompacted["median_second_half"]
             / uncompacted["median_first_half"],
@@ -134,6 +166,12 @@ def main() -> None:
         ),
         "compacted_growth": round(
             compacted["median_second_half"] / compacted["median_first_half"],
+            3,
+        ),
+        "final_ab": final_ab,
+        "fragmentation_ratio": round(
+            final_ab["uncompacted"]["median_sec"]
+            / final_ab["compacted"]["median_sec"],
             3,
         ),
     }
