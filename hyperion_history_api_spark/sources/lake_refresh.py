@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..commitlog import link_tree as _link_tree
 from ..commitlog import replace_dir
 from . import hyperion_model as hm
+from .stats import invalidate_stats
 from .lake import (
     BLOCK_PART_SIZE,
     LAKE_VERSION,
@@ -123,6 +124,11 @@ def refresh_partitioned(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+    # a committed increment changes row counts and NDVs: drop this
+    # lake's cached planner statistics (sources/stats.py) so the next
+    # chooser-planned query re-analyzes instead of deciding on stale
+    # cardinalities — the refresh hook the stats module documents.
+    invalidate_stats(sf_dir)
     return spark.read.parquet(str(dest))
 
 
@@ -190,6 +196,7 @@ def retract_blocks_above(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+    invalidate_stats(sf_dir)  # retraction shrinks counts/NDVs too
     return spark.read.parquet(str(dest))
 
 

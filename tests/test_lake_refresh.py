@@ -237,3 +237,33 @@ def test_fork_retraction_drops_partitions_beyond_fork(spark, iso_lake):
     dest = iso_lake / "sf0.001" / "actions"
     assert "block_part=5" not in _part_dirs(dest)
     assert out.count() < base_n
+
+
+def test_refresh_invalidates_cached_planner_stats(spark, iso_lake):
+    """A committed increment drops the lake's cached NDV statistics
+    (sources/stats.py), so the next chooser-planned query re-analyzes
+    instead of deciding on stale cardinalities. Proven job-free /
+    job-required via the poisoned-frame trick: a frame that raises if
+    any job runs answers fine from cache, then raises after the
+    refresh."""
+    import pytest
+
+    from hyperion_history_api_spark.sources.stats import (
+        column_ndv,
+        invalidate_stats,
+    )
+
+    invalidate_stats(SF_DIR)
+    ev = load_tables(spark, SF_DIR)["events"]
+    ndv = column_ndv(ev, "event_type", cache_key=SF_DIR)
+    poisoned = spark.range(1).select(
+        F.raise_error(F.lit("boom")).alias("event_type")
+    )
+    assert column_ndv(poisoned, "event_type", cache_key=SF_DIR) == ndv
+
+    lake_refresh.refresh_partitioned(
+        spark, SF_DIR, "actions", _batch(spark, 10, FAR_OFFSET)
+    )
+    with pytest.raises(Exception, match="boom"):
+        column_ndv(poisoned, "event_type", cache_key=SF_DIR)
+    invalidate_stats(SF_DIR)
