@@ -167,3 +167,198 @@ def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 4).alias("total"))
         .orderBy("o_orderpriority", "o_orderstatus")
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "semi-join + agg (Q4 semantics; the fixture schema carries no "
+    "l_commitdate/l_receiptdate, so 'late order' = any line shipped "
+    ">60 days after the order date — same EXISTS shape)",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI with a compound (equi + non-equi residual)
+    condition: the dedup the EXISTS implies happens inside the join
+    operator — no distinct, no second shuffle. At 100 TB both sides
+    shuffle once on the order key; the date filters push into both
+    scans."""
+    t = _t(spark, sf_dir)
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "outer join + double aggregation (Q13 semantics; the filter "
+    "rides in the JOIN CONDITION — the fixture schema has no "
+    "o_comment, so 'special requests' = urgent priority — keeping "
+    "zero-match customers in the left branch load-bearing)",
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The classic outer-join-then-histogram: count(o_orderkey) over
+    the LEFT join counts only matches (nulls drop), so zero-order
+    customers land in the c_count=0 bucket instead of vanishing — an
+    inner join here is the classic Q13 bug. Two aggregations, the
+    second over one row per customer."""
+    t = _t(spark, sf_dir)
+    cust = t["customer"].select("c_custkey")
+    orders = t["orders"].where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(q.sum_qty, 4) AS sum_qty
+    FROM orders
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ) q ON o_orderkey = q.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 20
+    """,
+    "group-having semi-filter + join chain + top-K (Q18 semantics, "
+    "threshold 250 = ~p99 of per-order quantity on the fixture)",
+)
+def tpch_q18_large_volume_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The HAVING output is tiny after the >250 gate (~1% of orders),
+    so it broadcasts into orders — the fact table never shuffles for
+    that join. orders x customer stays a plain equi-join for AQE; the
+    final ORDER BY ... LIMIT is a TakeOrdered, no global sort."""
+    t = _t(spark, sf_dir)
+    qual = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = t["orders"]
+    cust = t["customer"].select("c_custkey", "c_name")
+    return (
+        orders.join(broadcast(qual), orders["o_orderkey"] == qual["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    """
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "scalar subquery + anti-join + agg (Q22 semantics; the fixture "
+    "schema has no c_phone, so the country bucket is c_nationkey and "
+    "the 'never placed an order' arm is 'no urgent order' — every "
+    "fixture customer has SOME order, which would make the literal "
+    "anti-join vacuously empty)",
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three shapes in one plan: the global-average threshold rides
+    in as a broadcast one-row cross join (no driver round trip, no
+    collect), the NOT EXISTS is a LEFT ANTI on the customer key, and
+    the rollup groups the survivors. The avg is rounded to 2 dp in
+    BOTH engines so the comparison threshold is bit-stable against
+    summation-order float drift."""
+    t = _t(spark, sf_dir)
+    cust = t["customer"]
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("thr"))
+    )
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cand = (
+        cust.crossJoin(broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        cand.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
