@@ -229,6 +229,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rides in the JOIN CONDITION — the fixture schema has no "
     "o_comment, so 'special requests' = urgent priority — keeping "
     "zero-match customers in the left branch load-bearing)",
+    headline=True,
 )
 def tpch_q13_customer_distribution(
     spark: SparkSession, sf_dir: str
@@ -271,6 +272,7 @@ def tpch_q13_customer_distribution(
     """,
     "group-having semi-filter + join chain + top-K (Q18 semantics, "
     "threshold 250 = ~p99 of per-order quantity on the fixture)",
+    headline=True,
 )
 def tpch_q18_large_volume_customer(
     spark: SparkSession, sf_dir: str
