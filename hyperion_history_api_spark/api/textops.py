@@ -816,3 +816,97 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_source_quota",
+    """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept,
+           sum(n_chars) AS chars_kept,
+           min(n_chars) AS min_chars_kept,
+           min(doc_id) AS first_doc
+    FROM r WHERE rk <= 10 GROUP BY source ORDER BY source
+    """,
+    "curation/mixing: per-source QUOTA cap (operators/sampling.py:"
+    "quota_cap) — keep the top-10 docs per source by length with "
+    "deterministic ties, the per-domain contribution limit of a "
+    "pretraining mix; the cap holds regardless of group size, unlike "
+    "a sampling fraction",
+)
+def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the group key, bounded rank within each group
+    (row_number + early cap); the rollup proves the exact kept SET
+    (count, char mass, the rank-10 boundary value, and the smallest
+    kept id), not just the count."""
+    from ..operators.sampling import quota_cap
+
+    docs = _t(spark, sf_dir)["documents"]
+    kept = quota_cap(
+        docs.select("source", "doc_id", "n_chars"),
+        group_col="source",
+        quota=10,
+        order_col="n_chars",
+        id_col="doc_id",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.min("n_chars").alias("min_chars_kept"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_source_token_budget",
+    """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    FROM r WHERE run - n_chars < 2000 GROUP BY source ORDER BY source
+    """,
+    "curation/mixing: per-source TOKEN-BUDGET cap (operators/"
+    "sampling.py:token_budget_cap) — greedy best-prefix per source "
+    "under a 2000-char budget via one cumulative window sum; mixes "
+    "are specified in tokens, not documents",
+)
+def doc_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single shuffle as the quota form; the running total is a
+    rows-unbounded-preceding cumulative sum, so the budget walk needs
+    no second pass and no driver loop. The first row crossing the
+    line is kept iff it STARTS inside it, so every source contributes
+    its best prefix even when one doc exceeds the whole budget."""
+    from ..operators.sampling import token_budget_cap
+
+    docs = _t(spark, sf_dir)["documents"]
+    kept = token_budget_cap(
+        docs.select("source", "doc_id", "n_chars"),
+        group_col="source",
+        budget=2000,
+        tokens_col="n_chars",
+        order_col="n_chars",
+        id_col="doc_id",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -228,3 +228,80 @@ def weighted_pred_sql(
         f"{u} < least(1.0, {fraction} * ({weight_expr}) / ({mean_expr}))"
         " * 65536.0"
     )
+
+
+def quota_cap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    quota: int,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group QUOTA cap — the per-domain/per-source contribution
+    limit of a pretraining mix (no single crawl domain may dominate
+    the corpus, however large it is): within each ``group_col`` keep
+    the top ``quota`` rows by ``order_col``, ties broken by
+    ``id_col`` so the kept set is deterministic on any cluster.
+
+    One shuffle on the group key, then a bounded rank inside each
+    partition — ``row_number`` over (group, order) with an early cap.
+    Unlike a fraction (:func:`stratified_sample`), the cap holds
+    regardless of group size: a 10^9-doc domain contributes exactly
+    ``quota`` docs, same as a 10^4-doc one. Skewed groups are the
+    norm here (that is the point of the operator); the window sorts
+    within the group's partition, and AQE splits oversized shuffle
+    partitions before the sort.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    budget: int,
+    tokens_col: str,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group TOKEN-BUDGET cap — the budget form of
+    :func:`quota_cap` (mixes are specified in tokens, not documents):
+    walk each group in (``order_col``, ``id_col``) order and keep
+    rows while the RUNNING token total stays within ``budget``; the
+    first row that crosses the line is kept iff it starts inside it
+    (standard greedy prefix — a group always contributes its best
+    prefix, so a single over-budget doc at rank 1 still enters).
+
+    Same single shuffle as :func:`quota_cap`; the running total is a
+    cumulative window sum (rows unbounded-preceding..current), no
+    second pass and no driver loop.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order, F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (
+        df.withColumn("__run", running)
+        .where(F.col("__run") - F.col(tokens_col) < budget)
+        .drop("__run")
+    )

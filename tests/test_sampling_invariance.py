@@ -90,3 +90,64 @@ def test_weighted_sample_partition_invariant_and_proportional(spark):
     # zero-weight rows are never kept
     z = docs.withColumn("w", F.lit(0.0))
     assert weighted_sample(z, "doc_id", "w", 0.9).count() == 0
+
+
+def test_quota_cap_deterministic_and_bounded(spark):
+    """Per-group quota: kept set identical under any partitioning,
+    never exceeds the quota, keeps whole groups smaller than it, and
+    picks the TOP of the ordering with id tie-breaks."""
+    from hyperion_history_api_spark.operators.sampling import quota_cap
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 100), ("a", 3, 300), ("a", 4, 50),
+        ("b", 5, 10),
+        ("c", 6, 7), ("c", 7, 7), ("c", 8, 7),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    kept = lambda d: sorted(
+        (r["src"], r["doc_id"])
+        for r in quota_cap(
+            d, group_col="src", quota=2, order_col="n", id_col="doc_id"
+        ).collect()
+    )
+    got = kept(df)
+    # a: 300 then the n=100 tie broken by lower doc_id; b: all (< quota);
+    # c: two of the three-way tie, lowest ids
+    assert got == [("a", 1), ("a", 3), ("b", 5), ("c", 6), ("c", 7)]
+    assert got == kept(df.repartition(7)) == kept(df.coalesce(1))
+
+
+def test_token_budget_cap_greedy_prefix_semantics(spark):
+    """Budget walk: rows kept while the running total STARTS inside
+    the budget — an over-budget doc at rank 1 still enters (every
+    group contributes its best prefix), and the first row starting
+    at/past the line is cut."""
+    from hyperion_history_api_spark.operators.sampling import (
+        token_budget_cap,
+    )
+
+    rows = [
+        ("big", 1, 5000),          # single doc over budget: kept
+        ("tight", 2, 1500), ("tight", 3, 400), ("tight", 4, 400),
+        # running: 1500, 1900, 2300 -> third row starts at 1900 < 2000
+        # so ALL THREE kept; a fourth would start at 2300 and be cut
+        ("exact", 5, 2000), ("exact", 6, 1),
+        # second row starts exactly AT the budget -> cut
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    got = sorted(
+        (r["src"], r["doc_id"])
+        for r in token_budget_cap(
+            df,
+            group_col="src",
+            budget=2000,
+            tokens_col="n",
+            order_col="n",
+            id_col="doc_id",
+        ).collect()
+    )
+    assert got == [
+        ("big", 1),
+        ("exact", 5),
+        ("tight", 2), ("tight", 3), ("tight", 4),
+    ]
