@@ -63,3 +63,90 @@ def invalidate_stats(cache_key: str | None = None) -> None:
         return
     for k in [k for k in _NDV_CACHE if k[0] == cache_key]:
         del _NDV_CACHE[k]
+
+
+# ---------------------------------------------------- mergeable sketches
+# The O(1)-read cache above still pays a FULL column scan whenever a
+# stat is (re)built — at 100 TB that is the wrong refresh story. Spark
+# ships Apache DataSketches HLL as SQL functions (hll_sketch_agg /
+# hll_union / hll_sketch_estimate), and HLL unions are exact over
+# sketches: sketch(A ∪ B) has byte-for-byte the same register state as
+# union(sketch(A), sketch(B)) at equal lgConfigK, so maintaining the
+# SKETCH makes ANALYZE incremental — each ingest batch contributes one
+# tiny (≤ 2^lgK registers) aggregation and a driver-side union; the
+# history is never rescanned. This is how the stats survive the
+# streaming lake: refresh_partitioned's upsert can only ADD values to
+# a column's distinct set (natural-key upsert replaces rows, it never
+# retires a key), so union-merging the increment is exact there;
+# retraction CAN remove values, which is why retract_blocks_above
+# still invalidates instead of merging.
+
+_SKETCH_CACHE: dict[tuple[str, str], bytes] = {}
+_LG_K = 12  # DataSketches default: ~1.6% rse, 4 KiB max per sketch
+
+
+def ndv_sketch_build(
+    df: DataFrame, col: str, *, cache_key: str
+) -> int:
+    """(Re)build the mergeable NDV sketch for ``(cache_key, col)``
+    from scratch — one aggregation job — and return the estimate."""
+    row = df.agg(
+        F.hll_sketch_agg(F.col(col), F.lit(_LG_K)).alias("sk")
+    ).first()
+    _SKETCH_CACHE[(cache_key, col)] = bytes(row["sk"])
+    return ndv_sketch_estimate(col, cache_key=cache_key)
+
+
+def ndv_sketch_merge(
+    df_increment: DataFrame, col: str, *, cache_key: str
+) -> int:
+    """Fold ONE INCREMENT into the stored sketch: aggregates only the
+    increment (never the history), unions the two sketches JVM-side,
+    stores the result, returns the refreshed estimate. Raises KeyError
+    if no sketch exists yet — the caller decides whether a miss means
+    build-from-scratch or skip."""
+    key = (cache_key, col)
+    if key not in _SKETCH_CACHE:
+        raise KeyError(f"no sketch for {key}; call ndv_sketch_build first")
+    spark = df_increment.sparkSession
+    inc = df_increment.agg(
+        F.hll_sketch_agg(F.col(col), F.lit(_LG_K)).alias("sk")
+    ).first()["sk"]
+    if inc is None:  # empty increment: nothing to fold
+        return ndv_sketch_estimate(col, cache_key=cache_key)
+    merged = (
+        spark.createDataFrame(
+            [(bytearray(_SKETCH_CACHE[key]), bytearray(bytes(inc)))],
+            "a binary, b binary",
+        )
+        .select(F.hll_union("a", "b").alias("u"))
+        .first()["u"]
+    )
+    _SKETCH_CACHE[key] = bytes(merged)
+    return ndv_sketch_estimate(col, cache_key=cache_key)
+
+
+def ndv_sketch_estimate(col: str, *, cache_key: str) -> int:
+    """O(1) estimate from the stored sketch (one local 1-row plan;
+    no table scan, no shuffle)."""
+    key = (cache_key, col)
+    sk = _SKETCH_CACHE[key]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return int(
+        spark.createDataFrame([(bytearray(sk),)], "sk binary")
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .first()["e"]
+    )
+
+
+def invalidate_sketches(cache_key: str | None = None) -> None:
+    """Sketch twin of :func:`invalidate_stats` — for retractions,
+    where values may LEAVE the distinct set and a union-merge would
+    over-count."""
+    if cache_key is None:
+        _SKETCH_CACHE.clear()
+        return
+    for k in [k for k in _SKETCH_CACHE if k[0] == cache_key]:
+        del _SKETCH_CACHE[k]

@@ -260,3 +260,43 @@ def test_catalog_stats_feed_the_chooser_without_planner_jobs(spark):
     df_plain, strat_plain = _notified_enrichment(a)
     assert strat_plain == "broadcast"
     assert _rows(df_stats) == _rows(df_plain)
+
+
+def test_ndv_sketch_incremental_merge_equals_full_rebuild(spark):
+    """Mergeable-sketch ANALYZE (sources/stats.py): HLL unions are
+    exact over sketches, so build(first half) + merge(second half)
+    must give the SAME estimate as build(full) — the property that
+    makes stat refresh O(increment) instead of a history rescan. Also
+    pins the O(1) read (no table scan after the merge) and the empty-
+    increment no-op."""
+    from hyperion_history_api_spark.sources.stats import (
+        invalidate_sketches,
+        ndv_sketch_build,
+        ndv_sketch_estimate,
+        ndv_sketch_merge,
+    )
+
+    key = f"sketch-{SF_DIR}"
+    invalidate_sketches(key)
+    ev = _events(spark)
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+
+    ndv_sketch_build(half1, "user_id", cache_key=key)
+    merged = ndv_sketch_merge(half2, "user_id", cache_key=key)
+    full_key = f"sketch-full-{SF_DIR}"
+    invalidate_sketches(full_key)
+    full = ndv_sketch_build(ev, "user_id", cache_key=full_key)
+    assert merged == full
+
+    # empty increment: estimate unchanged, no error
+    empty = ev.where(F.lit(False))
+    assert ndv_sketch_merge(empty, "user_id", cache_key=key) == merged
+    # stored sketch answers O(1) — and a merge without a base refuses
+    assert ndv_sketch_estimate("user_id", cache_key=key) == merged
+    import pytest
+
+    with pytest.raises(KeyError, match="no sketch"):
+        ndv_sketch_merge(ev, "user_id", cache_key="never-built")
+    invalidate_sketches(key)
+    invalidate_sketches(full_key)
