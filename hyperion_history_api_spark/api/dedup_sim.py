@@ -2041,3 +2041,86 @@ def embedding_ivf_k256_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(len(cb) == k)).alias("all_cells_survived"),
         F.lit(bool(n_hit >= _KBIG_RECALL_FLOOR * n_gt)).alias("recall_ok"),
     )
+
+
+# ------------------------------------------------- stored inverted index
+# Round-6: the reference's core storage primitive, maintained in-engine
+# (sources/inverted_index.py). The serving row below ALWAYS builds the
+# store in two increments (seed = even doc_ids, delta = odd), so its
+# oracle hash proves incremental index maintenance == from-scratch SQL
+# scoring — the dedup_incremental pattern applied to search.
+
+_BM25_IDX_KEY = "bm25idx:v1"
+_BM25_IDX_BUILT: set[str] = set()
+
+
+def _bm25_index_store(spark: SparkSession, sf_dir: str):
+    from ..sources.inverted_index import InvertedIndexStore
+    from ..sources.lake import lake_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = str(lake_root() / sf_name / "bm25_index")
+    store = InvertedIndexStore(spark, path)
+    key_file = _os.path.join(path, "BUILD_KEY")
+    try:
+        fresh = open(key_file).read() == _BM25_IDX_KEY
+    except OSError:
+        fresh = False
+    if path not in _BM25_IDX_BUILT and not fresh:
+        docs = _t(spark, sf_dir)["documents"]
+        store.commit(docs.where(F.col("doc_id") % 2 == 0))
+        store.commit_delta(docs.where(F.col("doc_id") % 2 == 1))
+        with open(key_file, "w") as fh:
+            fh.write(_BM25_IDX_KEY)
+    _BM25_IDX_BUILT.add(path)
+    return store
+
+
+@register(
+    "doc_search_bm25_indexed",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM t
+    ), w AS (
+        SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM t
+    ), tf AS (
+        SELECT doc_id, word, dl, count(*) AS tf FROM w
+        WHERE word IN ('merge', 'window', 'customer')
+        GROUP BY doc_id, word, dl
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM w
+        WHERE word IN ('merge', 'window', 'customer') GROUP BY word
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf * ({_BM25_K1} + 1) /
+                   (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 4) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "search: BM25 top-20 served from the STORED inverted index "
+    "(sources/inverted_index.py: postings/df/stats frames on the "
+    "shared CommitLog), built in TWO increments so the hash gate "
+    "proves incremental maintenance == from-scratch scoring; serving "
+    "reads only the query terms' postings (pushed word filter over "
+    "word-clustered files) — per-query cost follows matched postings, "
+    "not the corpus (the reference serves all search from the index "
+    "its INDEXER maintains; queries never re-tokenize, "
+    "functions.ts:154-169)",
+)
+def doc_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scores as ``doc_search_bm25`` (same tokenizer, constants,
+    rounding) — but the timed plan contains NO corpus tokenize: a
+    pruned postings scan, two broadcasts, one TakeOrdered. The stats
+    frame stores integer (n, sumdl), so incremental merges are exact
+    arithmetic and avgdl = sumdl/n reproduces the from-scratch
+    average bit-for-bit."""
+    store = _bm25_index_store(spark, sf_dir)
+    return store.bm25(["merge", "window", "customer"], 20)

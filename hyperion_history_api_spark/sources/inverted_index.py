@@ -1,0 +1,235 @@
+"""Stored inverted index with incremental maintenance — the engine's
+form of the reference's core storage primitive.
+
+Hyperion's entire query layer sits on Elasticsearch, which IS an
+inverted index: every memo/``match`` search the reference serves
+(functions.ts:154-169) reads term postings that the INDEXER maintained
+at ingest time; queries never re-tokenize the corpus. The engine's
+``doc_search_bm25`` computes the same scores from scratch per query —
+correct, but a full-corpus tokenize per search is the wrong serving
+story at 100 TB. This module stores the index and maintains it
+incrementally, exactly like the dedup/ANN artifact stores:
+
+Frames (parquet, one directory per frame, CommitLog-versioned):
+
+- ``postings``: (word, doc_id, tf, dl) — the classic postings list,
+  with the document length denormalized onto each posting so scoring
+  needs NO join back to a doc table. Append-only across commits (the
+  corpus contract is Hyperion's: documents are immutable and new
+  commits carry NEW doc_ids — the append-only history model).
+  Full builds cluster by word, so a query's terms prune to a few
+  files via parquet min/max footer stats.
+- ``df``: (word, df) — document frequencies. Rewritten on every
+  commit (it is an aggregate), but it is vocabulary-sized: tiny
+  relative to postings at any scale that matters.
+- ``stats``: one row (n, sumdl) — INTEGER sums, not the average, so
+  increments merge with exact arithmetic (avgdl = sumdl/n at read
+  time; no float-accumulation drift across commit orders).
+
+Delta commit cost is O(batch tokens) + O(vocabulary): postings files
+of the previous snapshot hard-link forward, only the batch's postings
+land as new files; df/stats rewrite from (previous || batch) — no
+history re-tokenization ever. The manifest swap is the single atomic
+commit point (shared CommitLog, commitlog.py).
+
+BM25 serving reads ONLY the query terms' postings (pushed word
+filter), broadcasts the filtered df and the 1-row stats, and top-ks
+with TakeOrdered — per-query cost proportional to the matched
+postings, not the corpus. Score formula and constants are identical
+to doc_search_bm25 (Lucene k1=1.2, b=0.75), and the registry row
+builds the store in two increments, so its oracle hash proves
+incremental maintenance == from-scratch SQL scoring.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..commitlog import CommitLog, link_files
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+POSTINGS_FRAME = "postings"
+DF_FRAME = "df"
+STATS_FRAME = "stats"
+_FRAMES = (POSTINGS_FRAME, DF_FRAME, STATS_FRAME)
+
+
+def _tokenize(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(word, doc_id, tf, dl) rows — the same ``split(text, ' ')``
+    token contract as doc_search_bm25/doc_search_tfidf, so stored
+    scores are comparable with the from-scratch path bit-for-bit."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("ws").alias("dl"),
+            F.explode("ws").alias("word"),
+        )
+        .groupBy("word", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+class InvertedIndexStore:
+    """Versioned inverted-index store (postings/df/stats frames on
+    the shared CommitLog protocol — same crash-safety contract as
+    ParquetStateStore and DedupIndexStore)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        keep_versions: int = 2,
+        cluster_files: int = 8,
+        delta_write_partitions: int = 2,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.log = CommitLog(path, keep_versions=keep_versions)
+        self.cluster_files = max(1, cluster_files)
+        self.delta_write_partitions = max(1, delta_write_partitions)
+
+    # -- read -----------------------------------------------------------
+
+    def read(self) -> dict[str, DataFrame] | None:
+        m = self.log.read_manifest()
+        if m is None:
+            return None
+        base = self.log.snapshot_dir(m["snapshot"])
+        return {
+            f: self.spark.read.parquet(os.path.join(base, f))
+            for f in _FRAMES
+        }
+
+    # -- commit ----------------------------------------------------------
+
+    @staticmethod
+    def _canon(df: DataFrame) -> DataFrame:
+        # one column order for every file of a frame: linked v1 files
+        # and appended delta files are read as one parquet dataset
+        return df.select(*sorted(df.columns))
+
+    def _aggregates(
+        self, postings: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        df_t = postings.groupBy("word").agg(
+            F.count(F.lit(1)).alias("df")
+        )  # one posting row per (word, doc): count == distinct docs
+        stats = postings.select("doc_id", "dl").distinct().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").cast("long").alias("sumdl"),
+        )
+        return df_t, stats
+
+    def commit(
+        self, docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        """Full build: postings range-clustered by word (query terms
+        prune to few files via footer stats), aggregates derived."""
+        postings = _tokenize(docs, text_col, id_col)
+        df_t, stats = self._aggregates(postings)
+        snap, snap_dir = self.log.new_snapshot()
+        (
+            self._canon(postings)
+            .repartitionByRange(self.cluster_files, "word")
+            .sortWithinPartitions("word", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap_dir, POSTINGS_FRAME))
+        )
+        self._canon(df_t).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(snap_dir, DF_FRAME)
+        )
+        self._canon(stats).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(snap_dir, STATS_FRAME)
+        )
+        self.log.publish(snap)
+
+    def commit_delta(
+        self, docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        """Incremental commit of NEW documents (disjoint doc_ids — the
+        append-only corpus contract): postings hard-link forward +
+        O(batch) new files; df/stats rewritten from (previous ||
+        batch) without touching postings history."""
+        cur = self.read()
+        if cur is None:
+            raise ValueError("commit_delta requires a seeded index store")
+        batch = _tokenize(docs, text_col, id_col)
+        bdf, bstats = self._aggregates(batch)
+        merged_df = (
+            cur[DF_FRAME]
+            .unionByName(bdf)
+            .groupBy("word")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        merged_stats = (
+            cur[STATS_FRAME]
+            .unionByName(bstats)
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sumdl").cast("long").alias("sumdl"),
+            )
+        )
+        m = self.log.read_manifest()
+        snap, snap_dir = self.log.new_snapshot()
+        prev = self.log.snapshot_dir(m["snapshot"])
+        dst = os.path.join(snap_dir, POSTINGS_FRAME)
+        link_files(os.path.join(prev, POSTINGS_FRAME), dst)
+        self._canon(batch).coalesce(
+            self.delta_write_partitions
+        ).write.mode("append").parquet(dst)
+        self._canon(merged_df).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(snap_dir, DF_FRAME)
+        )
+        self._canon(merged_stats).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(snap_dir, STATS_FRAME))
+        self.log.publish(
+            snap,
+            extra={
+                "delta_commits": int(m.get("delta_commits", 0)) + 1
+            },
+        )
+
+    # -- serve -----------------------------------------------------------
+
+    def bm25(self, terms: list[str], k: int = 20) -> DataFrame:
+        """BM25 top-k from the STORED index: postings pruned to the
+        query terms (pushed filter + word-clustered files), df and
+        the 1-row stats broadcast, TakeOrdered final — per-query cost
+        follows matched postings, never the corpus. Formula and
+        constants identical to doc_search_bm25."""
+        idx = self.read()
+        if idx is None:
+            raise ValueError("bm25 requires a seeded index store")
+        p = idx[POSTINGS_FRAME].where(F.col("word").isin(terms))
+        d = idx[DF_FRAME].where(F.col("word").isin(terms))
+        s = idx[STATS_FRAME]
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        avgdl = F.col("sumdl") / F.col("n")
+        norm = F.col("tf") * F.lit(_BM25_K1 + 1) / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+        return (
+            p.join(F.broadcast(d), "word")
+            .crossJoin(F.broadcast(s))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * norm), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
