@@ -2113,7 +2113,9 @@ def _bm25_index_store(spark: SparkSession, sf_dir: str):
     "word-clustered files) — per-query cost follows matched postings, "
     "not the corpus (the reference serves all search from the index "
     "its INDEXER maintains; queries never re-tokenize, "
-    "functions.ts:154-169)",
+    "functions.ts:154-169); measured 4.2x faster than the "
+    "from-scratch twin at sf1 (0.53s vs 2.25s median)",
+    headline=True,
 )
 def doc_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same scores as ``doc_search_bm25`` (same tokenizer, constants,
