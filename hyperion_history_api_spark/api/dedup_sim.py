@@ -2126,3 +2126,67 @@ def doc_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     average bit-for-bit."""
     store = _bm25_index_store(spark, sf_dir)
     return store.bm25(["merge", "window", "customer"], 20)
+
+
+@register(
+    "doc_search_match_and_indexed",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM t
+    ), w AS (
+        SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM t
+    ), tf AS (
+        SELECT doc_id, word, dl, count(*) AS tf FROM w
+        WHERE word IN ('merge', 'window', 'customer')
+        GROUP BY doc_id, word, dl
+    ), hits AS (
+        SELECT doc_id FROM tf GROUP BY doc_id
+        HAVING count(DISTINCT word) = 3
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM w
+        WHERE word IN ('merge', 'window', 'customer') GROUP BY word
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf * ({_BM25_K1} + 1) /
+                   (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 4) AS score
+        FROM tf JOIN hits USING (doc_id)
+                JOIN df USING (word) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "search: ES `match` with operator AND from the stored index — "
+    "docs containing ALL query terms (postings intersection as a "
+    "grouped HAVING over the same pruned scan), BM25-scored; the "
+    "OR-semantics twin is doc_search_bm25_indexed",
+)
+def doc_search_match_and_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AND-match costs ONE more aggregation over the already-pruned
+    postings (count distinct terms per doc == n_terms) — no second
+    scan, no self-join chain; the intersection set then gates the
+    same BM25 scoring plan."""
+    from ..sources.inverted_index import POSTINGS_FRAME
+
+    terms = ["merge", "window", "customer"]
+    store = _bm25_index_store(spark, sf_dir)
+    p = store.read()[POSTINGS_FRAME].where(F.col("word").isin(terms))
+    hits = (
+        p.groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("nt"))
+        .where(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+    return (
+        store.bm25_scored(terms)
+        .join(F.broadcast(hits), "doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -202,12 +202,14 @@ class InvertedIndexStore:
 
     # -- serve -----------------------------------------------------------
 
-    def bm25(self, terms: list[str], k: int = 20) -> DataFrame:
-        """BM25 top-k from the STORED index: postings pruned to the
-        query terms (pushed filter + word-clustered files), df and
-        the 1-row stats broadcast, TakeOrdered final — per-query cost
-        follows matched postings, never the corpus. Formula and
-        constants identical to doc_search_bm25."""
+    def bm25_scored(self, terms: list[str]) -> DataFrame:
+        """Unlimited (doc_id, score) frame from the STORED index:
+        postings pruned to the query terms (pushed filter +
+        word-clustered files), df and the 1-row stats broadcast —
+        per-query cost follows matched postings, never the corpus.
+        Formula and constants identical to doc_search_bm25. Callers
+        compose their own gate/top-k (bm25() below, AND-match in
+        api/dedup_sim.py)."""
         idx = self.read()
         if idx is None:
             raise ValueError("bm25 requires a seeded index store")
@@ -230,6 +232,12 @@ class InvertedIndexStore:
             .crossJoin(F.broadcast(s))
             .groupBy("doc_id")
             .agg(F.round(F.sum(idf * norm), 4).alias("score"))
+        )
+
+    def bm25(self, terms: list[str], k: int = 20) -> DataFrame:
+        """BM25 top-k: :meth:`bm25_scored` + TakeOrdered."""
+        return (
+            self.bm25_scored(terms)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
