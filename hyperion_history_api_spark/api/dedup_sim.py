@@ -2190,3 +2190,62 @@ def doc_search_match_and_indexed(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "doc_search_tfidf_indexed",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), n AS (
+        SELECT count(*) AS total FROM documents
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM w
+        WHERE word IN ('merge', 'window', 'customer') GROUP BY word
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM w
+        WHERE word IN ('merge', 'window', 'customer') GROUP BY doc_id, word
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(tf.tf * ln(n.total * 1.0 / df.df)), 4) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "search: TF-IDF top-20 served from the STORED inverted index — "
+    "same pruned postings scan as the BM25 rows (tf/df/n all come "
+    "from the index frames; N = stats.n, no corpus tokenize in the "
+    "plan); oracle recomputes from scratch, so the hash also "
+    "re-proves the incrementally-maintained frames",
+)
+def doc_search_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf * ln(N/df) from postings/df/stats — the index serves any
+    term-statistic scorer, not just BM25: scoring swaps one Column
+    expression, the physical plan (pruned scan + two broadcasts +
+    TakeOrdered) is identical."""
+    from ..sources.inverted_index import DF_FRAME, POSTINGS_FRAME, STATS_FRAME
+
+    terms = ["merge", "window", "customer"]
+    store = _bm25_index_store(spark, sf_dir)
+    idx = store.read()
+    p = idx[POSTINGS_FRAME].where(F.col("word").isin(terms))
+    d = idx[DF_FRAME].where(F.col("word").isin(terms))
+    s = idx[STATS_FRAME].select("n")
+    return (
+        p.join(F.broadcast(d), "word")
+        .crossJoin(F.broadcast(s))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
+                ),
+                4,
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
