@@ -188,7 +188,12 @@ def choose_join_strategy(
     if dim_rows is None:
         # MEMORY_AND_DISK (the persist() default): a dim that turns
         # out broadcast-ineligible may exceed executor memory and
-        # must spill, not OOM.
+        # must spill, not OOM. The cache is deliberately left to
+        # Spark's LRU eviction rather than unpersisted here — the
+        # join has not executed yet at return time, so an eager
+        # unpersist would forfeit exactly the reuse the persist buys;
+        # hot serving paths avoid the question entirely by injecting
+        # dim_rows from catalog stats (sources/stats.py).
         dim = dim.persist()
         dim_rows = dim.count()
     if dim_rows <= broadcast_rows:
