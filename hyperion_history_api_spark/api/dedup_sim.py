@@ -2050,7 +2050,7 @@ def embedding_ivf_k256_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle hash proves incremental index maintenance == from-scratch SQL
 # scoring — the dedup_incremental pattern applied to search.
 
-_BM25_IDX_KEY = "bm25idx:v1"
+_BM25_IDX_KEY = "bm25idx:v2"  # v2: positional postings
 _BM25_IDX_BUILT: set[str] = set()
 
 
@@ -2248,4 +2248,45 @@ def doc_search_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+@register(
+    "doc_search_phrase_indexed",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), p1 AS (
+        SELECT doc_id, list(pos ORDER BY pos) AS lp FROM w
+        WHERE word = 'merge' GROUP BY doc_id
+    ), p2 AS (
+        SELECT doc_id, list(pos ORDER BY pos) AS lp FROM w
+        WHERE word = 'group' GROUP BY doc_id
+    )
+    SELECT p1.doc_id,
+           CAST(len(list_intersect(
+               list_transform(p1.lp, x -> x + 1), p2.lp)) AS INT)
+               AS n_occurrences
+    FROM p1 JOIN p2 USING (doc_id)
+    WHERE len(list_intersect(list_transform(p1.lp, x -> x + 1), p2.lp)) > 0
+    ORDER BY doc_id
+    """,
+    "search: exact-phrase match ('merge group') from POSITIONAL "
+    "postings (ES match_phrase) — the position chain folds as "
+    "array_intersect(transform(prefix, p->p+1), next) over "
+    "word-pruned postings, n-1 equi-joins + codegen array kernels, "
+    "no corpus access, no per-position explosion; oracle re-derives "
+    "position lists from scratch in SQL",
+)
+def doc_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase occurrence counts per matching doc. Position BASES
+    differ across engines (Spark posexplode 0-based, DuckDB
+    generate_subscripts 1-based) but the +1-chain logic is
+    offset-relative, so the results agree exactly."""
+    store = _bm25_index_store(spark, sf_dir)
+    out = store.phrase_match(["merge", "group"])
+    return out.select(
+        "doc_id", F.col("n_occurrences").cast("int").alias("n_occurrences")
     )

@@ -60,9 +60,16 @@ _FRAMES = (POSTINGS_FRAME, DF_FRAME, STATS_FRAME)
 
 
 def _tokenize(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(word, doc_id, tf, dl) rows — the same ``split(text, ' ')``
-    token contract as doc_search_bm25/doc_search_tfidf, so stored
-    scores are comparable with the from-scratch path bit-for-bit."""
+    """(word, doc_id, tf, dl, positions) rows — the same
+    ``split(text, ' ')`` token contract as doc_search_bm25/
+    doc_search_tfidf, so stored scores are comparable with the
+    from-scratch path bit-for-bit. ``positions`` is the sorted
+    in-document token-offset list (the Lucene positional-postings
+    trade-off: ~token-count list entries instead of ~distinct-term
+    rows, bought back by phrase/proximity queries needing no corpus
+    access). ``sort_array`` over ``collect_list`` makes the array
+    canonical regardless of partitioning, so incremental and full
+    builds stay row-identical."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("ws"),
@@ -71,10 +78,13 @@ def _tokenize(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         toks.select(
             "doc_id",
             F.size("ws").alias("dl"),
-            F.explode("ws").alias("word"),
+            F.posexplode("ws").alias("pos", "word"),
         )
         .groupBy("word", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
     )
 
 
@@ -241,3 +251,44 @@ class InvertedIndexStore:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
+
+    def phrase_match(self, words: list[str]) -> DataFrame:
+        """Exact-phrase match from positional postings (ES
+        ``match_phrase``): per matched doc, the count of phrase
+        occurrences. The position chain folds left JVM-side — the
+        candidate positions of the length-``i`` prefix are
+        ``array_intersect(transform(prefix, p -> p+1),
+        positions(word_i))`` — so an n-word phrase is n-1 broadcast-
+        or shuffle-equi-joins over ALREADY word-pruned postings plus
+        array kernels inside codegen; the corpus is never touched and
+        nothing explodes to one-row-per-position."""
+        if len(words) < 2:
+            raise ValueError("phrase_match needs at least two words")
+        idx = self.read()
+        if idx is None:
+            raise ValueError("phrase_match requires a seeded index store")
+        p = idx[POSTINGS_FRAME]
+
+        def positions_of(w: str, alias: str) -> DataFrame:
+            return p.where(F.col("word") == w).select(
+                "doc_id", F.col("positions").alias(alias)
+            )
+
+        cur = positions_of(words[0], "chain")
+        for i, w in enumerate(words[1:]):
+            nxt = positions_of(w, f"p{i}")
+            cur = (
+                cur.join(nxt, "doc_id")
+                .withColumn(
+                    "chain",
+                    F.array_intersect(
+                        F.transform("chain", lambda x: x + 1),
+                        F.col(f"p{i}"),
+                    ),
+                )
+                .where(F.size("chain") > 0)
+                .select("doc_id", "chain")
+            )
+        return cur.select(
+            "doc_id", F.size("chain").alias("n_occurrences")
+        ).orderBy("doc_id")

@@ -98,3 +98,36 @@ def test_serving_plan_prunes_postings_by_term(spark, tmp_path):
     )
     assert "PushedFilters" in plan and "word" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_match_counts_and_edges(spark, tmp_path):
+    """Positional phrase semantics on a hand-built corpus: occurrence
+    counts (incl. overlapping repeats), a 3-word chain, words present
+    but never adjacent, and the <2-word / unseeded guards."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c a b c a b"),   # "a b" x3, "a b c" x2
+            Row(doc_id=2, text="b a c b"),            # has a,b but no "a b"
+            Row(doc_id=3, text="x a b y"),            # "a b" x1
+        ]
+    )
+    store = InvertedIndexStore(spark, str(tmp_path / "idx"))
+    store.commit(docs)
+    two = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in store.phrase_match(["a", "b"]).collect()
+    }
+    assert two == {1: 3, 3: 1}
+    three = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in store.phrase_match(["a", "b", "c"]).collect()
+    }
+    assert three == {1: 2}
+    assert store.phrase_match(["a", "z"]).count() == 0
+    with pytest.raises(ValueError, match="two words"):
+        store.phrase_match(["a"])
+    empty = InvertedIndexStore(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="seeded"):
+        empty.phrase_match(["a", "b"])
