@@ -2051,7 +2051,21 @@ def embedding_ivf_k256_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scoring — the dedup_incremental pattern applied to search.
 
 _BM25_IDX_KEY = "bm25idx:v2"  # v2: positional postings
-_BM25_IDX_BUILT: set[str] = set()
+_BM25_IDX_BUILT: set[tuple[str, str]] = set()
+
+
+def _bm25_build_key(sf_dir: str) -> str:
+    """Freshness key = code version + a fingerprint of the SOURCE
+    parquet (size + mtime, the ensure_parquet discipline). Without the
+    data half, regenerated fixture data — or two sf_dirs sharing a
+    basename — would silently serve a stale index, surfacing only as a
+    bare oracle hash mismatch (ADVICE r06)."""
+    import json as _json
+
+    from ..sources.lake import _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "documents.parquet")
+    return _BM25_IDX_KEY + "|" + _json.dumps(fp, sort_keys=True)
 
 
 def _bm25_index_store(spark: SparkSession, sf_dir: str):
@@ -2061,18 +2075,19 @@ def _bm25_index_store(spark: SparkSession, sf_dir: str):
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
     path = str(lake_root() / sf_name / "bm25_index")
     store = InvertedIndexStore(spark, path)
+    build_key = _bm25_build_key(sf_dir)
     key_file = _os.path.join(path, "BUILD_KEY")
     try:
-        fresh = open(key_file).read() == _BM25_IDX_KEY
+        fresh = open(key_file).read() == build_key
     except OSError:
         fresh = False
-    if path not in _BM25_IDX_BUILT and not fresh:
+    if (path, build_key) not in _BM25_IDX_BUILT and not fresh:
         docs = _t(spark, sf_dir)["documents"]
         store.commit(docs.where(F.col("doc_id") % 2 == 0))
         store.commit_delta(docs.where(F.col("doc_id") % 2 == 1))
         with open(key_file, "w") as fh:
-            fh.write(_BM25_IDX_KEY)
-    _BM25_IDX_BUILT.add(path)
+            fh.write(build_key)
+    _BM25_IDX_BUILT.add((path, build_key))
     return store
 
 
@@ -2173,11 +2188,9 @@ def doc_search_match_and_indexed(
     postings (count distinct terms per doc == n_terms) — no second
     scan, no self-join chain; the intersection set then gates the
     same BM25 scoring plan."""
-    from ..sources.inverted_index import POSTINGS_FRAME
-
     terms = ["merge", "window", "customer"]
     store = _bm25_index_store(spark, sf_dir)
-    p = store.read()[POSTINGS_FRAME].where(F.col("word").isin(terms))
+    p = store.live_postings().where(F.col("word").isin(terms))
     hits = (
         p.groupBy("doc_id")
         .agg(F.count_distinct("word").alias("nt"))
@@ -2225,12 +2238,12 @@ def doc_search_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-statistic scorer, not just BM25: scoring swaps one Column
     expression, the physical plan (pruned scan + two broadcasts +
     TakeOrdered) is identical."""
-    from ..sources.inverted_index import DF_FRAME, POSTINGS_FRAME, STATS_FRAME
+    from ..sources.inverted_index import DF_FRAME, STATS_FRAME
 
     terms = ["merge", "window", "customer"]
     store = _bm25_index_store(spark, sf_dir)
     idx = store.read()
-    p = idx[POSTINGS_FRAME].where(F.col("word").isin(terms))
+    p = store.live_postings(idx).where(F.col("word").isin(terms))
     d = idx[DF_FRAME].where(F.col("word").isin(terms))
     s = idx[STATS_FRAME].select("n")
     return (

@@ -941,3 +941,161 @@ def hyp_memo_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("global_sequence").asc())
         .limit(20)
     )
+
+
+# ------------------------------------- memo search from the STORED index
+# Round-7: the reference serves ALL memo search from the index its
+# indexer maintains (ES match over @transfer.memo, functions.ts:154-169
+# — queries never re-tokenize); the from-scratch row above pins the
+# scoring semantics, these two serve the same surface from the stored
+# InvertedIndexStore, including the fork-rollback path: ES removes a
+# retracted tip's postings via deleteByQuery (state-reader.ts:469-599),
+# the store via exact tombstone retraction (retract_ids).
+
+_MEMO_TERMS = ["model", "refund", "fee"]
+_MEMO_IDX_KEY = "memoidx:v1"
+_MEMO_IDX_BUILT: set[tuple[str, str]] = set()
+# the retracted fork segment of the oracle rows: a contiguous block
+# span present at every fixture SF (sf0.001 tops out at block 201)
+_FORK_LO, _FORK_HI = 120, 160
+
+
+def _memo_bm25_oracle(extra_where: str = "") -> str:
+    """From-scratch BM25 SQL over the (optionally fork-retracted) memo
+    corpus — the oracle twin of the stored-index serving rows."""
+    return ACTIONS_CTE + f"""
+    , m AS (
+        SELECT global_sequence, string_split(transfer.memo, ' ') AS ws
+        FROM actions WHERE transfer IS NOT NULL {extra_where}
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM m
+    ), w AS (
+        SELECT global_sequence, len(ws) AS dl, unnest(ws) AS word FROM m
+    ), tf AS (
+        SELECT global_sequence, word, dl, count(*) AS tf FROM w
+        WHERE word IN ('model', 'refund', 'fee')
+        GROUP BY global_sequence, word, dl
+    ), df AS (
+        SELECT word, count(DISTINCT global_sequence) AS df FROM w
+        WHERE word IN ('model', 'refund', 'fee') GROUP BY word
+    ), scored AS (
+        SELECT tf.global_sequence,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 4) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN stats
+        GROUP BY tf.global_sequence
+    )
+    SELECT global_sequence, score FROM scored
+    ORDER BY score DESC, global_sequence ASC LIMIT 20
+    """
+
+
+def _memo_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = lake_actions(spark, sf_dir)
+    return a.where(F.col("transfer").isNotNull()).select(
+        "global_sequence",
+        "block_num",
+        F.col("transfer.memo").alias("memo"),
+    )
+
+
+def _memo_index_store(spark: SparkSession, sf_dir: str, name: str, build):
+    """Write-once stored memo index at ``.lake/<sf>/<name>`` — the
+    ensure_parquet freshness discipline (code-version + source-parquet
+    fingerprint in BUILD_KEY, api/dedup_sim.py:_bm25_index_store)."""
+    import json as _json
+    import os as _os
+
+    from ..sources.inverted_index import InvertedIndexStore
+    from ..sources.lake import _source_fingerprint, lake_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = str(lake_root() / sf_name / name)
+    store = InvertedIndexStore(spark, path)
+    fp = _source_fingerprint(sf_dir, "events.parquet")
+    build_key = _MEMO_IDX_KEY + "|" + _json.dumps(fp, sort_keys=True)
+    key_file = _os.path.join(path, "BUILD_KEY")
+    try:
+        fresh = open(key_file).read() == build_key
+    except OSError:
+        fresh = False
+    if (path, build_key) not in _MEMO_IDX_BUILT and not fresh:
+        build(store)
+        with open(key_file, "w") as fh:
+            fh.write(build_key)
+    _MEMO_IDX_BUILT.add((path, build_key))
+    return store
+
+
+@register(
+    "hyp_memo_search_bm25_indexed",
+    _memo_bm25_oracle(),
+    "P9 scored memo match served from the STORED inverted index "
+    "(sources/inverted_index.py) on the actions lake — the reference's "
+    "actual serving shape (queries read postings the indexer "
+    "maintained, never re-tokenize, functions.ts:154-169); built in "
+    "two increments so the hash gate proves incremental maintenance "
+    "== from-scratch scoring on the Hyperion surface too",
+)
+def hyp_memo_search_bm25_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same scores as ``hyp_memo_search_bm25``; the timed plan holds
+    no memo tokenize — a word-pruned postings scan, two broadcasts,
+    one TakeOrdered."""
+
+    def build(store):
+        docs = _memo_corpus(spark, sf_dir)
+        store.commit(
+            docs.where(F.col("global_sequence") % 2 == 0),
+            text_col="memo",
+            id_col="global_sequence",
+        )
+        store.commit_delta(
+            docs.where(F.col("global_sequence") % 2 == 1),
+            text_col="memo",
+            id_col="global_sequence",
+        )
+
+    store = _memo_index_store(spark, sf_dir, "memo_index", build)
+    return store.bm25(_MEMO_TERMS, 20).select(
+        F.col("doc_id").alias("global_sequence"), "score"
+    )
+
+
+@register(
+    "hyp_memo_bm25_post_retraction",
+    _memo_bm25_oracle(
+        f"AND block_num NOT BETWEEN {_FORK_LO} AND {_FORK_HI}"
+    ),
+    "S11 fork rollback ON THE STORED INDEX: the forked block span's "
+    "memo postings are retracted via tombstones with EXACT df/stats "
+    "adjustment (InvertedIndexStore.retract_ids; ES deleteByQuery "
+    "during fork handling, state-reader.ts:469-599) — the oracle "
+    "recomputes BM25 from scratch on the retracted lake, so the hash "
+    "proves post-retraction indexed scoring == from-scratch (Lucene "
+    "itself serves stale docFreq until segment merge; this does not)",
+)
+def hyp_memo_bm25_post_retraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build the memo index over the FULL corpus, retract the forked
+    segment's doc_ids, serve BM25 — scores must equal a from-scratch
+    build on the surviving corpus, which only holds because the
+    retraction subtracts the retracted docs' df/n/sumdl contributions
+    exactly (integer arithmetic) rather than leaving them stale."""
+
+    def build(store):
+        docs = _memo_corpus(spark, sf_dir)
+        store.commit(docs, text_col="memo", id_col="global_sequence")
+        forked = docs.where(
+            F.col("block_num").between(_FORK_LO, _FORK_HI)
+        ).select("global_sequence")
+        store.retract_ids(forked, id_col="global_sequence")
+
+    store = _memo_index_store(spark, sf_dir, "memo_index_fork", build)
+    return store.bm25(_MEMO_TERMS, 20).select(
+        F.col("doc_id").alias("global_sequence"), "score"
+    )

@@ -57,6 +57,19 @@ POSTINGS_FRAME = "postings"
 DF_FRAME = "df"
 STATS_FRAME = "stats"
 _FRAMES = (POSTINGS_FRAME, DF_FRAME, STATS_FRAME)
+# Optional 4th frame: (doc_id) rows of RETRACTED documents. The
+# append-only corpus contract holds for `documents`, but the moment
+# the index serves forkable data (the actions-lake memo field), a fork
+# rollback must remove the tip's postings — ES does this with
+# deleteByQuery during fork handling (state-reader.ts:469-599), Lucene
+# with per-segment tombstone bitmaps cleaned at merge. Same design
+# here: retraction appends tombstone ids (O(retracted) IO, postings
+# never rewritten), serving anti-joins them out, compaction physically
+# drops them. UNLIKE Lucene (which leaves docFreq stale until merge),
+# df/stats are adjusted EXACTLY at retraction commit time, so stored
+# scores equal from-scratch scores on the retracted corpus — the
+# property the oracle row pins.
+TOMB_FRAME = "tombstones"
 
 
 def _tokenize(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -119,6 +132,35 @@ class InvertedIndexStore:
             f: self.spark.read.parquet(os.path.join(base, f))
             for f in _FRAMES
         }
+
+    def tombstones(self) -> DataFrame | None:
+        """(doc_id) frame of retracted documents in the current
+        snapshot, or None when nothing was ever retracted (the common
+        case — serving pays zero extra work then)."""
+        m = self.log.read_manifest()
+        if m is None:
+            return None
+        t = os.path.join(self.log.snapshot_dir(m["snapshot"]), TOMB_FRAME)
+        return self.spark.read.parquet(t) if os.path.isdir(t) else None
+
+    def live_postings(self, idx: dict[str, DataFrame] | None = None) -> DataFrame:
+        """Postings minus tombstoned docs — what every serving path
+        scores over. Tombstones are fork-tip-sized (retraction is the
+        exceptional path), so the anti-join broadcasts them; with no
+        tombstones this IS the raw postings frame (no join in the
+        plan)."""
+        idx = idx if idx is not None else self.read()
+        if idx is None:
+            raise ValueError("live_postings requires a seeded index store")
+        p = idx[POSTINGS_FRAME]
+        tomb = self.tombstones()
+        if tomb is not None:
+            # left_anti moves the join key first; restore the frame's
+            # column order so callers see one schema either way
+            p = p.join(F.broadcast(tomb), "doc_id", "left_anti").select(
+                *idx[POSTINGS_FRAME].columns
+            )
+        return p
 
     # -- commit ----------------------------------------------------------
 
@@ -203,11 +245,122 @@ class InvertedIndexStore:
         self._canon(merged_stats).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(snap_dir, STATS_FRAME))
+        tprev = os.path.join(prev, TOMB_FRAME)
+        if os.path.isdir(tprev):  # carry retractions forward
+            link_files(tprev, os.path.join(snap_dir, TOMB_FRAME))
         self.log.publish(
             snap,
             extra={
                 "delta_commits": int(m.get("delta_commits", 0)) + 1
             },
+        )
+
+    def retract_ids(
+        self, ids: DataFrame, *, id_col: str = "doc_id"
+    ) -> None:
+        """Retract documents from the index — the fork-rollback path
+        (S11; ES deleteByQuery during fork handling,
+        state-reader.ts:469-599). O(retracted) commit IO:
+
+        - postings hard-link forward UNCHANGED; the retracted ids land
+          as new tombstone rows (serving anti-joins them, compaction
+          physically drops them);
+        - df/stats are adjusted EXACTLY by subtracting the retracted
+          docs' own postings contributions — one postings read filtered
+          to the retracted ids. A fork retracts the chain TIP, whose
+          postings live in the newest delta files, and doc_id footer
+          min/max on older files prunes them from this scan (doc ids
+          are monotone with commit order under the append contract).
+          Integer df/(n, sumdl) arithmetic keeps the adjustment drift-
+          free, so post-retraction stored scores equal from-scratch
+          scores on the retracted corpus (the oracle-pinned property;
+          Lucene by contrast serves stale docFreq until segment merge).
+
+        Ids never indexed are tolerated (they subtract nothing); ids
+        already tombstoned are skipped so a replayed retraction cannot
+        double-subtract.
+        """
+        cur = self.read()
+        if cur is None:
+            raise ValueError("retract_ids requires a seeded index store")
+        new_ids = ids.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ).distinct()
+        tomb_prev = self.tombstones()
+        if tomb_prev is not None:
+            new_ids = new_ids.join(tomb_prev, "doc_id", "left_anti")
+        retr = cur[POSTINGS_FRAME].join(F.broadcast(new_ids), "doc_id")
+        df_sub = retr.groupBy("word").agg(
+            F.count(F.lit(1)).alias("df_sub")
+        )
+        stats_sub = retr.select("doc_id", "dl").distinct().agg(
+            F.count(F.lit(1)).alias("n_sub"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sumdl_sub"),
+        )
+        merged_df = (
+            cur[DF_FRAME]
+            .join(df_sub, "word", "left")
+            .select(
+                "word",
+                (
+                    F.col("df") - F.coalesce(F.col("df_sub"), F.lit(0))
+                ).cast("long").alias("df"),
+            )
+            .where(F.col("df") > 0)
+        )
+        merged_stats = cur[STATS_FRAME].crossJoin(stats_sub).select(
+            (F.col("n") - F.col("n_sub")).cast("long").alias("n"),
+            (F.col("sumdl") - F.col("sumdl_sub")).cast("long").alias("sumdl"),
+        )
+        m = self.log.read_manifest()
+        snap, snap_dir = self.log.new_snapshot()
+        prev = self.log.snapshot_dir(m["snapshot"])
+        dst = os.path.join(snap_dir, POSTINGS_FRAME)
+        link_files(os.path.join(prev, POSTINGS_FRAME), dst)
+        self._canon(merged_df).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(snap_dir, DF_FRAME)
+        )
+        self._canon(merged_stats).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(snap_dir, STATS_FRAME))
+        tdst = os.path.join(snap_dir, TOMB_FRAME)
+        tprev = os.path.join(prev, TOMB_FRAME)
+        if os.path.isdir(tprev):
+            link_files(tprev, tdst)
+        new_ids.coalesce(1).write.mode("append").parquet(tdst)
+        self.log.publish(
+            snap,
+            extra={"delta_commits": int(m.get("delta_commits", 0))},
+        )
+
+    def compact(self, *, retain_extra: int = 0) -> None:
+        """OPTIMIZE: physically drop tombstoned postings and rewrite
+        word-clustered into few files (the Lucene segment merge that
+        actually reclaims deletes). df/stats are already exact — they
+        rewrite as-is; the tombstones frame is NOT carried into the
+        new snapshot. Published through the same atomic manifest swap;
+        rows of the live view are identical before and after."""
+        cur = self.read()
+        if cur is None:
+            return
+        live = self.live_postings(cur)
+        m = self.log.read_manifest()
+        snap, snap_dir = self.log.new_snapshot()
+        (
+            self._canon(live)
+            .repartitionByRange(self.cluster_files, "word")
+            .sortWithinPartitions("word", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap_dir, POSTINGS_FRAME))
+        )
+        for f in (DF_FRAME, STATS_FRAME):
+            self._canon(cur[f]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(snap_dir, f))
+        self.log.publish(
+            snap,
+            extra={"delta_commits": 0, "compacted": True},
+            retain_extra=retain_extra,
         )
 
     # -- serve -----------------------------------------------------------
@@ -223,7 +376,7 @@ class InvertedIndexStore:
         idx = self.read()
         if idx is None:
             raise ValueError("bm25 requires a seeded index store")
-        p = idx[POSTINGS_FRAME].where(F.col("word").isin(terms))
+        p = self.live_postings(idx).where(F.col("word").isin(terms))
         d = idx[DF_FRAME].where(F.col("word").isin(terms))
         s = idx[STATS_FRAME]
         idf = F.log(
@@ -267,7 +420,7 @@ class InvertedIndexStore:
         idx = self.read()
         if idx is None:
             raise ValueError("phrase_match requires a seeded index store")
-        p = idx[POSTINGS_FRAME]
+        p = self.live_postings(idx)
 
         def positions_of(w: str, alias: str) -> DataFrame:
             return p.where(F.col("word") == w).select(

@@ -21,8 +21,23 @@ relative error cannot flip it anywhere it matters.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _norm_key(cache_key: str) -> str:
+    """Canonicalize a caller-supplied cache key. Keys are usually lake
+    paths (lake_refresh invalidates with ``sf_dir`` verbatim; serving
+    planners pass their own spelling), so a trailing slash or
+    relative-vs-absolute mismatch must not silently split one table's
+    stats into two entries — that would leave the chooser planning on
+    stale NDVs after an invalidation. Non-path keys pass through
+    normpath unchanged except for slash cleanup, which is fine: the
+    contract is only that the SAME table maps to the SAME key."""
+    return os.path.normpath(os.path.abspath(cache_key))
+
 
 # process-lifetime statistics cache, keyed by (table_key, column).
 # A serving deployment would persist this next to the lake manifest
@@ -42,7 +57,7 @@ def column_ndv(
     """Approximate distinct count of ``df[col]`` (HyperLogLog++,
     relative error ``rsd``), cached per ``(cache_key, col)`` when a
     key is given. One Spark job on a cache miss, zero afterwards."""
-    key = (cache_key, col) if cache_key is not None else None
+    key = (_norm_key(cache_key), col) if cache_key is not None else None
     if key is not None and key in _NDV_CACHE:
         return _NDV_CACHE[key]
     ndv = int(
@@ -61,7 +76,8 @@ def invalidate_stats(cache_key: str | None = None) -> None:
     if cache_key is None:
         _NDV_CACHE.clear()
         return
-    for k in [k for k in _NDV_CACHE if k[0] == cache_key]:
+    norm = _norm_key(cache_key)
+    for k in [k for k in _NDV_CACHE if k[0] == norm]:
         del _NDV_CACHE[k]
 
 
@@ -93,7 +109,7 @@ def ndv_sketch_build(
     row = df.agg(
         F.hll_sketch_agg(F.col(col), F.lit(_LG_K)).alias("sk")
     ).first()
-    _SKETCH_CACHE[(cache_key, col)] = bytes(row["sk"])
+    _SKETCH_CACHE[(_norm_key(cache_key), col)] = bytes(row["sk"])
     return ndv_sketch_estimate(col, cache_key=cache_key)
 
 
@@ -105,7 +121,7 @@ def ndv_sketch_merge(
     stores the result, returns the refreshed estimate. Raises KeyError
     if no sketch exists yet — the caller decides whether a miss means
     build-from-scratch or skip."""
-    key = (cache_key, col)
+    key = (_norm_key(cache_key), col)
     if key not in _SKETCH_CACHE:
         raise KeyError(f"no sketch for {key}; call ndv_sketch_build first")
     spark = df_increment.sparkSession
@@ -129,7 +145,7 @@ def ndv_sketch_merge(
 def ndv_sketch_estimate(col: str, *, cache_key: str) -> int:
     """O(1) estimate from the stored sketch (one local 1-row plan;
     no table scan, no shuffle)."""
-    key = (cache_key, col)
+    key = (_norm_key(cache_key), col)
     sk = _SKETCH_CACHE[key]
     from pyspark.sql import SparkSession
 
@@ -148,5 +164,6 @@ def invalidate_sketches(cache_key: str | None = None) -> None:
     if cache_key is None:
         _SKETCH_CACHE.clear()
         return
-    for k in [k for k in _SKETCH_CACHE if k[0] == cache_key]:
+    norm = _norm_key(cache_key)
+    for k in [k for k in _SKETCH_CACHE if k[0] == norm]:
         del _SKETCH_CACHE[k]

@@ -92,7 +92,11 @@ def make_curation_sink(
     ``clean`` log → probe/extend the dedup index and append the
     batch's near-dup pairs — both appends under the replay-idempotent
     ``ingest_batch=<id>`` overwrite discipline, the index behind the
-    shared CommitLog pointer. Returns ``(sink, paths)``.
+    shared CommitLog pointer with the ``last_ingest_batch`` replay
+    guard (an at-least-once retry of an applied batch re-overwrites
+    its own pairs/clean dirs and leaves the index untouched, so the
+    WHOLE sink is idempotent, not just the partition writes).
+    Returns ``(sink, paths)``.
     """
     from ..operators.decontam import clean_corpus
 
@@ -134,7 +138,10 @@ def make_curation_sink(
                 clean.write.mode("overwrite").parquet(
                     os.path.join(paths["clean"], f"ingest_batch={batch_id}")
                 )
-                store.commit(build_dedup_index(clean, text_col, id_col))
+                store.commit(
+                    build_dedup_index(clean, text_col, id_col),
+                    batch_id=batch_id,
+                )
             else:
                 pairs = incremental_pairs(
                     index, clean, text_col, id_col, threshold=threshold
@@ -146,7 +153,7 @@ def make_curation_sink(
                 clean.write.mode("overwrite").parquet(
                     os.path.join(paths["clean"], f"ingest_batch={batch_id}")
                 )
-                store.commit_delta(delta)
+                store.commit_delta(delta, batch_id=batch_id)
         finally:
             clean.unpersist()
 

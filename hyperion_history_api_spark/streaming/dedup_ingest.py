@@ -134,34 +134,71 @@ class DedupIndexStore:
         files are read as one parquet dataset)."""
         return df.select(*sorted(df.columns))
 
-    def commit(self, index: DedupIndex) -> None:
-        """Full-index commit (seed / rebuild): writes all four frames."""
+    def last_ingest_batch(self) -> int | None:
+        """The foreachBatch ``batch_id`` of the last APPLIED index
+        commit, or None if the store is unseeded / was committed
+        outside a streaming sink."""
+        m = self.read_manifest()
+        return None if m is None or "last_ingest_batch" not in m else int(
+            m["last_ingest_batch"]
+        )
+
+    def commit(self, index: DedupIndex, *, batch_id: int | None = None) -> None:
+        """Full-index commit (seed / rebuild): writes all four frames.
+        ``batch_id`` (when committing from a streaming sink) is
+        recorded in the manifest so a replayed micro-batch can be
+        recognized and skipped — see :meth:`commit_delta`."""
         snap, snap_dir = self.log.new_snapshot()
         for f in _FRAMES:
             self._canon(getattr(index, f)).write.mode("overwrite").parquet(
                 os.path.join(snap_dir, f)
             )
-        self.log.publish(snap)
+        extra = {} if batch_id is None else {"last_ingest_batch": int(batch_id)}
+        self.log.publish(snap, extra=extra)
 
-    def commit_delta(self, delta: DedupIndex) -> None:
+    def commit_delta(
+        self, delta: DedupIndex, *, batch_id: int | None = None
+    ) -> None:
         """Append-only commit: hard-link every data file of the
         current snapshot forward, then land only the delta rows as new
         files. IO is O(batch); the manifest swap stays the single
         atomic commit point (a crash mid-write leaves an orphan dir
-        and an intact pointer)."""
+        and an intact pointer).
+
+        foreachBatch is at-least-once: a sink retried for batch N
+        re-runs against the index that ALREADY contains N's rows, and
+        blindly re-appending would bloat the index with duplicate
+        signature/registry rows forever (the pair/keeper OUTPUT stays
+        correct — partition overwrite + id_a<id_b — but the index does
+        not). ``batch_id <= last_ingest_batch`` therefore short-circuits
+        to a no-op: the pairs dir was already overwritten idempotently
+        by the caller, and the index already holds this batch. A crash
+        BETWEEN pairs-write and index-commit replays with
+        ``batch_id > last_ingest_batch`` and commits normally."""
         m = self.read_manifest()
         if m is None:
             raise ValueError("commit_delta requires a seeded index store")
+        if (
+            batch_id is not None
+            and "last_ingest_batch" in m
+            and int(batch_id) <= int(m["last_ingest_batch"])
+        ):
+            return  # at-least-once replay of an applied batch
         snap, snap_dir = self.log.new_snapshot()
         prev = os.path.join(self.path, m["snapshot"])
         delta_commits = int(m.get("delta_commits", 0)) + 1
+        extra = {"delta_commits": delta_commits}
+        if batch_id is not None:
+            extra["last_ingest_batch"] = int(batch_id)
+        elif "last_ingest_batch" in m:
+            extra["last_ingest_batch"] = int(m["last_ingest_batch"])
         for f in _FRAMES:
             dst = os.path.join(snap_dir, f)
             link_files(os.path.join(prev, f), dst)
             self._canon(getattr(delta, f)).coalesce(
                 self.delta_write_partitions
             ).write.mode("append").parquet(dst)
-        self.log.publish(snap, extra={"delta_commits": delta_commits})
+        self.log.publish(snap, extra=extra)
         if self.compact_every and delta_commits >= self.compact_every:
             # the paired compaction must not burn a retention slot of
             # its own (two publishes in one sink invocation would halve
@@ -176,6 +213,7 @@ class DedupIndexStore:
         index = self.read()
         if index is None:
             return
+        m = self.read_manifest()
         snap, snap_dir = self.log.new_snapshot()
         for f in _FRAMES:
             df = getattr(index, f)
@@ -191,11 +229,12 @@ class DedupIndexStore:
                 .write.mode("overwrite")
                 .parquet(os.path.join(snap_dir, f))
             )
-        self.log.publish(
-            snap,
-            extra={"delta_commits": 0, "compacted": True},
-            retain_extra=retain_extra,
-        )
+        extra = {"delta_commits": 0, "compacted": True}
+        if m is not None and "last_ingest_batch" in m:
+            # the replay guard must survive an OPTIMIZE rewrite —
+            # compaction changes layout, not applied-batch history
+            extra["last_ingest_batch"] = int(m["last_ingest_batch"])
+        self.log.publish(snap, extra=extra, retain_extra=retain_extra)
 
     def frame_file_counts(self) -> dict[str, int]:
         """Data files per frame of the current snapshot (the
@@ -248,7 +287,10 @@ def make_dedup_sink(
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(pairs_path, f"ingest_batch={batch_id}")
                 )
-                store.commit(build_dedup_index(batch, text_col, id_col))
+                store.commit(
+                    build_dedup_index(batch, text_col, id_col),
+                    batch_id=batch_id,
+                )
             else:
                 pairs = incremental_pairs(
                     index, batch, text_col, id_col, threshold=threshold
@@ -257,7 +299,7 @@ def make_dedup_sink(
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(pairs_path, f"ingest_batch={batch_id}")
                 )
-                store.commit_delta(delta)
+                store.commit_delta(delta, batch_id=batch_id)
         finally:
             batch.unpersist()
 

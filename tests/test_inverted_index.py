@@ -131,3 +131,93 @@ def test_phrase_match_counts_and_edges(spark, tmp_path):
     empty = InvertedIndexStore(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="seeded"):
         empty.phrase_match(["a", "b"])
+
+
+def test_retraction_equals_rebuild_on_survivors(spark, tmp_path):
+    """Fork rollback (S11) on the stored index: retract_ids must leave
+    the index scoring EXACTLY like a from-scratch build over the
+    surviving corpus — postings anti-joined live, df/stats adjusted by
+    integer subtraction (not Lucene's stale-until-merge docFreq)."""
+    docs = _docs(spark)
+    retracted = docs.where(F.col("doc_id") % 5 == 0)
+    survivors = docs.where(F.col("doc_id") % 5 != 0)
+
+    store = InvertedIndexStore(spark, str(tmp_path / "idx"))
+    store.commit(docs.where(F.col("doc_id") % 2 == 0))
+    store.commit_delta(docs.where(F.col("doc_id") % 2 == 1))
+    store.retract_ids(retracted.select("doc_id"))
+
+    clean = InvertedIndexStore(spark, str(tmp_path / "clean"))
+    clean.commit(survivors)
+
+    # aggregates are exactly the clean build's
+    assert _rows(store.read()[DF_FRAME]) == _rows(clean.read()[DF_FRAME])
+    assert _rows(store.read()[STATS_FRAME]) == _rows(
+        clean.read()[STATS_FRAME]
+    )
+    # live postings (not the raw frame) match row-for-row
+    assert _rows(store.live_postings()) == _rows(clean.live_postings())
+    # every serving surface agrees with the clean build
+    terms = ["merge", "window", "customer"]
+    assert _rows(store.bm25(terms, 20)) == _rows(clean.bm25(terms, 20))
+    assert _rows(store.phrase_match(["merge", "group"])) == _rows(
+        clean.phrase_match(["merge", "group"])
+    )
+
+    # a replayed retraction is a no-op on the aggregates (no double
+    # subtraction), and retracting never-indexed ids subtracts nothing
+    before = _rows(store.read()[STATS_FRAME])
+    store.retract_ids(retracted.select("doc_id"))
+    store.retract_ids(
+        spark.range(10_000_000, 10_000_005).select(
+            F.col("id").alias("doc_id")
+        )
+    )
+    assert _rows(store.read()[STATS_FRAME]) == before
+
+    # compaction physically drops tombstoned postings, preserves the
+    # live view, and clears the tombstones frame
+    assert store.tombstones() is not None
+    store.compact()
+    assert store.tombstones() is None
+    assert _rows(store.read()[POSTINGS_FRAME]) == _rows(
+        clean.live_postings()
+    )
+    assert _rows(store.bm25(terms, 20)) == _rows(clean.bm25(terms, 20))
+
+    # post-compaction deltas still work (df/stats stay exact)
+    extra = spark.createDataFrame(
+        [(10_000_100, "merge window merge")], "doc_id long, text string"
+    )
+    store.commit_delta(extra)
+    clean.commit_delta(extra)
+    assert _rows(store.bm25(terms, 20)) == _rows(clean.bm25(terms, 20))
+    assert _rows(store.read()[STATS_FRAME]) == _rows(
+        clean.read()[STATS_FRAME]
+    )
+
+
+def test_retraction_io_is_o_retracted(spark, tmp_path):
+    """retract_ids hard-links ALL postings files forward (no rewrite)
+    and requires a seeded store."""
+    docs = _docs(spark)
+    store = InvertedIndexStore(spark, str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="seeded"):
+        store.retract_ids(docs.select("doc_id"))
+    store.commit(docs)
+    m1 = store.log.read_manifest()
+    p1 = os.path.join(store.log.snapshot_dir(m1["snapshot"]), POSTINGS_FRAME)
+    inos1 = {
+        os.stat(os.path.join(p1, f)).st_ino
+        for f in os.listdir(p1)
+        if f.endswith(".parquet")
+    }
+    store.retract_ids(docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
+    m2 = store.log.read_manifest()
+    p2 = os.path.join(store.log.snapshot_dir(m2["snapshot"]), POSTINGS_FRAME)
+    inos2 = {
+        os.stat(os.path.join(p2, f)).st_ino
+        for f in os.listdir(p2)
+        if f.endswith(".parquet")
+    }
+    assert inos1 == inos2  # postings bytes untouched; tombstones separate

@@ -261,9 +261,19 @@ def test_refresh_invalidates_cached_planner_stats(spark, iso_lake):
     )
     assert column_ndv(poisoned, "event_type", cache_key=SF_DIR) == ndv
 
+    # key spellings are canonicalized: a trailing slash or relative
+    # path resolves to the SAME cache entry (a spelling mismatch must
+    # never split a table's stats and skip invalidation — ADVICE r06)
+    assert column_ndv(poisoned, "event_type", cache_key=SF_DIR + "/") == ndv
+    rel = os.path.relpath(SF_DIR)
+    assert column_ndv(poisoned, "event_type", cache_key=rel) == ndv
+
     lake_refresh.refresh_partitioned(
         spark, SF_DIR, "actions", _batch(spark, 10, FAR_OFFSET)
     )
     with pytest.raises(Exception, match="boom"):
         column_ndv(poisoned, "event_type", cache_key=SF_DIR)
+    # ...and the invalidation reached every spelling of the key
+    with pytest.raises(Exception, match="boom"):
+        column_ndv(poisoned, "event_type", cache_key=SF_DIR + "/")
     invalidate_stats(SF_DIR)

@@ -72,6 +72,40 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     assert got2 >= want  # replay may add already-known pairs, never lose
 
 
+def test_replay_of_applied_batch_leaves_index_untouched(spark, tmp_path):
+    """foreachBatch is at-least-once: a retried micro-batch whose
+    index commit ALREADY landed must not re-append its rows (permanent
+    index bloat + batches probing their own prior copies). The
+    manifest's last_ingest_batch guard makes the whole sink
+    idempotent; a batch NEWER than the watermark still commits."""
+    docs = _docs(spark)
+    sink, paths = make_dedup_sink(
+        spark, str(tmp_path / "out"), threshold=0.5, compact_every=None
+    )
+    waves = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, w in enumerate(waves):
+        sink(w, i)
+    store = DedupIndexStore(spark, paths["index"])
+    assert store.last_ingest_batch() == 2
+    before = _frame_rows(store.read())
+    v_before = store.read_manifest()["version"]
+
+    for bid in (0, 1, 2):  # replay every applied batch
+        sink(waves[bid], bid)
+    assert store.read_manifest()["version"] == v_before  # no new commit
+    assert _frame_rows(store.read()) == before  # bit-identical frames
+
+    # a genuinely new batch still advances the index
+    sink(waves[2].limit(0), 3)  # empty but new: commits + moves guard
+    assert store.last_ingest_batch() == 3
+    assert store.read_manifest()["version"] == v_before + 1
+    assert _frame_rows(store.read()) == before  # empty delta: same rows
+
+    # the guard survives an OPTIMIZE rewrite
+    store.compact()
+    assert store.last_ingest_batch() == 3
+
+
 def _docs(spark):
     return load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
 
