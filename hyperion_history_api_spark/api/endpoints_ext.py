@@ -467,6 +467,101 @@ def get_account(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _account_profiles(
+    spark: SparkSession, sf_dir: str, lo: int = 1, hi: int = 50, **chooser_kwargs
+):
+    """Core of ``get_account_profiles``: the get_account composition
+    served for a PAGE of accounts, with the heavy fact-side semi-join
+    planned by the cost-gated chooser (operators/skew.py:
+    choose_join_strategy) instead of a hand-picked strategy — round-6
+    verdict item 3's second chooser-planned serving path. Returns
+    ``(df, strategy)`` so the plan audit can pin the decision.
+
+    The broadcast gate is fed from CATALOG stats (sources/stats.py
+    NDV cache — for a key column, NDV == table row count) capped by
+    the page's range width, a constant the planner can fold from the
+    predicate itself: both facts are catalog-derivable, so the hot
+    path plans with ZERO planner-time jobs after the one-time
+    analyze. The NDV alone would over-estimate a filtered page at
+    production scale (it is the PRE-filter table size) — the cap is
+    what keeps a 50-row page broadcastable no matter how large the
+    account table grows."""
+    from ..operators.skew import choose_join_strategy
+    from ..sources.stats import column_ndv
+
+    t = _t(spark, sf_dir)
+    page = t["customer"].where(F.col("c_custkey").between(lo, hi))
+    if "dim_rows" not in chooser_kwargs:
+        ndv = column_ndv(
+            t["customer"], "c_custkey", cache_key=f"{sf_dir}#customer"
+        )
+        chooser_kwargs["dim_rows"] = min(ndv, hi - lo + 1)
+    fact, strategy = choose_join_strategy(
+        t["orders"],
+        page.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        salt_id_col="o_orderkey",
+        how="left_semi",
+        **chooser_kwargs,
+    )
+    rollup = fact.groupBy("o_custkey").agg(
+        F.count("*").alias("total_trx"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_volume"),
+        F.max("o_orderkey").alias("last_trx"),
+    )
+    out = (
+        page.join(rollup, page["c_custkey"] == rollup["o_custkey"], "left")
+        .select(
+            F.col("c_custkey").alias("account"),
+            F.col("c_name").alias("account_name"),
+            F.round("c_acctbal", 4).alias("balance"),
+            F.coalesce("total_trx", F.lit(0)).cast("long").alias("total_trx"),
+            F.round(F.coalesce("total_volume", F.lit(0.0)), 4).alias(
+                "total_volume"
+            ),
+            F.col("last_trx").cast("long").alias("last_trx"),
+        )
+        .orderBy("account")
+    )
+    return out, strategy
+
+
+@register(
+    "get_account_profiles",
+    """
+    WITH r AS (
+        SELECT o_custkey, count(*) AS total_trx,
+               round(sum(o_totalprice), 4) AS total_volume,
+               max(o_orderkey) AS last_trx
+        FROM orders WHERE o_custkey BETWEEN 1 AND 50
+        GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS account, c.c_name AS account_name,
+           round(c.c_acctbal, 4) AS balance,
+           CAST(coalesce(r.total_trx, 0) AS BIGINT) AS total_trx,
+           round(coalesce(r.total_volume, 0), 4) AS total_volume,
+           CAST(r.last_trx AS BIGINT) AS last_trx
+    FROM customer c LEFT JOIN r ON r.o_custkey = c.c_custkey
+    WHERE c.c_custkey BETWEEN 1 AND 50
+    ORDER BY account
+    """,
+    "get_account composition (v2-state/get_account.ts:56-87) for a "
+    "page of accounts, the fact-side semi-join planned THROUGH the "
+    "cost-gated join chooser fed from catalog stats (zero planner "
+    "jobs on the hot path) — result is strategy-invariant, so the "
+    "plain-join oracle hash holds whichever branch the planner picks; "
+    "the decision is pinned by tests/test_skew.py",
+)
+def get_account_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch get_account: account row + activity rollup for a page of
+    accounts in ONE plan. The heavy side (orders at 100 TB) is
+    semi-join-pruned to the page before the rollup; the chooser picks
+    broadcast at fixture scale and would salt a hot-key page / plain-
+    shuffle a huge uniform one, with identical results."""
+    df, _ = _account_profiles(spark, sf_dir)
+    return df
+
+
 @register(
     "get_table_rows",
     """

@@ -596,6 +596,96 @@ def hyp_key_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _key_accounts_enriched(
+    spark: SparkSession, sf_dir: str, **chooser_kwargs
+):
+    """Core of ``hyp_key_accounts_enriched``: the get_key_accounts
+    details composition — owners holding the key (hyp_key_accounts'
+    latest-state + nested-exists result) enriched with each owner's
+    permission-object history rollup, the fact-side join planned by
+    the cost-gated chooser (round-6 verdict item 3's third
+    chooser-planned serving path). Returns ``(df, strategy)``.
+
+    The owner dim is DERIVED (filter over latest state), so its exact
+    size is not a catalog fact; the broadcast gate is fed the owner
+    column's NDV from the stats cache — the pre-filter upper bound,
+    conservative in the safe direction (never broadcasts a dim the
+    catalog can't bound; a hot-key owner set that outgrows broadcast
+    still salts). Zero planner jobs after the one-time analyze."""
+    from ..operators.latest_state import latest_row_per_key
+    from ..operators.skew import choose_join_strategy
+    from ..sources.stats import column_ndv
+
+    p = lake_permissions(spark, sf_dir)
+    latest = latest_row_per_key(p, ["owner", "perm_name"], "event_id")
+    key = F.expr("'PUB_K1_' || substr(md5('key7'), 1, 12)")
+    owners = (
+        latest.where(F.col("present") == 1)
+        .where(F.exists("auth.keys", lambda k: k["key"] == key))
+        .select("owner")
+        .distinct()
+    )
+    if "dim_rows" not in chooser_kwargs:
+        chooser_kwargs["dim_rows"] = column_ndv(
+            p, "owner", cache_key=f"{sf_dir}#permissions"
+        )
+    fact, strategy = choose_join_strategy(
+        p,
+        owners,
+        "owner",
+        salt_id_col="event_id",
+        how="left_semi",
+        **chooser_kwargs,
+    )
+    out = (
+        fact.groupBy("owner")
+        .agg(
+            F.count("*").cast("long").alias("versions"),
+            F.count_distinct("perm_name").cast("long").alias("perms"),
+            F.max("block_num").cast("long").alias("last_block"),
+        )
+        .orderBy("owner")
+    )
+    return out, strategy
+
+
+@register(
+    "hyp_key_accounts_enriched",
+    PERMS_CTE + """
+    , owners AS (
+        SELECT owner FROM (
+            SELECT owner, perm_name, present, auth,
+                   row_number() OVER (PARTITION BY owner, perm_name
+                                      ORDER BY event_id DESC) AS rn
+            FROM permissions
+        ) WHERE rn = 1 AND present = 1
+          AND len(list_filter(auth.keys,
+                  k -> k.key = 'PUB_K1_' || substr(md5('key7'), 1, 12))) > 0
+        GROUP BY owner
+    )
+    SELECT p.owner, CAST(count(*) AS BIGINT) AS versions,
+           CAST(count(DISTINCT p.perm_name) AS BIGINT) AS perms,
+           CAST(max(p.block_num) AS BIGINT) AS last_block
+    FROM permissions p JOIN owners USING (owner)
+    GROUP BY p.owner ORDER BY p.owner
+    """,
+    "get_key_accounts details composition (get_key_accounts.ts:104-"
+    "122 + the per-account detail fetch): key holders enriched with "
+    "their permission history rollup, the permissions-fact semi-join "
+    "planned THROUGH the cost-gated chooser fed from cached catalog "
+    "NDV (zero planner jobs on the hot path) — strategy-invariant, "
+    "plain-join oracle; decision pinned by tests/test_skew.py",
+)
+def hyp_key_accounts_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Owners holding a public key, each with (versions, distinct
+    perms, last block) over their full permission history — the
+    serving join the chooser exists for: the key-holder dim is tiny
+    for a normal key but unbounded for a compromised/exchange key at
+    100 TB, so the strategy must be planned, not hard-coded."""
+    df, _ = _key_accounts_enriched(spark, sf_dir)
+    return df
+
+
 @register(
     "hyp_get_links",
     LINKS_CTE + """

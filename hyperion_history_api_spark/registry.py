@@ -64,6 +64,8 @@ _SHOWCASE: list[str] = [
     "hyp_memo_search_bm25_indexed",
     "hyp_memo_bm25_post_retraction",
     "embedding_ivf_k256_recall",
+    "get_account_profiles",
+    "hyp_key_accounts_enriched",
     # round 6: stored inverted index, curation stream, corpus-mix caps
     "doc_search_bm25_indexed",
     "doc_search_phrase_indexed",

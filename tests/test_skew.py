@@ -300,3 +300,76 @@ def test_ndv_sketch_incremental_merge_equals_full_rebuild(spark):
         ndv_sketch_merge(ev, "user_id", cache_key="never-built")
     invalidate_sketches(key)
     invalidate_sketches(full_key)
+
+
+def test_account_profiles_served_through_chooser(spark):
+    """Round-7: the get_account page composition
+    (api/endpoints_ext.py:_account_profiles) is planned by
+    choose_join_strategy with the broadcast gate fed from catalog
+    stats (NDV capped by the page's range width) — zero planner-time
+    jobs on the hot path once the NDV is cached, decision + plan
+    pinned, and the non-default salted branch is result-identical."""
+    from hyperion_history_api_spark.api.endpoints_ext import (
+        _account_profiles,
+    )
+    from hyperion_history_api_spark.sources.stats import (
+        column_ndv,
+        invalidate_stats,
+    )
+
+    key = f"{SF_DIR}#customer"
+    invalidate_stats(key)
+    df, strategy = _account_profiles(spark, SF_DIR)
+    assert strategy == "broadcast"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    want = _rows(df)
+    assert want
+
+    # the NDV is now cached: the chooser plans again with ZERO jobs
+    # (a poisoned frame under the same key would raise if any ran)
+    poisoned = spark.range(1).select(
+        F.raise_error(F.lit("job ran on the stats hot path")).alias(
+            "c_custkey"
+        )
+    )
+    assert column_ndv(poisoned, "c_custkey", cache_key=key) > 0
+    df2, strategy2 = _account_profiles(spark, SF_DIR)
+    assert strategy2 == "broadcast"
+    assert _rows(df2) == want
+
+    # past the broadcast gate the SAME serving code salts the
+    # semi-join; the page result is strategy-invariant
+    salted_df, salted_strategy = _account_profiles(
+        spark, SF_DIR, broadcast_rows=0, skew_share=0.0
+    )
+    assert salted_strategy == "salted"
+    assert _rows(salted_df) == want
+    invalidate_stats(key)
+
+
+def test_key_accounts_enriched_served_through_chooser(spark):
+    """Round-7: the get_key_accounts details composition
+    (api/nested.py:_key_accounts_enriched) is chooser-planned, fed
+    the owner NDV from the stats cache (pre-filter upper bound —
+    conservative toward NOT broadcasting), and strategy-invariant."""
+    from hyperion_history_api_spark.api.nested import (
+        _key_accounts_enriched,
+    )
+    from hyperion_history_api_spark.sources.stats import invalidate_stats
+
+    key = f"{SF_DIR}#permissions"
+    invalidate_stats(key)
+    df, strategy = _key_accounts_enriched(spark, SF_DIR)
+    assert strategy == "broadcast"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    want = _rows(df)
+    assert want
+
+    shuffled_df, shuffled_strategy = _key_accounts_enriched(
+        spark, SF_DIR, broadcast_rows=0, skew_share=1.1
+    )
+    assert shuffled_strategy == "shuffle"
+    assert _rows(shuffled_df) == want
+    invalidate_stats(key)
