@@ -61,6 +61,7 @@ def decontaminate(
     n: int = 3,
     hashed: bool = False,
     collapse: bool = False,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per contaminated training doc: how many distinct n-grams hit the
     eval set (``hit_ngrams``) and how many distinct eval docs were hit
@@ -76,9 +77,16 @@ def decontaminate(
     copies; the collapse costs one fp-keyed shuffle of (id, text).
     """
     eval_id_col = eval_id_col or id_col
-    ev = _grams(eval_docs, text_col, eval_id_col, n, hashed).withColumnRenamed(
-        eval_id_col, "__eval_id"
-    )
+    if eval_grams is not None:
+        # precomputed (__eval_id, g) frame — a streaming sink computes
+        # the STATIC benchmark's grams once and persists them instead
+        # of re-shingling + re-broadcasting the eval set every
+        # micro-batch; the caller owns matching ``n``/``hashed``
+        ev = eval_grams
+    else:
+        ev = _grams(
+            eval_docs, text_col, eval_id_col, n, hashed
+        ).withColumnRenamed(eval_id_col, "__eval_id")
     if collapse:
         from .dedup import collapse_exact
 
@@ -117,12 +125,14 @@ def clean_corpus(
     min_hits: int = 1,
     hashed: bool = True,
     collapse: bool = False,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The filtering form: drop training docs with >= ``min_hits``
     contaminated n-grams. Broadcast anti-join on the (small)
     contaminated-id set — the corpus itself is never shuffled."""
     hits = decontaminate(
-        docs, eval_docs, text_col, id_col, n=n, hashed=hashed, collapse=collapse
+        docs, eval_docs, text_col, id_col, n=n, hashed=hashed,
+        collapse=collapse, eval_grams=eval_grams,
     ).where(F.col("hit_ngrams") >= min_hits)
     return docs.join(
         F.broadcast(hits.select(id_col)), id_col, "left_anti"

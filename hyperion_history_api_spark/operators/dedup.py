@@ -137,6 +137,7 @@ def hashed_shingles(
     *,
     shingle_n: int = 3,
     repartition: bool = False,
+    pin_partitions: bool = True,
 ) -> DataFrame:
     """(id, __h) — the doc's distinct shingles as 64-bit hashes, the
     input to both signature construction and exact-Jaccard
@@ -146,18 +147,23 @@ def hashed_shingles(
     all consumers share one computation. ``repartition=True`` adds a
     PRE-exchange for inputs whose partitioning comes straight from
     file layout (a single parquet file would serialize the interpreted
-    shingle pass onto one task)."""
+    shingle pass onto one task). ``pin_partitions=False`` leaves the
+    exchange width to AQE — right for micro-batch inputs whose row
+    count is far below one task per shuffle partition (the streaming
+    probe path), wrong for corpus-sized builds where the interpreted
+    pass must hold full parallelism regardless of byte size."""
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    pin = [npart] if pin_partitions else []
     src = df.select(F.col(id_col), F.col(text_col))
     if repartition:
-        src = src.repartition(npart, F.col(id_col))
+        src = src.repartition(*pin, F.col(id_col))
     return (
         with_shingles(src, text_col, shingle_n)
         .select(
             F.col(id_col),
             F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
         )
-        .repartition(npart, F.col(id_col))
+        .repartition(*pin, F.col(id_col))
     )
 
 
@@ -386,6 +392,30 @@ def incremental_pairs(
     bands: int = 24,
     threshold: float = 0.7,
 ) -> DataFrame:
+    """Pairs-only form of :func:`incremental_pairs_and_delta`."""
+    return incremental_pairs_and_delta(
+        index,
+        new_docs,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )[0]
+
+
+def incremental_pairs_and_delta(
+    index: DedupIndex,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DedupIndex]:
     """Per-batch near-dup detection against a persisted LSH index —
     the shape a 100-TB ingest pipeline actually runs: history is never
     re-signed; each arriving batch fingerprints its docs, signs only
@@ -420,12 +450,26 @@ def incremental_pairs(
     Checkpointing each split frame separately (4 serialized jobs) won
     nothing; this is also the opposite trade from the index BUILD,
     where checkpointing corpus-sized frames measured 3x slower (see
-    build_dedup_index)."""
-    npart = int(new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    build_dedup_index).
+
+    Returns ``(pairs, delta)`` where ``delta`` is the per-frame index
+    ADDITIONS (the :func:`dedup_index_delta` shape) derived from the
+    SAME checkpointed split — a streaming sink previously paid the
+    fingerprint/registry-join/shingle passes twice per micro-batch
+    (once for the probe, once for the delta commit); here the delta
+    frames read the already-materialized checkpoint blocks, which
+    also makes them durable for the whole session (replayable without
+    the micro-batch source, which foreachBatch invalidates on
+    return)."""
+    # no explicit partition count: a micro-batch is usually far
+    # smaller than spark.sql.shuffle.partitions tasks' worth of work,
+    # and an unpinned hash repartition lets AQE coalesce the exchange
+    # to the batch's actual size (pinning 32 partitions for a 400-doc
+    # batch made task scheduling, not compute, the per-wave cost)
     ann = (
         new_docs.select(F.col(id_col), F.col(text_col))
         .withColumn("__fp", _fingerprint(F.col(text_col)))
-        .repartition(npart, F.col("__fp"))
+        .repartition(F.col("__fp"))
         .join(
             index.registry.withColumnRenamed("__rep", "__known_rep"),
             "__fp",
@@ -434,7 +478,7 @@ def incremental_pairs(
         .withColumn(
             "__min_id", F.min(id_col).over(Window.partitionBy("__fp"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     known = ann.where(F.col("__known_rep").isNotNull()).select(
         F.col(id_col), F.col("__known_rep").alias("__rep")
@@ -448,8 +492,13 @@ def incremental_pairs(
     new_members = novel.select(F.col(id_col), "__rep")
     new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
     new_hashed = hashed_shingles(
-        new_reps, text_col, id_col, shingle_n=shingle_n, repartition=True
-    ).localCheckpoint(eager=True)
+        new_reps,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        repartition=True,
+        pin_partitions=False,
+    ).localCheckpoint(eager=False)
     new_bands = minhash_bands(
         new_hashed, id_col, num_hashes=num_hashes, bands=bands
     )
@@ -545,7 +594,15 @@ def incremental_pairs(
             F.round(F.lit(1.0), 4).alias("jaccard"),
         )
     )
-    return within.unionByName(cross)
+    delta = DedupIndex(
+        bands=new_bands,
+        hashes=new_hashed,
+        members=known.unionByName(new_members).join(
+            index.members.select(id_col), id_col, "left_anti"
+        ),
+        registry=new_groups.select("__fp", "__rep"),
+    )
+    return within.unionByName(cross), delta
 
 
 def minhash_lsh_pairs(

@@ -42,8 +42,7 @@ from pyspark.sql import functions as F
 from ..functions.text import stopword_ratio, token_count
 from ..operators.dedup import (
     build_dedup_index,
-    dedup_index_delta,
-    incremental_pairs,
+    incremental_pairs_and_delta,
     minhash_lsh_pairs,
 )
 from .dedup_ingest import DedupIndexStore
@@ -104,6 +103,10 @@ def make_curation_sink(
         spark,
         os.path.join(out_dir, "dedup_index"),
         compact_every=compact_every,
+        # round-7 (verdict item 6): the probe DAG re-references the
+        # stored frames ~8x per wave; the version-checked cache keeps
+        # them persisted across waves instead of re-scanning parquet
+        cache_frames=True,
     )
     paths = {
         "clean": os.path.join(out_dir, "clean"),
@@ -111,6 +114,16 @@ def make_curation_sink(
         "index": store.path,
     }
     eval_ids = eval_docs.select(id_col)
+    # the benchmark set is STATIC: shingle it once and keep the grams
+    # persisted across waves instead of re-deriving + re-broadcasting
+    # them per micro-batch (part of the round-6 item-6 fixed overhead)
+    from ..operators.decontam import _grams
+
+    eval_grams = (
+        _grams(eval_docs, text_col, id_col, 3, False)
+        .withColumnRenamed(id_col, "__eval_id")
+        .persist()
+    )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         kept = curation_filter(batch, text_col=text_col)
@@ -122,6 +135,7 @@ def make_curation_sink(
                 id_col,
                 hashed=False,
                 collapse=True,
+                eval_grams=eval_grams,
             )
             .select(id_col, text_col, "tokens")
             .persist()
@@ -143,17 +157,29 @@ def make_curation_sink(
                     batch_id=batch_id,
                 )
             else:
-                pairs = incremental_pairs(
+                pairs, delta = incremental_pairs_and_delta(
                     index, clean, text_col, id_col, threshold=threshold
                 )
-                delta = dedup_index_delta(index, clean, text_col, id_col)
-                pairs.write.mode("overwrite").parquet(
-                    os.path.join(paths["pairs"], f"ingest_batch={batch_id}")
+                # all six write legs (pairs, clean, 4 index frames)
+                # run concurrently on the commit's thread pool, behind
+                # ONE manifest swap — the serial-job ladder was the
+                # per-wave fixed overhead (round-6 verdict item 6)
+                store.commit_delta(
+                    delta,
+                    batch_id=batch_id,
+                    also=(
+                        lambda: pairs.write.mode("overwrite").parquet(
+                            os.path.join(
+                                paths["pairs"], f"ingest_batch={batch_id}"
+                            )
+                        ),
+                        lambda: clean.write.mode("overwrite").parquet(
+                            os.path.join(
+                                paths["clean"], f"ingest_batch={batch_id}"
+                            )
+                        ),
+                    ),
                 )
-                clean.write.mode("overwrite").parquet(
-                    os.path.join(paths["clean"], f"ingest_batch={batch_id}")
-                )
-                store.commit_delta(delta, batch_id=batch_id)
         finally:
             clean.unpersist()
 

@@ -37,8 +37,7 @@ from ..commitlog import CommitLog, link_files
 from ..operators.dedup import (
     DedupIndex,
     build_dedup_index,
-    dedup_index_delta,
-    incremental_pairs,
+    incremental_pairs_and_delta,
     minhash_lsh_pairs,
 )
 
@@ -94,9 +93,22 @@ class DedupIndexStore:
         compact_every: int | None = None,
         compact_target_files: int = 4,
         delta_write_partitions: int = 2,
+        cache_frames: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
+        # version-checked read-through cache: the probe DAG references
+        # the stored frames ~8 times per micro-batch, and without a
+        # persist each reference is a separate parquet scan (listing +
+        # decode of a directory whose file count grows every delta
+        # commit). A long-lived ingest sink turns this on; one-shot
+        # readers keep the default (no executor-memory footprint).
+        # Correctness is by construction: the cache key is the
+        # manifest version, so a cached frame is always the published
+        # snapshot, never a speculative one.
+        self.cache_frames = cache_frames
+        self._frame_cache: tuple[int, DedupIndex] | None = None
+        self._cache_retired: list[DataFrame] = []
         # commit protocol (versioning, pointer swap, retention GC) is
         # the shared CommitLog; this class keeps only index POLICY
         # (which frames, delta layout, compaction clustering)
@@ -117,13 +129,37 @@ class DedupIndexStore:
         m = self.read_manifest()
         if m is None:
             return None
+        version = int(m["version"])
+        if self._frame_cache is not None:
+            cached_v, cached = self._frame_cache
+            if cached_v == version:
+                return cached
+            self._drop_cache()
         base = os.path.join(self.path, m["snapshot"])
-        return DedupIndex(
+        idx = DedupIndex(
             **{
                 f: self.spark.read.parquet(os.path.join(base, f))
                 for f in _FRAMES
             }
         )
+        if self.cache_frames:
+            idx = DedupIndex(
+                **{f: getattr(idx, f).persist() for f in _FRAMES}
+            )
+            self._frame_cache = (version, idx)
+        return idx
+
+    def _drop_cache(self) -> None:
+        """Unpersist the whole cache chain (superseded version, chain
+        depth bound reached, or compaction reset) — nothing computes
+        through these frames once the next read comes from parquet."""
+        if self._frame_cache is not None:
+            for f in _FRAMES:
+                getattr(self._frame_cache[1], f).unpersist()
+        for df in self._cache_retired:
+            df.unpersist()
+        self._cache_retired = []
+        self._frame_cache = None
 
     # -- commit protocol ----------------------------------------------
 
@@ -157,7 +193,11 @@ class DedupIndexStore:
         self.log.publish(snap, extra=extra)
 
     def commit_delta(
-        self, delta: DedupIndex, *, batch_id: int | None = None
+        self,
+        delta: DedupIndex,
+        *,
+        batch_id: int | None = None,
+        also: tuple = (),
     ) -> None:
         """Append-only commit: hard-link every data file of the
         current snapshot forward, then land only the delta rows as new
@@ -174,7 +214,21 @@ class DedupIndexStore:
         to a no-op: the pairs dir was already overwritten idempotently
         by the caller, and the index already holds this batch. A crash
         BETWEEN pairs-write and index-commit replays with
-        ``batch_id > last_ingest_batch`` and commits normally."""
+        ``batch_id > last_ingest_batch`` and commits normally.
+
+        ``also``: extra write callables (the sink's own per-batch
+        parquet outputs — pairs, clean rows) executed CONCURRENTLY
+        with the four frame writes, all gated behind the single
+        manifest swap. Spark job submission is thread-safe and every
+        leg here is a small independent write job whose wall-clock is
+        dominated by fixed scheduling cost, so running the ~6 legs on
+        threads collapses the sink's serial-job ladder into roughly
+        one job's latency (round-6 verdict item 6: the per-wave
+        constant, not the data volume, capped streaming throughput).
+        Crash semantics are unchanged — the manifest ``os.replace``
+        after ALL legs finish remains the only commit point, and the
+        replay guard skips the ``also`` legs together with the frames
+        (an applied batch's outputs are already durable)."""
         m = self.read_manifest()
         if m is None:
             raise ValueError("commit_delta requires a seeded index store")
@@ -192,12 +246,20 @@ class DedupIndexStore:
             extra["last_ingest_batch"] = int(batch_id)
         elif "last_ingest_batch" in m:
             extra["last_ingest_batch"] = int(m["last_ingest_batch"])
-        for f in _FRAMES:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_frame(f: str) -> None:
             dst = os.path.join(snap_dir, f)
             link_files(os.path.join(prev, f), dst)
             self._canon(getattr(delta, f)).coalesce(
                 self.delta_write_partitions
             ).write.mode("append").parquet(dst)
+
+        legs = [lambda f=f: _write_frame(f) for f in _FRAMES] + list(also)
+        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+            futures = [pool.submit(leg) for leg in legs]
+            for fut in futures:
+                fut.result()  # first failure propagates; no publish
         self.log.publish(snap, extra=extra)
         if self.compact_every and delta_commits >= self.compact_every:
             # the paired compaction must not burn a retention slot of
@@ -271,6 +333,7 @@ def make_dedup_sink(
         spark,
         os.path.join(out_dir, "dedup_index"),
         compact_every=compact_every,
+        cache_frames=True,
     )
     pairs_path = os.path.join(out_dir, "dup_pairs")
 
@@ -292,14 +355,22 @@ def make_dedup_sink(
                     batch_id=batch_id,
                 )
             else:
-                pairs = incremental_pairs(
+                pairs, delta = incremental_pairs_and_delta(
                     index, batch, text_col, id_col, threshold=threshold
                 )
-                delta = dedup_index_delta(index, batch, text_col, id_col)
-                pairs.write.mode("overwrite").parquet(
-                    os.path.join(pairs_path, f"ingest_batch={batch_id}")
+                store.commit_delta(
+                    delta,
+                    batch_id=batch_id,
+                    # the pairs write rides the commit's thread pool,
+                    # gated behind the same manifest swap
+                    also=(
+                        lambda: pairs.write.mode("overwrite").parquet(
+                            os.path.join(
+                                pairs_path, f"ingest_batch={batch_id}"
+                            )
+                        ),
+                    ),
                 )
-                store.commit_delta(delta, batch_id=batch_id)
         finally:
             batch.unpersist()
 
