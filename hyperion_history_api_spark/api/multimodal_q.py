@@ -343,3 +343,65 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return decode_gif(synth_media_gif(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_jpeg",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, 16),
+                   j -> CAST(concat('0x', substr(md5(text), 2*j - 1, 2))
+                             AS BIGINT)) AS db,
+               1 + doc_id % 3 AS w8, 1 + doc_id % 2 AS hz
+        FROM documents
+    ), b AS (
+        SELECT doc_id, w8, hz, k,
+               db[(k + doc_id) % 16 + 1] % 32 - 16 AS qdc,
+               CASE WHEN k % 2 = 1
+                    THEN db[(k + 3) % 16 + 1] % 9 - 4 ELSE 0 END AS a1,
+               CASE WHEN k % 2 = 1
+                    THEN db[(k + 5) % 16 + 1] % 7 - 3 ELSE 0 END AS a5
+        FROM d, unnest(generate_series(0, w8 * hz - 1)) AS t(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * w8 AS INT) AS width,
+           CAST(8 * hz AS INT) AS height,
+           CAST(w8 * hz AS BIGINT) AS n_blocks,
+           CAST(sum(qdc) * 8 AS BIGINT) AS dc_sum,
+           CAST(sum(CASE WHEN a1 <> 0 THEN 1 ELSE 0 END
+                  + CASE WHEN a5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ac_nonzero,
+           CAST(sum(256 * (a1*a1 + a5*a5)) AS BIGINT) AS ac_energy,
+           round(avg(qdc + 128) FILTER (WHERE a1 = 0 AND a5 = 0), 4)
+               AS flat_mean,
+           CAST(min_by(qdc + 128, k) FILTER (WHERE a1 = 0 AND a5 = 0)
+                AS INT) AS first_flat_val,
+           CAST(max_by(qdc + 128, k) FILTER (WHERE a1 = 0 AND a5 = 0)
+                AS INT) AS last_flat_val
+    FROM b GROUP BY doc_id, w8, hz ORDER BY media_id
+    """,
+    "multimodal: REAL baseline JPEG decode — the third COMPRESSED "
+    "format (round-7 verdict item 7; stdlib+numpy only): canonical "
+    "Huffman tables built from DHT, differential DC with EXTEND, "
+    "run-length AC, zigzag, dequant, separable IDCT, 0xFF00 "
+    "unstuffing. The synthesizer chooses quantized coefficients "
+    "directly (no forward DCT, so the lossy codec is exactly "
+    "invertible where the oracle looks): the oracle re-derives exact "
+    "integer coefficient-domain stats (Huffman/DC-chain/zigzag/"
+    "dequant-sensitive) plus pixel stats over flat blocks, whose "
+    "IDCT output is exact in both engines; AC-block pixels are "
+    "pinned against an independent naive cosine-sum IDCT in "
+    "tests/test_multimodal_real.py",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize honest baseline JPEGs (grayscale, one scan, custom
+    canonical Huffman tables, byte-stuffed entropy data) from the
+    corpus and decode them for real. A wrong Huffman table build, a
+    dropped DC diff, a misplaced zigzag entry, a skipped unstuffing,
+    or a broken EXTEND sign flips the hash. One Arrow pass each way,
+    no shuffle."""
+    from ..sources.multimodal import decode_jpeg, synth_media_jpeg
+
+    docs = _t(spark, sf_dir)["documents"]
+    return decode_jpeg(synth_media_jpeg(docs)).orderBy("media_id")

@@ -66,6 +66,7 @@ _SHOWCASE: list[str] = [
     "embedding_ivf_k256_recall",
     "get_account_profiles",
     "hyp_key_accounts_enriched",
+    "multimodal_decode_jpeg",
     # round 6: stored inverted index, curation stream, corpus-mix caps
     "doc_search_bm25_indexed",
     "doc_search_phrase_indexed",

@@ -1063,3 +1063,370 @@ def decode_gif(media: DataFrame) -> DataFrame:
     for c in ("index_mean", "mean_val", "top_row_mean", "chan0_mean"):
         out = out.withColumn(c, F.round(c, 4))
     return out
+
+
+# ------------------------------------------------------------- JPEG
+# The third COMPRESSED real format (round-7 verdict item 7): baseline
+# sequential DCT, stdlib + numpy only — canonical Huffman tables built
+# from DHT (not hardcoded), differential DC, run-length AC with
+# EXTEND sign decoding, zigzag, dequantization, separable float IDCT,
+# level shift + clamp, 0xFF00 byte unstuffing. Mirrors the reference's
+# opaque-binary media handling (SURVEY §2.10 multimodal decode UDFs);
+# JPEG itself is ITU-T T.81 public knowledge.
+#
+# Oracle-exactness design (the lossy-codec twist): a DuckDB oracle
+# cannot re-run a float IDCT bit-exactly, so the synthesizer chooses
+# QUANTIZED COEFFICIENTS directly (the encoder entropy-codes them; no
+# forward DCT, no loss) and the oracle re-derives (a) header fields,
+# (b) exact integer coefficient-domain stats — dequantized DC sum, AC
+# nonzero count, AC energy — which prove Huffman + differential-DC +
+# run-length + zigzag + dequant end-to-end, and (c) PIXEL stats over
+# the flat (DC-only) blocks, whose IDCT output is exactly
+# QDC + 128 (every step a dyadic float, so round() is exact in both
+# engines). AC-block pixels are pinned by tests/test_multimodal_real.py
+# against an independent naive O(n^4) cosine-sum IDCT instead.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QDC, _JPEG_QAC = 8, 16  # DC quant 8 => flat-block pixels exact
+
+
+def _jpeg_coefs(media_id: int, dg: bytes) -> tuple[int, int, list]:
+    """The synthesis formula shared (in spirit) with the SQL oracle:
+    per block k, quantized DC in [-16, 15]; odd blocks carry two AC
+    coefficients at zigzag positions 1 and 5."""
+    w8, h8 = 1 + media_id % 3, 1 + media_id % 2
+    blocks = []
+    for k in range(w8 * h8):
+        qdc = dg[(k + media_id) % 16] % 32 - 16
+        a1 = dg[(k + 3) % 16] % 9 - 4 if k % 2 == 1 else 0
+        a5 = dg[(k + 5) % 16] % 7 - 3 if k % 2 == 1 else 0
+        blocks.append((qdc, a1, a5))
+    return w8, h8, blocks
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill final byte
+        return bytes(self.out)
+
+
+def _jpeg_canonical(symbols: list[int]) -> tuple[list[int], dict]:
+    """Canonical Huffman table with every symbol at one code length L
+    (smallest L with 2^L > len(symbols), so the all-ones code stays
+    unused per T.81). Returns (BITS[1..16], {symbol: (code, L)})."""
+    L = 1
+    while (1 << L) <= len(symbols):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(symbols)
+    return bits, {s: (i, L) for i, s in enumerate(symbols)}
+
+
+_JPEG_DC_SYMS = [0, 1, 2, 3, 4, 5]  # DC diff categories (|diff|<=31)
+_JPEG_AC_SYMS = [0x00, 0x01, 0x02, 0x03, 0x31, 0x32, 0x41, 0x42]
+
+
+def synth_media_jpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline JPEGs (8-bit grayscale, one scan)
+    from the documents table: SOI / DQT / SOF0 / 2x DHT / SOS /
+    entropy-coded data with 0xFF00 stuffing / EOI — honest files any
+    external viewer opens. The quantized coefficients are chosen by
+    :func:`_jpeg_coefs` (no forward DCT), so decode is exactly
+    invertible in the coefficient domain and on flat blocks."""
+
+    coefs, zigzag = _jpeg_coefs, _JPEG_ZIGZAG
+    qdcq, qacq = _JPEG_QDC, _JPEG_QAC
+    dc_syms, ac_syms = _JPEG_DC_SYMS, _JPEG_AC_SYMS
+    canonical, writer_cls = _jpeg_canonical, _JpegBitWriter
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+
+        import pandas as _pd
+
+        dc_bits, dc_codes = canonical(dc_syms)
+        ac_bits, ac_codes = canonical(ac_syms)
+
+        def marker(tag: int, data: bytes) -> bytes:
+            return bytes([0xFF, tag]) + _st.pack(">H", len(data) + 2) + data
+
+        def build(media_id: int, text: str) -> bytes:
+            dg = _hl.md5(text.encode("utf-8")).digest()
+            w8, h8, blocks = coefs(media_id, dg)
+            qt = bytes([qdcq] + [qacq] * 63)  # zigzag order
+            bw = writer_cls()
+            prev_dc = 0
+            for qdc, a1, a5 in blocks:
+                diff = qdc - prev_dc
+                prev_dc = qdc
+                s = abs(diff).bit_length()
+                code, ln = dc_codes[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                nz = [(p, v) for p, v in ((1, a1), (5, a5)) if v != 0]
+                last = 0
+                for p, v in nz:
+                    run_len = p - last - 1
+                    sz = abs(v).bit_length()
+                    code, ln = ac_codes[(run_len << 4) | sz]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << sz) - 1, sz)
+                    last = p
+                if last < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    bw.write(code, ln)
+            return (
+                b"\xff\xd8"  # SOI
+                + marker(0xDB, b"\x00" + qt)  # DQT, Pq=0 Tq=0
+                + marker(  # SOF0: 8-bit, 1 component, no subsampling
+                    0xC0,
+                    _st.pack(">BHHB", 8, 8 * h8, 8 * w8, 1) + b"\x01\x11\x00",
+                )
+                + marker(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
+                + marker(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+                + marker(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+                + bw.flush()
+                + b"\xff\xd9"  # EOI
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        build(int(m), t)
+                        for m, t in zip(pdf["media_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(run, "media_id long, payload binary")
+
+
+JPEG_DECODE_SCHEMA = (
+    "media_id long, width int, height int, n_blocks long, dc_sum long, "
+    "ac_nonzero long, ac_energy long, flat_mean double, "
+    "first_flat_val int, last_flat_val int"
+)
+
+
+def _jpeg_idct_pixels(coef_block, np):
+    """Separable float IDCT + level shift + clamp for one natural-order
+    8x8 block of DEQUANTIZED coefficients (the production path; the
+    naive O(n^4) twin in tests/test_multimodal_real.py cross-checks
+    it)."""
+    xs = np.arange(8)
+    m = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
+    m[0, :] /= np.sqrt(2.0)  # C(0) = 1/sqrt(2)
+    px = m.T @ coef_block @ m
+    return np.clip(np.rint(px + 128.0), 0, 255).astype("int64")
+
+
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """REAL baseline JPEG decode: marker walk (SOI/DQT/SOF0/DHT/SOS/
+    EOI), canonical Huffman table construction from DHT BITS/HUFFVAL,
+    0xFF00 unstuffing, per-block differential-DC + run-length-AC
+    entropy decode with EXTEND, zigzag -> natural order, dequantize,
+    separable IDCT, level shift, clamp. Emits exact integer
+    coefficient-domain stats (Huffman/DC-chain/zigzag/dequant
+    sensitive) and pixel stats over the flat blocks (full-IDCT-path
+    sensitive and still oracle-exact — see module comment). One Arrow
+    pass, no shuffle — the scale shape of every decoder here."""
+
+    zigzag = _JPEG_ZIGZAG
+    idct = _jpeg_idct_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        import numpy as _np
+        import pandas as _pd
+
+        class Reader:
+            def __init__(self, data: bytes) -> None:
+                self.data = data
+                self.pos = 0
+                self.acc = 0
+                self.nbits = 0
+
+            def bit(self) -> int:
+                if self.nbits == 0:
+                    if self.pos >= len(self.data):
+                        raise ValueError("entropy data exhausted")
+                    b = self.data[self.pos]
+                    self.pos += 1
+                    if b == 0xFF:  # unstuff
+                        if (
+                            self.pos >= len(self.data)
+                            or self.data[self.pos] != 0x00
+                        ):
+                            raise ValueError("marker inside scan")
+                        self.pos += 1
+                    self.acc = b
+                    self.nbits = 8
+                self.nbits -= 1
+                return (self.acc >> self.nbits) & 1
+
+            def bits(self, n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+        def huff_table(bits: bytes, vals: bytes) -> dict:
+            table, code, i = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[i]
+                    code += 1
+                    i += 1
+                code <<= 1
+            return table
+
+        def huff_decode(r: Reader, table: dict) -> int:
+            code, ln = 0, 0
+            while ln <= 16:
+                code = (code << 1) | r.bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError("bad Huffman code")
+
+        def extend(v: int, s: int) -> int:
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        def one(media_id: int, payload: bytes) -> dict:
+            if payload[:2] != b"\xff\xd8":
+                raise ValueError(f"not a JPEG: {media_id}")
+            pos, qt, dc_tab, ac_tab, sof = 2, None, None, None, None
+            while pos < len(payload):
+                if payload[pos] != 0xFF:
+                    raise ValueError(f"bad marker sync: {media_id}")
+                tag = payload[pos + 1]
+                if tag == 0xD9:  # EOI
+                    break
+                (ln,) = _st.unpack_from(">H", payload, pos + 2)
+                data = payload[pos + 4 : pos + 2 + ln]
+                if tag == 0xDB:
+                    if data[0] != 0x00:
+                        raise ValueError("only 8-bit qtable 0 supported")
+                    qt = list(data[1:65])
+                elif tag == 0xC0:
+                    prec, h, w, ncomp = _st.unpack_from(">BHHB", data, 0)
+                    if (prec, ncomp) != (8, 1) or data[6:9] != b"\x01\x11\x00":
+                        raise ValueError(
+                            "only 8-bit single-component baseline supported"
+                        )
+                    sof = (w, h)
+                elif tag == 0xC4:
+                    cls_id = data[0]
+                    tab = huff_table(data[1:17], data[17:])
+                    if cls_id == 0x00:
+                        dc_tab = tab
+                    elif cls_id == 0x10:
+                        ac_tab = tab
+                    else:
+                        raise ValueError("unsupported DHT class/id")
+                elif tag == 0xDA:
+                    if data != b"\x01\x01\x00\x00\x3f\x00":
+                        raise ValueError("unsupported SOS")
+                    pos += 2 + ln
+                    break
+                pos += 2 + ln
+            if qt is None or dc_tab is None or ac_tab is None or sof is None:
+                raise ValueError(f"missing JPEG segments: {media_id}")
+            w, h = sof
+            if w % 8 or h % 8:
+                raise ValueError("non-multiple-of-8 dims unsupported")
+            n_blocks = (w // 8) * (h // 8)
+            # entropy data runs to the EOI marker
+            end = payload.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError(f"missing EOI: {media_id}")
+            r = Reader(payload[pos:end])
+            prev_dc = 0
+            dc_sum = ac_nonzero = ac_energy = 0
+            flat_vals = []
+            for _k in range(n_blocks):
+                zz = [0] * 64
+                s = huff_decode(r, dc_tab)
+                diff = extend(r.bits(s), s) if s else 0
+                prev_dc += diff
+                zz[0] = prev_dc * qt[0]
+                p = 1
+                while p < 64:
+                    sym = huff_decode(r, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run_len, sz = sym >> 4, sym & 0x0F
+                    if sz == 0 and run_len != 15:
+                        raise ValueError("bad AC symbol")
+                    p += run_len
+                    if p >= 64:
+                        raise ValueError("AC run past block end")
+                    if sz:
+                        zz[p] = extend(r.bits(sz), sz) * qt[p]
+                        p += 1
+                dc_sum += zz[0]
+                ac_nz_here = sum(1 for v in zz[1:] if v)
+                ac_nonzero += ac_nz_here
+                ac_energy += sum(v * v for v in zz[1:])
+                block = _np.zeros((8, 8))
+                for i, v in enumerate(zz):
+                    block[zigzag[i] // 8][zigzag[i] % 8] = v
+                px = idct(block, _np)
+                if ac_nz_here == 0:
+                    flat_vals.append(float(px.mean()))
+            if not flat_vals:
+                raise ValueError("no flat block (k=0 must be flat)")
+            return {
+                "media_id": media_id,
+                "width": w,
+                "height": h,
+                "n_blocks": n_blocks,
+                "dc_sum": dc_sum,
+                "ac_nonzero": ac_nonzero,
+                "ac_energy": ac_energy,
+                "flat_mean": float(_np.mean(flat_vals)),
+                "first_flat_val": int(round(flat_vals[0])),
+                "last_flat_val": int(round(flat_vals[-1])),
+            }
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                [
+                    one(int(m), bytes(p))
+                    for m, p in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run, JPEG_DECODE_SCHEMA
+    )
+    return out.withColumn("flat_mean", F.round("flat_mean", 4))

