@@ -2003,24 +2003,14 @@ def embedding_ivf_k256_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _k256_oracle_sql() -> str:
-    """DuckDB oracle for the realistic-k recall gate, built on the
-    shipped-model pattern (scripts/gen_k256_oracle.py; the BPE-merges
-    precedent): the k-means|| init is not SQL-expressible, so the
-    TRAINED codebook is embedded as VALUES keyed by a corpus
-    fingerprint the SQL computes itself — everything downstream (the
-    spherical cell assignment, the brute-force ground truth, the
-    nprobe=0.375k IVF arm, the recall@5 number) is re-derived from
-    scratch in SQL, so the hash gate proves the MEASURED recall, not
-    an asserted boolean (round-6 verdict residual #1)."""
+def _k256_cells_cte() -> str:
+    """Shared oracle CTE prefix: embedded trained codebook (keyed by
+    the corpus fingerprint the SQL computes itself) -> spherical cell
+    assignment re-derived from scratch. Used by every oracle that
+    needs the realistic-k cells (recall gate, SemDeDup-at-scale)."""
     from ._k256_artifact import K256_CENTS_SQL, K256_FP_EXPR, K256_META_SQL
 
-    nprobe = (
-        "(SELECT CAST(greatest(2, round("
-        f"{_KBIG_NPROBE_FRAC} * k)) AS BIGINT) FROM meta)"
-    )
-    return (
-        f"""
+    return f"""
     WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
     fpv AS (SELECT {K256_FP_EXPR} AS f FROM eall),
@@ -2038,7 +2028,26 @@ def _k256_oracle_sql() -> str:
                        + list_dot_product(c.cent, c.cent), c.cell) AS rn
             FROM en e CROSS JOIN cents c
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _k256_oracle_sql() -> str:
+    """DuckDB oracle for the realistic-k recall gate, built on the
+    shipped-model pattern (scripts/gen_k256_oracle.py; the BPE-merges
+    precedent): the k-means|| init is not SQL-expressible, so the
+    TRAINED codebook is embedded as VALUES keyed by a corpus
+    fingerprint the SQL computes itself — everything downstream (the
+    spherical cell assignment, the brute-force ground truth, the
+    nprobe=0.375k IVF arm, the recall@5 number) is re-derived from
+    scratch in SQL, so the hash gate proves the MEASURED recall, not
+    an asserted boolean (round-6 verdict residual #1)."""
+    nprobe = (
+        "(SELECT CAST(greatest(2, round("
+        f"{_KBIG_NPROBE_FRAC} * k)) AS BIGINT) FROM meta)"
+    )
+    return (
+        _k256_cells_cte()
+        + """,
     probes AS (SELECT vec_id AS probe_id, v AS pe FROM eall
                WHERE vec_id < 5),
     gt AS (
@@ -2071,6 +2080,50 @@ def _k256_oracle_sql() -> str:
     FROM ne, h_m, meta, nn
     """
     )
+
+
+@register(
+    "embedding_semdedup_k256",
+    _k256_cells_cte()
+    + """,
+    ec AS (SELECT e.vec_id, c.cell, e.v
+           FROM eall e JOIN cellsq c USING (vec_id)),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    )
+    SELECT ec.vec_id, ec.cell,
+           CAST(ec.vec_id NOT IN (SELECT vec_id FROM dropped) AS INT)
+               AS is_kept
+    FROM ec ORDER BY ec.vec_id
+    """,
+    "dedup: SemDeDup at the SCALE-correct cell geometry — the sweep "
+    "runs inside the realistic-k quantizer's cells (k = min(256, "
+    "n/4), so cell size stays ~constant as the corpus grows and the "
+    "per-cell GEMM quadratic never blows up; the fixture-label and "
+    "trained-k8 rows keep cell COUNT fixed, which SCALE_r07.json "
+    "shows going quadratic in the tail by construction). Oracle "
+    "re-derives the cell assignment from the embedded codebook "
+    "(scripts/gen_k256_oracle.py) and sweeps the pairs in SQL",
+    headline=True,
+)
+def embedding_semdedup_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup exactly as a 100-TB pipeline must run it (Abbas et
+    al. scale cluster count WITH the corpus): the stored realistic-k
+    assignment bounds every cell at ~4 vectors regardless of n, so
+    the one-exchange per-cell GEMM plan stays linear end to end —
+    this row is the headline scale witness; the label-cell row above
+    stays as the fixed-cell-count contrast."""
+    from ..operators.similarity import semdedup
+
+    corpus, _ = _corpus_probes(spark, sf_dir)
+    ec = corpus.join(_kbig_cells(spark, sf_dir), "vec_id").select(
+        "vec_id", "cell", F.col("e").alias("v")
+    )
+    return semdedup(ec, threshold=0.3, cell_col="cell").orderBy("vec_id")
 
 
 @register(

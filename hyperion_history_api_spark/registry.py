@@ -67,6 +67,7 @@ _SHOWCASE: list[str] = [
     "get_account_profiles",
     "hyp_key_accounts_enriched",
     "multimodal_decode_jpeg",
+    "embedding_semdedup_k256",
     # round 6: stored inverted index, curation stream, corpus-mix caps
     "doc_search_bm25_indexed",
     "doc_search_phrase_indexed",

@@ -108,7 +108,6 @@ class DedupIndexStore:
         # snapshot, never a speculative one.
         self.cache_frames = cache_frames
         self._frame_cache: tuple[int, DedupIndex] | None = None
-        self._cache_retired: list[DataFrame] = []
         # commit protocol (versioning, pointer swap, retention GC) is
         # the shared CommitLog; this class keeps only index POLICY
         # (which frames, delta layout, compaction clustering)
@@ -150,15 +149,12 @@ class DedupIndexStore:
         return idx
 
     def _drop_cache(self) -> None:
-        """Unpersist the whole cache chain (superseded version, chain
-        depth bound reached, or compaction reset) — nothing computes
-        through these frames once the next read comes from parquet."""
+        """Unpersist the cached frames (superseded version /
+        compaction reset) — nothing computes through them once the
+        next read comes from parquet."""
         if self._frame_cache is not None:
             for f in _FRAMES:
                 getattr(self._frame_cache[1], f).unpersist()
-        for df in self._cache_retired:
-            df.unpersist()
-        self._cache_retired = []
         self._frame_cache = None
 
     # -- commit protocol ----------------------------------------------
