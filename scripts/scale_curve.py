@@ -1,6 +1,6 @@
 """Build the round-7 multi-point scale artifact (VERDICT r6 item 1):
-per-query growth at BOTH the 10x point (reusing the committed round-6
-sf1 bench) and the new 30x point (scripts/make_scale.py sf3 replica),
+per-query growth at BOTH the 10x point and the new 30x point
+(scripts/make_scale.py sf1/sf3 replicas),
 so the judge sees whether the growth curve BENDS DOWN past 10x —
 the specific question left open for abi_asof_join / abi_binary_decode
 (~2.0 adjusted growth at 10x).
@@ -35,7 +35,7 @@ def _adj(t_small: float, t_big: float) -> float:
 def main() -> None:
     args = sys.argv[1:]
     small_p = args[0] if len(args) > 0 else "BENCH_SF0.1_r07.json"
-    mid_p = args[1] if len(args) > 1 else "BENCH_SF1_r06.json"
+    mid_p = args[1] if len(args) > 1 else "BENCH_SF1_r07.json"
     big_p = args[2] if len(args) > 2 else "BENCH_SF3_r07.json"
     mid_ratio = float(args[3]) if len(args) > 3 else 10.0
     big_ratio = float(args[4]) if len(args) > 4 else 30.0
@@ -92,8 +92,9 @@ def main() -> None:
         "mid_ratio": mid_ratio,
         "big_ratio": big_ratio,
         "note": (
-            "mid (10x) point reuses the committed round-6 sf1 bench; "
-            "small/big measured this round on the same host, serially"
+            "all three points measured serially on the same host with "
+            "the same bench build (global warm pass; steady-state, "
+            "order-independent numbers)"
         ),
         "queries": qs,
         "superlinear": flagged,
