@@ -952,11 +952,16 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id-keeper form of the paper's greedy.
 
     Scale shape: the pairwise leg is an equi-join on the CELL key, so
-    the quadratic is bounded by cell size (that bound is the entire
-    point of clustering first — same contract as the SimHash bucket
-    join; oversized cells get split by the same salting scheme). The
-    fixture's embeddings carry no planted high-cosine twins, so the
-    gate runs at t=0.3 (production uses ~0.95); t is a parameter.
+    the quadratic is bounded by cell size — but THIS row's cells are
+    the fixture label (fixed cardinality), so cell size grows with
+    the corpus and the 30x tail goes quadratic by construction
+    (SCALE_r07.json flags exactly this). The scale-correct geometry
+    is ``embedding_semdedup_k256`` below: cluster count scales with n
+    (the paper's own recipe), cell size stays ~constant, and the same
+    sweep is flat at 30x. This row stays as the fixed-cell contrast
+    and the simplest oracle form. The fixture's embeddings carry no
+    planted high-cosine twins, so the gate runs at t=0.3 (production
+    uses ~0.95); t is a parameter.
 
     Perf shape (see :func:`operators.similarity.semdedup`): vectors
     are L2-normalized ONCE before the pair join, so the per-pair
