@@ -182,11 +182,28 @@ class InvertedIndexStore:
         )
         return df_t, stats
 
+    def last_ingest_batch(self) -> int | None:
+        """foreachBatch ``batch_id`` of the last APPLIED commit (None
+        when unseeded / committed outside a streaming sink) — the
+        at-least-once replay guard, same contract as
+        streaming/dedup_ingest.DedupIndexStore."""
+        m = self.log.read_manifest()
+        return None if m is None or "last_ingest_batch" not in m else int(
+            m["last_ingest_batch"]
+        )
+
     def commit(
-        self, docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        batch_id: int | None = None,
     ) -> None:
         """Full build: postings range-clustered by word (query terms
-        prune to few files via footer stats), aggregates derived."""
+        prune to few files via footer stats), aggregates derived.
+        ``batch_id`` (when committing from a streaming sink) lands in
+        the manifest so a replayed micro-batch is recognized."""
         postings = _tokenize(docs, text_col, id_col)
         df_t, stats = self._aggregates(postings)
         snap, snap_dir = self.log.new_snapshot()
@@ -203,18 +220,39 @@ class InvertedIndexStore:
         self._canon(stats).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(snap_dir, STATS_FRAME)
         )
-        self.log.publish(snap)
+        extra = {} if batch_id is None else {"last_ingest_batch": int(batch_id)}
+        self.log.publish(snap, extra=extra)
 
     def commit_delta(
-        self, docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        batch_id: int | None = None,
+        also: tuple = (),
     ) -> None:
         """Incremental commit of NEW documents (disjoint doc_ids — the
         append-only corpus contract): postings hard-link forward +
         O(batch) new files; df/stats rewritten from (previous ||
-        batch) without touching postings history."""
+        batch) without touching postings history.
+
+        ``batch_id <= last_ingest_batch`` short-circuits to a no-op:
+        foreachBatch is at-least-once, and blindly re-appending a
+        replayed batch would double its postings AND double-count its
+        df/n/sumdl contributions forever (worse than the dedup store's
+        bloat — scores would silently drift). Same guard as
+        streaming/dedup_ingest.DedupIndexStore.commit_delta."""
         cur = self.read()
         if cur is None:
             raise ValueError("commit_delta requires a seeded index store")
+        _m0 = self.log.read_manifest()
+        if (
+            batch_id is not None
+            and "last_ingest_batch" in _m0
+            and int(batch_id) <= int(_m0["last_ingest_batch"])
+        ):
+            return  # at-least-once replay of an applied batch
         batch = _tokenize(docs, text_col, id_col)
         bdf, bstats = self._aggregates(batch)
         merged_df = (
@@ -234,26 +272,46 @@ class InvertedIndexStore:
         m = self.log.read_manifest()
         snap, snap_dir = self.log.new_snapshot()
         prev = self.log.snapshot_dir(m["snapshot"])
-        dst = os.path.join(snap_dir, POSTINGS_FRAME)
-        link_files(os.path.join(prev, POSTINGS_FRAME), dst)
-        self._canon(batch).coalesce(
-            self.delta_write_partitions
-        ).write.mode("append").parquet(dst)
-        self._canon(merged_df).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(snap_dir, DF_FRAME)
-        )
-        self._canon(merged_stats).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(snap_dir, STATS_FRAME))
+
+        # the three frame writes plus any caller legs (``also`` — a
+        # streaming sink's own per-batch outputs) run concurrently on
+        # one thread pool, all gated behind the single manifest swap
+        # (the streaming/dedup_ingest.commit_delta pattern: each leg
+        # is a small independent job dominated by fixed scheduling
+        # cost, and the replay guard above skips the ``also`` legs
+        # together with the frames)
+        def _postings_leg() -> None:
+            dst = os.path.join(snap_dir, POSTINGS_FRAME)
+            link_files(os.path.join(prev, POSTINGS_FRAME), dst)
+            self._canon(batch).coalesce(
+                self.delta_write_partitions
+            ).write.mode("append").parquet(dst)
+
+        def _df_leg() -> None:
+            self._canon(merged_df).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(snap_dir, DF_FRAME))
+
+        def _stats_leg() -> None:
+            self._canon(merged_stats).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(snap_dir, STATS_FRAME))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        legs = [_postings_leg, _df_leg, _stats_leg] + list(also)
+        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+            for fut in [pool.submit(leg) for leg in legs]:
+                fut.result()  # first failure propagates; no publish
         tprev = os.path.join(prev, TOMB_FRAME)
         if os.path.isdir(tprev):  # carry retractions forward
             link_files(tprev, os.path.join(snap_dir, TOMB_FRAME))
-        self.log.publish(
-            snap,
-            extra={
-                "delta_commits": int(m.get("delta_commits", 0)) + 1
-            },
-        )
+        extra = {"delta_commits": int(m.get("delta_commits", 0)) + 1}
+        if batch_id is not None:
+            extra["last_ingest_batch"] = int(batch_id)
+        elif "last_ingest_batch" in m:
+            extra["last_ingest_batch"] = int(m["last_ingest_batch"])
+        self.log.publish(snap, extra=extra)
 
     def retract_ids(
         self, ids: DataFrame, *, id_col: str = "doc_id"
