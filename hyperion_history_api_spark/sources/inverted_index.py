@@ -114,12 +114,18 @@ class InvertedIndexStore:
         keep_versions: int = 2,
         cluster_files: int = 8,
         delta_write_partitions: int = 2,
+        compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.log = CommitLog(path, keep_versions=keep_versions)
         self.cluster_files = max(1, cluster_files)
         self.delta_write_partitions = max(1, delta_write_partitions)
+        # auto-OPTIMIZE after every K delta commits (None = manual) —
+        # same fragmentation policy as DedupIndexStore: a long ingest
+        # run otherwise splits each frame ~K-ways and every query
+        # opens every file
+        self.compact_every = compact_every
 
     # -- read -----------------------------------------------------------
 
@@ -306,12 +312,17 @@ class InvertedIndexStore:
         tprev = os.path.join(prev, TOMB_FRAME)
         if os.path.isdir(tprev):  # carry retractions forward
             link_files(tprev, os.path.join(snap_dir, TOMB_FRAME))
-        extra = {"delta_commits": int(m.get("delta_commits", 0)) + 1}
+        delta_commits = int(m.get("delta_commits", 0)) + 1
+        extra = {"delta_commits": delta_commits}
         if batch_id is not None:
             extra["last_ingest_batch"] = int(batch_id)
         elif "last_ingest_batch" in m:
             extra["last_ingest_batch"] = int(m["last_ingest_batch"])
         self.log.publish(snap, extra=extra)
+        if self.compact_every and delta_commits >= self.compact_every:
+            # paired compaction must not burn a retention slot of its
+            # own (same rationale as DedupIndexStore.commit_delta)
+            self.compact(retain_extra=1)
 
     def retract_ids(
         self, ids: DataFrame, *, id_col: str = "doc_id"
@@ -386,10 +397,11 @@ class InvertedIndexStore:
         if os.path.isdir(tprev):
             link_files(tprev, tdst)
         new_ids.coalesce(1).write.mode("append").parquet(tdst)
-        self.log.publish(
-            snap,
-            extra={"delta_commits": int(m.get("delta_commits", 0))},
-        )
+        extra = {"delta_commits": int(m.get("delta_commits", 0))}
+        if "last_ingest_batch" in m:
+            # the replay guard must survive a retraction commit
+            extra["last_ingest_batch"] = int(m["last_ingest_batch"])
+        self.log.publish(snap, extra=extra)
 
     def compact(self, *, retain_extra: int = 0) -> None:
         """OPTIMIZE: physically drop tombstoned postings and rewrite
@@ -415,11 +427,14 @@ class InvertedIndexStore:
             self._canon(cur[f]).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(snap_dir, f))
-        self.log.publish(
-            snap,
-            extra={"delta_commits": 0, "compacted": True},
-            retain_extra=retain_extra,
-        )
+        extra = {"delta_commits": 0, "compacted": True}
+        if m is not None and "last_ingest_batch" in m:
+            # the replay guard must survive an OPTIMIZE rewrite —
+            # compaction changes layout, not applied-batch history
+            # (without this, a micro-batch replayed right after an
+            # auto-compaction would re-commit and double-count)
+            extra["last_ingest_batch"] = int(m["last_ingest_batch"])
+        self.log.publish(snap, extra=extra, retain_extra=retain_extra)
 
     # -- serve -----------------------------------------------------------
 

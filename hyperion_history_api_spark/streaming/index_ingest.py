@@ -46,10 +46,15 @@ def make_index_sink(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = 8,
 ):
     """foreachBatch sink maintaining (corpus log, inverted index).
-    Returns ``(sink, paths)``."""
-    store = InvertedIndexStore(spark, os.path.join(out_dir, "index"))
+    ``compact_every`` delta commits trigger the OPTIMIZE rewrite so
+    query-time file counts stay flat over a long run (the ES segment
+    merge / lifecycleManager behavior). Returns ``(sink, paths)``."""
+    store = InvertedIndexStore(
+        spark, os.path.join(out_dir, "index"), compact_every=compact_every
+    )
     corpus_path = os.path.join(out_dir, "corpus")
     paths = {"corpus": corpus_path, "index": store.path}
 
