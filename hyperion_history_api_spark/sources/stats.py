@@ -81,6 +81,66 @@ def invalidate_stats(cache_key: str | None = None) -> None:
         del _NDV_CACHE[k]
 
 
+# ------------------------------------------------- catalog persistence
+# The process cache dies with the session; a serving deployment keeps
+# the catalog NEXT TO THE LAKE so a fresh session plans its first
+# query from stored stats with zero analyze jobs (the Hive/Iceberg
+# table-statistics contract). One JSON file, atomic os.replace — the
+# same single-pointer commit discipline as every store here. Sketches
+# persist too (base64 of the DataSketches HLL bytes), so incremental
+# ANALYZE survives restarts: a new session unions batch sketches onto
+# the stored register state instead of rescanning history.
+
+_STATS_FILE = "catalog_stats.json"
+
+
+def persist_stats(stats_dir: str) -> str:
+    """Write the current NDV + sketch caches under ``stats_dir``
+    (created if missing). Returns the file path."""
+    import base64
+    import json
+    import uuid
+
+    os.makedirs(stats_dir, exist_ok=True)
+    path = os.path.join(stats_dir, _STATS_FILE)
+    payload = {
+        "ndv": [[k[0], k[1], v] for k, v in _NDV_CACHE.items()],
+        "sketches": [
+            [k[0], k[1], base64.b64encode(v).decode("ascii")]
+            for k, v in _SKETCH_CACHE.items()
+        ],
+    }
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+    return path
+
+
+def load_stats(stats_dir: str) -> int:
+    """Load persisted catalog stats into the process caches (merging
+    over whatever is already cached — stored entries win, matching
+    'the lake's catalog is the source of truth'). Returns the number
+    of entries loaded; 0 when nothing was ever persisted."""
+    import base64
+    import json
+
+    path = os.path.join(stats_dir, _STATS_FILE)
+    try:
+        with open(path) as fh:
+            payload = json.load(fh)
+    except (OSError, ValueError):
+        return 0
+    n = 0
+    for key, col, v in payload.get("ndv", []):
+        _NDV_CACHE[(key, col)] = int(v)
+        n += 1
+    for key, col, b64 in payload.get("sketches", []):
+        _SKETCH_CACHE[(key, col)] = base64.b64decode(b64)
+        n += 1
+    return n
+
+
 # ---------------------------------------------------- mergeable sketches
 # The O(1)-read cache above still pays a FULL column scan whenever a
 # stat is (re)built — at 100 TB that is the wrong refresh story. Spark

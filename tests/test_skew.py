@@ -373,3 +373,53 @@ def test_key_accounts_enriched_served_through_chooser(spark):
     assert shuffled_strategy == "shuffle"
     assert _rows(shuffled_df) == want
     invalidate_stats(key)
+
+
+def test_catalog_stats_persist_across_sessions(spark, tmp_path):
+    """Round-7: the stats catalog persists NEXT TO THE LAKE — a fresh
+    process loads it and plans its first query with ZERO analyze jobs
+    (poisoned-frame proof), and incremental ANALYZE resumes from the
+    stored sketch registers instead of rescanning history."""
+    from hyperion_history_api_spark.sources.stats import (
+        column_ndv,
+        invalidate_sketches,
+        invalidate_stats,
+        load_stats,
+        ndv_sketch_build,
+        ndv_sketch_estimate,
+        ndv_sketch_merge,
+        persist_stats,
+    )
+
+    key = f"persist-{SF_DIR}"
+    invalidate_stats(key)
+    invalidate_sketches(key)
+    ev = _events(spark)
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    ndv = column_ndv(ev, "event_type", cache_key=key)
+    est1 = ndv_sketch_build(half1, "user_id", cache_key=key)
+    assert est1 > 0
+    persist_stats(str(tmp_path))
+
+    # "restart": wipe the process caches, load from the lake-side file
+    invalidate_stats()
+    invalidate_sketches()
+    assert load_stats(str(tmp_path)) >= 2  # whole process cache persists
+    poisoned = spark.range(1).select(
+        F.raise_error(F.lit("job ran on the stats hot path")).alias(
+            "event_type"
+        )
+    )
+    assert column_ndv(poisoned, "event_type", cache_key=key) == ndv
+    assert ndv_sketch_estimate("user_id", cache_key=key) == est1
+    # incremental ANALYZE continues from the stored registers:
+    # merge(second half) onto the loaded sketch == build(full)
+    merged = ndv_sketch_merge(half2, "user_id", cache_key=key)
+    invalidate_sketches(f"full-{key}")
+    assert merged == ndv_sketch_build(ev, "user_id", cache_key=f"full-{key}")
+
+    # missing file is a clean no-op, not an exception
+    assert load_stats(str(tmp_path / "nowhere")) == 0
+    invalidate_stats()
+    invalidate_sketches()
