@@ -1189,3 +1189,62 @@ def hyp_memo_bm25_post_retraction(
     return store.bm25(_MEMO_TERMS, 20).select(
         F.col("doc_id").alias("global_sequence"), "score"
     )
+
+
+@register(
+    "hyp_memo_phrase_indexed",
+    ACTIONS_CTE + """
+    , m AS (
+        SELECT global_sequence,
+               string_split(transfer.memo, ' ') AS ws
+        FROM actions WHERE transfer IS NOT NULL
+    ), w AS (
+        SELECT global_sequence, unnest(ws) AS word,
+               generate_subscripts(ws, 1) AS pos
+        FROM m
+    ), p1 AS (
+        SELECT global_sequence, list(pos ORDER BY pos) AS lp FROM w
+        WHERE word = 'for' GROUP BY global_sequence
+    ), p2 AS (
+        SELECT global_sequence, list(pos ORDER BY pos) AS lp FROM w
+        WHERE word = 'model' GROUP BY global_sequence
+    )
+    SELECT p1.global_sequence,
+           CAST(len(list_intersect(
+               list_transform(p1.lp, x -> x + 1), p2.lp)) AS INT)
+               AS n_occurrences
+    FROM p1 JOIN p2 USING (global_sequence)
+    WHERE len(list_intersect(list_transform(p1.lp, x -> x + 1), p2.lp)) > 0
+    ORDER BY global_sequence
+    """,
+    "ES match_phrase on the Hyperion surface: exact phrase 'for "
+    "model' over @transfer.memo served from the STORED positional "
+    "postings of the actions-lake memo index (the same store the "
+    "BM25 rows read — one index, every ES query type) — "
+    "discriminative against the 'refund for order' / 'tip for ...' "
+    "memos that contain 'for' without the phrase; oracle re-derives "
+    "position lists from scratch in SQL",
+)
+def hyp_memo_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase occurrence counts per matching action — n-1 equi-joins
+    over word-pruned postings, no memo re-tokenization (the timed
+    plan never touches the lake's text)."""
+
+    def build(store):
+        docs = _memo_corpus(spark, sf_dir)
+        store.commit(
+            docs.where(F.col("global_sequence") % 2 == 0),
+            text_col="memo",
+            id_col="global_sequence",
+        )
+        store.commit_delta(
+            docs.where(F.col("global_sequence") % 2 == 1),
+            text_col="memo",
+            id_col="global_sequence",
+        )
+
+    store = _memo_index_store(spark, sf_dir, "memo_index", build)
+    return store.phrase_match(["for", "model"]).select(
+        F.col("doc_id").alias("global_sequence"),
+        F.col("n_occurrences").cast("int").alias("n_occurrences"),
+    )

@@ -69,6 +69,7 @@ _SHOWCASE: list[str] = [
     "multimodal_decode_jpeg",
     "embedding_semdedup_k256",
     "stream_index_bm25",
+    "hyp_memo_phrase_indexed",
     # round 6: stored inverted index, curation stream, corpus-mix caps
     "doc_search_bm25_indexed",
     "doc_search_phrase_indexed",
