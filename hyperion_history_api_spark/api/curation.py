@@ -424,6 +424,7 @@ def stream_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+            sink.close()  # release the sink's persisted frames
             # materialize the fold before the feed dir goes away
             return curation_rollup(spark, paths).localCheckpoint(eager=True)
         finally:

@@ -940,8 +940,12 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "dedup: SemDeDup — semantic dedup inside embedding clusters "
     "(Abbas et al. 2023): drop a vector when a smaller-id cell-mate "
-    "sits above the cosine threshold",
-    headline=True,
+    "sits above the cosine threshold. NOT a headliner (round-8, "
+    "verdict item 3): this row pins cell COUNT to the fixture label, "
+    "so cell size grows with the corpus and the pairwise leg goes "
+    "quadratic in the 30x tail by construction — it stays registered "
+    "as the simplest-oracle small-scale demo / fixed-cell contrast; "
+    "the scale witness is embedding_semdedup_k256",
 )
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings (here the stored cell column; at

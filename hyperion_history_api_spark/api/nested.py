@@ -156,7 +156,7 @@ def hyp_code_action_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT trx_id, act_digest,
            count(*) AS n_merged,
            min(action_ordinal) AS canonical_ordinal,
-           sum(len(receipts)) AS receipts_total
+           CAST(sum(len(receipts)) AS BIGINT) AS receipts_total
     FROM actions
     GROUP BY trx_id, act_digest
     HAVING count(*) > 1
@@ -363,7 +363,7 @@ def hyp_notified_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACTIONS_CTE + """
     SELECT r.receiver AS receiver, count(*) AS n_receipts,
            max(r.recv_sequence) AS max_recv_seq,
-           sum(r.auth_sequence[1].sequence) AS auth_seq_sum
+           CAST(sum(r.auth_sequence[1].sequence) AS BIGINT) AS auth_seq_sum
     FROM (SELECT unnest(receipts) AS r FROM actions)
     GROUP BY r.receiver ORDER BY n_receipts DESC, receiver LIMIT 50
     """,

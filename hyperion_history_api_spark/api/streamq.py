@@ -190,7 +190,8 @@ def repair_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mismatch
     )
     SELECT min(block_num) AS range_start, max(block_num) AS range_end,
-           count(*) AS blocks, sum(missing) AS missing_actions
+           count(*) AS blocks,
+           CAST(sum(missing) AS BIGINT) AS missing_actions
     FROM islands GROUP BY grp ORDER BY range_start
     """,
     "repair CLI missing-action scan: get_trx_count?validate_actions=true "

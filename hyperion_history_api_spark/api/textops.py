@@ -828,7 +828,7 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT source, count(*) AS n_kept,
-           sum(n_chars) AS chars_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept,
            min(n_chars) AS min_chars_kept,
            min(doc_id) AS first_doc
     FROM r WHERE rk <= 10 GROUP BY source ORDER BY source
@@ -877,7 +877,8 @@ def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 AND CURRENT ROW) AS run
       FROM documents
     )
-    SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
     FROM r WHERE run - n_chars < 2000 GROUP BY source ORDER BY source
     """,
     "curation/mixing: per-source TOKEN-BUDGET cap (operators/"

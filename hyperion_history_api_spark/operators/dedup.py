@@ -445,8 +445,10 @@ def incremental_pairs_and_delta(
     source, 74 exchanges at sf0.1). So the split is computed ONCE as
     a single annotated frame and eagerly localCheckpoint'ed, and the
     novel reps' hashed shingles (the expensive interpreted pass) are
-    checkpointed as the only other job — two O(batch) jobs, then the
-    probe DAG reads materialized rows (8 scans, 24 exchanges).
+    eagerly checkpointed as the only other job (the split's lazy
+    checkpoint is materialized by the broadcast-gate count before the
+    function returns) — two O(batch) jobs, then the probe DAG reads
+    materialized rows (8 scans, 24 exchanges).
     Checkpointing each split frame separately (4 serialized jobs) won
     nothing; this is also the opposite trade from the index BUILD,
     where checkpointing corpus-sized frames measured 3x slower (see
@@ -491,6 +493,13 @@ def incremental_pairs_and_delta(
     )
     new_members = novel.select(F.col(id_col), "__rep")
     new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
+    # eager=True here (unlike ``ann``, whose lazy checkpoint is
+    # materialized by the broadcast-gate ``ann.count()`` below before
+    # anything else can touch it): the delta's hashes/bands legs are
+    # submitted CONCURRENTLY by commit_delta, and a lazy checkpoint
+    # only materializes under the FIRST action — concurrent first
+    # actions would each recompute the interpreted shingle pass
+    # instead of reading checkpoint blocks (round-7 ADVICE).
     new_hashed = hashed_shingles(
         new_reps,
         text_col,
@@ -498,7 +507,7 @@ def incremental_pairs_and_delta(
         shingle_n=shingle_n,
         repartition=True,
         pin_partitions=False,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     new_bands = minhash_bands(
         new_hashed, id_col, num_hashes=num_hashes, bands=bands
     )

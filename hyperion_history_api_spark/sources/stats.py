@@ -68,8 +68,20 @@ def column_ndv(
     return ndv
 
 
+def _key_matches(stored: str, norm: str) -> bool:
+    """True when a cached entry belongs to ``norm``'s lake. Serving
+    planners register per-table stats under suffixed keys
+    (``f"{sf_dir}#customer"`` — endpoints_ext.py, nested.py), so an
+    ``invalidate_stats(sf_dir)`` after a refresh/retraction must
+    reach those too, not just the exact key — otherwise the chooser
+    keeps planning on stale NDVs, the precise hazard _norm_key's
+    docstring promises to prevent."""
+    return stored == norm or stored.startswith(norm + "#")
+
+
 def invalidate_stats(cache_key: str | None = None) -> None:
-    """Drop cached statistics — all of them, or one table's. The
+    """Drop cached statistics — all of them, or one lake's (exact key
+    plus every ``key#table``-suffixed entry registered under it). The
     refresh hook an ingest pipeline would call after a batch commit
     (stats staleness tolerance is the same order as the broadcast
     gate's slack; a 2x-growth commit should invalidate)."""
@@ -77,7 +89,7 @@ def invalidate_stats(cache_key: str | None = None) -> None:
         _NDV_CACHE.clear()
         return
     norm = _norm_key(cache_key)
-    for k in [k for k in _NDV_CACHE if k[0] == norm]:
+    for k in [k for k in _NDV_CACHE if _key_matches(k[0], norm)]:
         del _NDV_CACHE[k]
 
 
@@ -132,11 +144,16 @@ def load_stats(stats_dir: str) -> int:
     except (OSError, ValueError):
         return 0
     n = 0
+    # _norm_key on load for symmetry with every write/read path:
+    # persist_stats stores normalized keys today, but a catalog file
+    # written with relative keys (older format, hand-edited, copied
+    # between hosts) must not load entries no lookup or invalidation
+    # can ever match.
     for key, col, v in payload.get("ndv", []):
-        _NDV_CACHE[(key, col)] = int(v)
+        _NDV_CACHE[(_norm_key(key), col)] = int(v)
         n += 1
     for key, col, b64 in payload.get("sketches", []):
-        _SKETCH_CACHE[(key, col)] = base64.b64decode(b64)
+        _SKETCH_CACHE[(_norm_key(key), col)] = base64.b64decode(b64)
         n += 1
     return n
 
@@ -225,5 +242,5 @@ def invalidate_sketches(cache_key: str | None = None) -> None:
         _SKETCH_CACHE.clear()
         return
     norm = _norm_key(cache_key)
-    for k in [k for k in _SKETCH_CACHE if k[0] == norm]:
+    for k in [k for k in _SKETCH_CACHE if _key_matches(k[0], norm)]:
         del _SKETCH_CACHE[k]

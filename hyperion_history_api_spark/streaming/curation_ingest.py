@@ -95,7 +95,11 @@ def make_curation_sink(
     guard (an at-least-once retry of an applied batch re-overwrites
     its own pairs/clean dirs and leaves the index untouched, so the
     WHOLE sink is idempotent, not just the partition writes).
-    Returns ``(sink, paths)``.
+    Returns ``(sink, paths)``. ``sink.close()`` releases the
+    session-lifetime executor memory the sink pins (the persisted
+    benchmark grams and the index store's frame cache) — call it when
+    the streaming query terminates; the sink must not be invoked
+    afterwards.
     """
     from ..operators.decontam import clean_corpus
 
@@ -183,6 +187,17 @@ def make_curation_sink(
         finally:
             clean.unpersist()
 
+    def close() -> None:
+        """Teardown (round-7 ADVICE): the grams persist() and the
+        store's cache_frames persist() otherwise pin executor memory
+        for the rest of the session once the query ends — one leaked
+        sink per query adds up on a long-lived serving session."""
+        eval_grams.unpersist()
+        store._drop_cache()
+
+    sink.close = close
+    sink._eval_grams = eval_grams  # introspection for the teardown test
+    sink._store = store
     return sink, paths
 
 

@@ -85,6 +85,7 @@ def main() -> None:
             wave_secs.append(round(time.monotonic() - t0, 4))
         half = len(wave_secs) // 2
         steady = statistics.median(wave_secs[half:])
+        sink.close()
         kept = curated_corpus(spark, paths).count()
         total_sec = sum(wave_secs)
         result = {

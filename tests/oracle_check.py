@@ -49,6 +49,43 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(col: pd.Series) -> str:
+    """Canonical type tag for a result column, matching how the
+    driver's typed hasher distinguishes values: integer-kind and
+    float-kind stringify differently there ("42" vs "42.0"), so an
+    int/float disagreement between Spark and the oracle is a real
+    hash-gate failure even when every value is numerically equal.
+    Object columns are classified by their first non-null value so a
+    DuckDB HUGEINT (int128 -> Python int in an object column) is
+    still caught against a Spark float, and vice versa."""
+    k = col.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        # all-null float columns carry no type signal (both engines
+        # widen fully-null ints to float) — treat as wildcard
+        return "any" if col.isna().all() else "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    if k == "O":
+        for v in col:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            if isinstance(v, pd.Timestamp):
+                return "ts"
+            return "obj"
+        return "any"
+    return "obj"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errs: list[str] = []
@@ -58,6 +95,15 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, oracle_df.columns)):
         errs.append(f"columns: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}")
         return errs
+    # dtype gate: the driver hashes typed values, so "42" (int) vs
+    # "42.0" (float) fails there even though str()-canonicalized
+    # cells below would agree. Compare column kinds before values.
+    sp_kinds = {c.lower(): _kind(sp[c]) for c in sp.columns}
+    or_kinds = {c.lower(): _kind(oracle_df[c]) for c in oracle_df.columns}
+    for c in sorted(sp_kinds):
+        a, b = sp_kinds[c], or_kinds[c]
+        if a != b and "any" not in (a, b):
+            errs.append(f"dtype kind for '{c}': spark={a} oracle={b}")
     a, b = _canon(sp), _canon(oracle_df.rename(columns=dict(zip(oracle_df.columns, oracle_df.columns))))
     b.columns = a.columns  # align case
     if len(a) == len(b):

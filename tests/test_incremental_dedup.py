@@ -189,3 +189,45 @@ def test_extend_is_replay_idempotent(spark, sf_dir):
     for f, n in counts.items():
         assert getattr(again, f).count() == n, f
     assert counts["members"] == seed.count() + b1.count()
+
+
+def test_delta_hashes_checkpoint_is_eager(spark, monkeypatch):
+    """Round-7 ADVICE: the delta's hashes/bands legs are submitted
+    CONCURRENTLY by DedupIndexStore.commit_delta, and a lazy
+    localCheckpoint only materializes under the FIRST action — so
+    concurrent first actions would each recompute the interpreted
+    shingle pass. Pin the contract: inside the probe, the annotated
+    split stays lazy (the broadcast-gate count materializes it before
+    return) and the novel-reps' shingle frame checkpoints EAGERLY."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from hyperion_history_api_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_pairs_and_delta,
+    )
+
+    calls: list[bool] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(bool(eager))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six"),
+        (10, "one two three four five six seven"),
+        (11, "totally different words here entirely now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_dedup_index(docs.where(F.col("doc_id") < 10), "text", "doc_id")
+    calls.clear()
+    pairs, delta = incremental_pairs_and_delta(
+        index, docs.where(F.col("doc_id") >= 10), "text", "doc_id",
+        threshold=0.5,
+    )
+    # exactly two checkpoints: the lazy annotated split, then the
+    # eager shingle frame (materialized before any commit leg runs)
+    assert calls == [False, True]
+    assert pairs.count() >= 1  # the probe output still computes

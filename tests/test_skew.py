@@ -423,3 +423,82 @@ def test_catalog_stats_persist_across_sessions(spark, tmp_path):
     assert load_stats(str(tmp_path / "nowhere")) == 0
     invalidate_stats()
     invalidate_sketches()
+
+
+def test_invalidate_stats_reaches_suffixed_table_keys(spark):
+    """Round-7 ADVICE: serving planners register per-table NDVs under
+    suffixed keys (``f"{sf_dir}#customer"`` — endpoints_ext.py:496,
+    nested.py:630). ``invalidate_stats(sf_dir)`` must drop those too,
+    or a refresh/retraction of the lake leaves the chooser planning on
+    stale NDVs under every suffixed spelling."""
+    from hyperion_history_api_spark.sources.stats import (
+        column_ndv,
+        invalidate_sketches,
+        invalidate_stats,
+        ndv_sketch_build,
+        ndv_sketch_estimate,
+    )
+
+    ev = _events(spark)
+    base = f"{SF_DIR}/sfx-test"
+    invalidate_stats(base)
+    ndv = column_ndv(ev, "event_type", cache_key=f"{base}#events")
+    poisoned = spark.range(1).select(
+        F.raise_error(F.lit("boom")).alias("event_type")
+    )
+    # cached: no job
+    assert column_ndv(poisoned, "event_type", cache_key=f"{base}#events") == ndv
+    # invalidating the BASE key reaches the suffixed entry
+    invalidate_stats(base)
+    import pytest
+
+    with pytest.raises(Exception, match="boom"):
+        column_ndv(poisoned, "event_type", cache_key=f"{base}#events")
+    # ...same contract for the sketch cache (retraction path)
+    ndv_sketch_build(ev, "user_id", cache_key=f"{base}#events")
+    assert ndv_sketch_estimate("user_id", cache_key=f"{base}#events") > 0
+    invalidate_sketches(base)
+    with pytest.raises(KeyError):
+        ndv_sketch_estimate("user_id", cache_key=f"{base}#events")
+    # a base key that merely shares a PREFIX is untouched (boundary is
+    # the '#' separator, not startswith on the raw string)
+    invalidate_stats(None)
+    column_ndv(ev, "event_type", cache_key=f"{base}2")
+    invalidate_stats(base)
+    assert column_ndv(poisoned, "event_type", cache_key=f"{base}2") >= 0
+    invalidate_stats(None)
+    invalidate_sketches(None)
+
+
+def test_load_stats_normalizes_stored_keys(spark, tmp_path):
+    """Round-7 ADVICE: a catalog file holding RELATIVE keys (older
+    format / hand-edited / copied between hosts) must load into
+    entries the normalized lookup and invalidation paths can reach —
+    load_stats applies _norm_key symmetrically with every other
+    path."""
+    import json
+
+    from hyperion_history_api_spark.sources.stats import (
+        column_ndv,
+        invalidate_stats,
+        load_stats,
+    )
+
+    rel = os.path.relpath(SF_DIR)  # relative spelling of the lake dir
+    (tmp_path / "catalog_stats.json").write_text(
+        json.dumps({"ndv": [[rel, "event_type", 7]], "sketches": []})
+    )
+    invalidate_stats(None)
+    assert load_stats(str(tmp_path)) == 1
+    poisoned = spark.range(1).select(
+        F.raise_error(F.lit("boom")).alias("event_type")
+    )
+    # absolute-spelling lookup hits the loaded entry: zero jobs
+    assert column_ndv(poisoned, "event_type", cache_key=SF_DIR) == 7
+    # ...and absolute-spelling invalidation reaches it
+    invalidate_stats(SF_DIR)
+    import pytest
+
+    with pytest.raises(Exception, match="boom"):
+        column_ndv(poisoned, "event_type", cache_key=SF_DIR)
+    invalidate_stats(None)

@@ -75,6 +75,7 @@ def _stream(spark, tmp_path, wave_of, n_waves, tag):
         .start()
     )
     q.awaitTermination()
+    sink.close()
     return paths
 
 
@@ -126,3 +127,25 @@ def test_streamed_rollup_shape_and_index_versions(spark, tmp_path):
         for e in os.listdir(paths["clean"])
         if e.startswith("ingest_batch=")
     }
+
+
+def test_sink_close_releases_pinned_executor_memory(spark, tmp_path):
+    """Round-7 ADVICE: the sink persists the benchmark grams and (via
+    cache_frames=True) the index store's frames for the life of the
+    session unless torn down — ``sink.close()`` must unpersist both so
+    a long-lived serving session doesn't leak executor memory per
+    streaming query it ever ran."""
+    docs = _docs(spark)
+    sink, paths = make_curation_sink(
+        spark, str(tmp_path / "out"), docs.where(F.col("doc_id") % 20 == 7)
+    )
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    # while live: the grams frame is pinned and the store caches frames
+    assert sink._eval_grams.storageLevel.useMemory
+    assert sink._store._frame_cache is not None
+    sink.close()
+    assert not sink._eval_grams.storageLevel.useMemory
+    assert sink._store._frame_cache is None
+    # the data itself stays durable — close releases memory, not state
+    assert curated_corpus(spark, paths).count() > 0
