@@ -11,9 +11,12 @@ Table mapping follows registry.py: ``events`` is the action/delta log,
 contract table, ``nation`` the creator/controller dimension.
 
 Scale notes (100 TB): every lookup-by-key query here keeps its filter
-at the scan (PushedFilters), dimension joins are explicit
-``broadcast()``; the only shuffles are the group-bys on the natural
-aggregation keys.
+at the scan (PushedFilters); serving-path dimension joins are planned
+by the cost-gated chooser fed from catalog stats (round-8; the only
+remaining literal ``broadcast()`` is the 25-row nation dimension,
+whose size is a schema constant, and the one-row point lookups where
+any planner agrees); the only shuffles are the group-bys on the
+natural aggregation keys.
 """
 
 from __future__ import annotations
@@ -182,6 +185,69 @@ def check_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v1_trace_get_block(spark: SparkSession, sf_dir: str, **chooser_kwargs):
+    """Core of ``v1_trace_get_block``, chooser-planned from catalog
+    facts (round-7 verdict item 8) — and the first genuinely
+    SCAN-DOMINATED page path: both sides are pruned to the page's key
+    range before the join, so the fact exchange the broadcast would
+    avoid is tiny and the payoff gate can correctly refuse the
+    broadcast build. Estimates: ``dim_rows`` = the range width capped
+    by ndv(o_orderkey) (the _account_profiles cap pattern);
+    ``fact_rows`` = range width x mean traces per trx
+    (rows(lineitem)/ndv(l_orderkey)) — all four numbers catalog
+    facts, zero planner jobs. Returns ``(df, strategy)``."""
+    from ..operators.skew import choose_join_strategy
+    from ..sources.stats import column_ndv, table_rows
+
+    lo, hi = 1, 160
+    t = _t(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderkey").between(lo, hi)).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    li = t["lineitem"].where(F.col("l_orderkey").between(lo, hi))
+    if "dim_rows" not in chooser_kwargs:
+        ok_ndv = column_ndv(
+            t["orders"], "o_orderkey", cache_key=f"{sf_dir}#orders"
+        )
+        chooser_kwargs["dim_rows"] = min(hi - lo + 1, ok_ndv)
+    if "fact_rows" not in chooser_kwargs:
+        li_rows = table_rows(t["lineitem"], cache_key=f"{sf_dir}#lineitem")
+        lk_ndv = column_ndv(
+            t["lineitem"], "l_orderkey", cache_key=f"{sf_dir}#lineitem"
+        )
+        chooser_kwargs["fact_rows"] = (hi - lo + 1) * max(
+            1, li_rows // max(lk_ndv, 1)
+        )
+    fact, strategy = choose_join_strategy(
+        li,
+        o,
+        "l_orderkey",
+        salt_id_col="l_orderkey",
+        **chooser_kwargs,
+    )
+    out = (
+        fact.groupBy(
+            F.col("l_orderkey").alias("o_orderkey"), F.col("o_orderstatus")
+        )
+        .agg(
+            F.count("*").alias("n_traces"),
+            F.array_join(
+                F.array_sort(F.collect_list("l_linenumber")).cast("array<string>"), ","
+            ).alias("ordinals"),
+            F.round(F.sum("l_extendedprice"), 4).alias("volume"),
+        )
+        .select(
+            F.col("o_orderkey").alias("trx_id"),
+            F.col("o_orderstatus").alias("status"),
+            "n_traces",
+            "ordinals",
+            "volume",
+        )
+        .orderBy("trx_id")
+    )
+    return out, strategy
+
+
 @register(
     "v1_trace_get_block",
     """
@@ -200,32 +266,60 @@ def check_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v1_trace_get_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block reconstruction: header joined to its traces, traces
     re-nested in canonical ordinal order (array_sort, not shuffle
-    order). Range predicate prunes both sides before the join."""
-    t = _t(spark, sf_dir)
-    o = t["orders"].where(F.col("o_orderkey").between(1, 160))
-    li = t["lineitem"].where(F.col("l_orderkey").between(1, 160))
-    return (
-        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderstatus")
-        .agg(
-            F.count("*").alias("n_traces"),
-            F.array_join(
-                F.array_sort(F.collect_list("l_linenumber")).cast("array<string>"), ","
-            ).alias("ordinals"),
-            F.round(F.sum("l_extendedprice"), 4).alias("volume"),
-        )
-        .select(
-            F.col("o_orderkey").alias("trx_id"),
-            F.col("o_orderstatus").alias("status"),
-            "n_traces",
-            "ordinals",
-            "volume",
-        )
-        .orderBy("trx_id")
-    )
+    order). Range predicate prunes both sides before the
+    (stats-planned) join."""
+    return _v1_trace_get_block(spark, sf_dir)[0]
 
 
 # --- v2-state -----------------------------------------------------------
+
+
+def _get_tokens(spark: SparkSession, sf_dir: str, **chooser_kwargs):
+    """Core of ``get_tokens`` with the trace-side semi-join planned by
+    the cost-gated chooser from CATALOG stats (round-7 verdict item 8:
+    no static ``broadcast()`` hint). Returns ``(df, strategy)``.
+
+    Catalog estimates, zero planner jobs after the one-time analyze:
+    the dim is orders filtered by an ACCOUNT equality, whose size a
+    catalog bounds as rows(orders)/ndv(o_custkey) — the mean bucket —
+    times an 8x skew headroom (we keep NDV + row count, not
+    histograms; the headroom errs toward NOT broadcasting, the safe
+    direction). The fact term is rows(lineitem) verbatim."""
+    from ..operators.skew import choose_join_strategy
+    from ..sources.stats import column_ndv, table_rows
+
+    t = _t(spark, sf_dir)
+    o = t["orders"].where(F.col("o_custkey") == 1).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    if "dim_rows" not in chooser_kwargs:
+        orders_rows = table_rows(t["orders"], cache_key=f"{sf_dir}#orders")
+        cust_ndv = column_ndv(
+            t["orders"], "o_custkey", cache_key=f"{sf_dir}#orders"
+        )
+        chooser_kwargs["dim_rows"] = max(1, orders_rows // max(cust_ndv, 1)) * 8
+    if "fact_rows" not in chooser_kwargs:
+        chooser_kwargs["fact_rows"] = table_rows(
+            t["lineitem"], cache_key=f"{sf_dir}#lineitem"
+        )
+    fact, strategy = choose_join_strategy(
+        t["lineitem"],
+        o,
+        "l_orderkey",
+        salt_id_col="l_orderkey",
+        how="left_semi",
+        **chooser_kwargs,
+    )
+    out = (
+        fact.join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("symbol"))
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("amount"),
+            F.count("*").alias("holdings"),
+        )
+        .orderBy("symbol")
+    )
+    return out, strategy
 
 
 @register(
@@ -245,21 +339,10 @@ def v1_trace_get_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def get_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens held by one account: the account predicate prunes orders
-    first, the tiny surviving set broadcasts into lineitem, and part
-    resolves symbol metadata (precision recovery, get_tokens.ts:63-72)."""
-    t = _t(spark, sf_dir)
-    o = t["orders"].where(F.col("o_custkey") == 1).select("o_orderkey")
-    return (
-        t["lineitem"]
-        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy(F.col("p_brand").alias("symbol"))
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("amount"),
-            F.count("*").alias("holdings"),
-        )
-        .orderBy("symbol")
-    )
+    first, the surviving sliver semi-joins into lineitem under the
+    stats-planned chooser, and part resolves symbol metadata
+    (precision recovery, get_tokens.ts:63-72)."""
+    return _get_tokens(spark, sf_dir)[0]
 
 
 @register(
@@ -375,6 +458,52 @@ def get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_key_accounts(spark: SparkSession, sf_dir: str, **chooser_kwargs):
+    """Core of ``get_key_accounts`` with the key->holders semi-join
+    planned by the cost-gated chooser from catalog stats (round-7
+    verdict item 8: no static ``broadcast()`` hint). The dim is part
+    filtered by a BRAND equality — bounded as rows(part)/ndv(p_brand)
+    x 8 skew headroom (mean bucket; headroom errs toward not
+    broadcasting); the fact term is rows(lineitem). Returns
+    ``(df, strategy)``."""
+    from ..operators.skew import choose_join_strategy
+    from ..sources.stats import column_ndv, table_rows
+
+    t = _t(spark, sf_dir)
+    keyed_parts = (
+        t["part"]
+        .where(F.col("p_brand") == "Brand#13")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    if "dim_rows" not in chooser_kwargs:
+        part_rows = table_rows(t["part"], cache_key=f"{sf_dir}#part")
+        brand_ndv = column_ndv(
+            t["part"], "p_brand", cache_key=f"{sf_dir}#part"
+        )
+        chooser_kwargs["dim_rows"] = (
+            max(1, part_rows // max(brand_ndv, 1)) * 8
+        )
+    if "fact_rows" not in chooser_kwargs:
+        chooser_kwargs["fact_rows"] = table_rows(
+            t["lineitem"], cache_key=f"{sf_dir}#lineitem"
+        )
+    fact, strategy = choose_join_strategy(
+        t["lineitem"],
+        keyed_parts,
+        "l_partkey",
+        salt_id_col="l_orderkey",
+        how="left_semi",
+        **chooser_kwargs,
+    )
+    out = (
+        fact.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("account"))
+        .distinct()
+        .orderBy("account")
+    )
+    return out, strategy
+
+
 @register(
     "get_key_accounts",
     """
@@ -389,21 +518,10 @@ def get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def get_key_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accounts reachable from one public key (key -> brand): the key
-    predicate shrinks part to a broadcastable sliver, lineitem never
-    shuffles for that join, and the final distinct is the only
-    key-partitioned exchange."""
-    t = _t(spark, sf_dir)
-    keyed_parts = F.broadcast(
-        t["part"].where(F.col("p_brand") == "Brand#13").select("p_partkey")
-    )
-    return (
-        t["lineitem"]
-        .join(keyed_parts, F.col("p_partkey") == F.col("l_partkey"))
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("account"))
-        .distinct()
-        .orderBy("account")
-    )
+    predicate shrinks part to a sliver the stats-planned chooser
+    (usually) broadcasts; lineitem never shuffles for that join, and
+    the final distinct is the only key-partitioned exchange."""
+    return _get_key_accounts(spark, sf_dir)[0]
 
 
 @register(
@@ -496,6 +614,15 @@ def _account_profiles(
             t["customer"], "c_custkey", cache_key=f"{sf_dir}#customer"
         )
         chooser_kwargs["dim_rows"] = min(ndv, hi - lo + 1)
+    if "fact_rows" not in chooser_kwargs:
+        # the fact-exchange term (round-7 verdict item 5): for a key
+        # column, NDV == table row count, so the orders scan size is
+        # a catalog fact too — the chooser can now weigh the avoided
+        # fact exchange against the dim build+ship instead of
+        # broadcasting on dim size alone
+        chooser_kwargs["fact_rows"] = column_ndv(
+            t["orders"], "o_orderkey", cache_key=f"{sf_dir}#orders"
+        )
     fact, strategy = choose_join_strategy(
         t["orders"],
         page.select(F.col("c_custkey").alias("o_custkey")),

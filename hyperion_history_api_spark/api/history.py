@@ -218,6 +218,50 @@ def get_actions_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_transaction_shape(spark: SparkSession, sf_dir: str, **chooser_kwargs):
+    """Core of ``get_transaction_shape``, chooser-planned from catalog
+    facts (round-7 verdict item 8). The dim is a KEY-equality lookup
+    on o_orderkey, so ``dim_rows = 1`` is foldable from the predicate
+    plus key uniqueness — no analyze job at all. The fact term is NOT
+    rows(lineitem): the key equality propagates through the equi-join
+    onto the fact scan (constraint inference pushes l_orderkey = 7
+    into parquet), so the exchange a shuffle join pays is one key's
+    traces — rows(lineitem)/ndv(l_orderkey) — which sits far below
+    the broadcast-payoff floor, and the chooser correctly refuses the
+    broadcast build for a point lookup (measured winner at sf3,
+    JOIN_CHOOSER_BENCH_r08). Returns ``(df, strategy)``."""
+    from ..operators.skew import choose_join_strategy
+    from ..sources.stats import column_ndv, table_rows
+
+    t = _t(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderkey") == 7).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    chooser_kwargs.setdefault("dim_rows", 1)
+    if "fact_rows" not in chooser_kwargs:
+        li_rows = table_rows(t["lineitem"], cache_key=f"{sf_dir}#lineitem")
+        lk_ndv = column_ndv(
+            t["lineitem"], "l_orderkey", cache_key=f"{sf_dir}#lineitem"
+        )
+        chooser_kwargs["fact_rows"] = max(1, li_rows // max(lk_ndv, 1))
+    fact, strategy = choose_join_strategy(
+        t["lineitem"],
+        o,
+        "l_orderkey",
+        salt_id_col="l_orderkey",
+        how="left_semi",
+        **chooser_kwargs,
+    )
+    out = fact.orderBy("l_linenumber").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return out, strategy
+
+
 @register(
     "get_transaction_shape",
     """
@@ -230,13 +274,6 @@ def get_actions_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def get_transaction_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup of one transaction and its traces — the lineitem
-    side prunes on the join key pushed through the broadcast join."""
-    t = _t(spark, sf_dir)
-    o = t["orders"].where(F.col("o_orderkey") == 7)
-    li = t["lineitem"]
-    return (
-        F.broadcast(o)
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
-        .orderBy("l_linenumber")
-        .select("o_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
-    )
+    side prunes on the join key pushed through the (stats-planned)
+    broadcast semi-join."""
+    return _get_transaction_shape(spark, sf_dir)[0]

@@ -161,6 +161,9 @@ def choose_join_strategy(
     salts: int = 8,
     how: str = "inner",
     dim_rows: int | None = None,
+    fact_rows: int | None = None,
+    broadcast_payoff: float = 4.0,
+    fact_floor_rows: int = 4_000_000,
 ) -> tuple[DataFrame, str]:
     """Pick broadcast / salted / shuffle for this join and return
     ``(joined_df, strategy)``.
@@ -177,13 +180,34 @@ def choose_join_strategy(
     anyway (A/B artifact: JOIN_CHOOSER_BENCH_r06.json). Decision
     order mirrors real cost:
 
-    1. dim fits (``<= broadcast_rows``) -> ``broadcast`` (zero
-       fact shuffle beats everything; salting would be pure waste);
+    1. dim fits (``<= broadcast_rows``) AND the broadcast pays for
+       itself -> ``broadcast``. Payoff term (round-7 verdict item 5):
+       what a broadcast BUYS is the avoided fact exchange
+       (~``fact_rows``); what it COSTS is a near-FIXED driver
+       round-trip (collect + torrent publish) plus shipping the dim
+       once per executor. So the gate has two parts, both measured in
+       JOIN_CHOOSER_BENCH_r08.json: a RATIO term (``fact_rows >=
+       broadcast_payoff x dim_rows`` — the avoided exchange must
+       outweigh the per-executor dim replication) and an ABSOLUTE
+       floor (``fact_rows >= fact_floor_rows`` — below it the whole
+       fact exchange costs less than the broadcast build itself, the
+       "scan dominates" serving-page regime; measured crossover on
+       local[32] sits between a 1.5M-row fact, where shuffle-hash
+       wins by the build latency, and a 6M-row fact, where broadcast
+       wins outright — 4M is the midpoint, and a cluster deployment
+       recalibrates it from its own build-latency / shuffle-IO-rate
+       constants). Failing either part takes ``shuffle_hash``.
+       Callers inject ``fact_rows`` from catalog stats exactly like
+       ``dim_rows``; when absent the gate is size-only (the
+       pre-round-8 behavior: never worse, just blinder).
     2. profiled top-key share ``>= skew_share`` -> ``salted`` (a
        single reduce task would otherwise carry that share of the
        fact table no matter how many executors exist);
     3. otherwise -> plain ``shuffle`` (uniform keys spread fine;
-       replication would add dim IO for nothing).
+       replication would add dim IO for nothing). ``shuffle_hash``
+       when the dim was broadcast-SIZED but payoff-gated out: a dim
+       that small always fits a per-task hash build, so the sort-
+       merge sort would be waste.
     """
     if dim_rows is None:
         # MEMORY_AND_DISK (the persist() default): a dim that turns
@@ -197,6 +221,16 @@ def choose_join_strategy(
         dim = dim.persist()
         dim_rows = dim.count()
     if dim_rows <= broadcast_rows:
+        if fact_rows is not None and (
+            fact_rows < broadcast_payoff * dim_rows
+            or fact_rows < fact_floor_rows
+        ):
+            # broadcast-sized but not broadcast-WORTH: the fact
+            # exchange it would avoid is smaller than the dim
+            # build+ship (ratio term) or than the build's fixed
+            # latency (absolute floor). Hash (not sort-merge): a
+            # broadcast-sized dim always fits a per-task hash build.
+            return fact.join(dim.hint("shuffle_hash"), on, how), "shuffle_hash"
         return fact.join(F.broadcast(dim), on, how), "broadcast"
     if _norm_how(how) not in _SALT_SAFE_HOW:
         # dim-preserving joins can't be salted (see salted_join); past

@@ -79,6 +79,32 @@ def _key_matches(stored: str, norm: str) -> bool:
     return stored == norm or stored.startswith(norm + "#")
 
 
+def table_rows(
+    df: DataFrame,
+    *,
+    cache_key: str | None = None,
+) -> int:
+    """Cached table ROW COUNT — the other universal catalog statistic
+    (every real catalog stores it next to per-column NDV; Spark CBO
+    reads it from ``ANALYZE TABLE ... COMPUTE STATISTICS``). Feeds the
+    chooser's ``fact_rows`` exchange-size term for tables with no
+    single unique key column (lineitem), where no column's NDV equals
+    the row count. Stored in the NDV cache under a reserved pseudo
+    column so persistence, normalization, and suffixed-key
+    invalidation all apply unchanged."""
+    key = (
+        (_norm_key(cache_key), "__table_rows__")
+        if cache_key is not None
+        else None
+    )
+    if key is not None and key in _NDV_CACHE:
+        return _NDV_CACHE[key]
+    n = df.count()
+    if key is not None:
+        _NDV_CACHE[key] = n
+    return n
+
+
 def invalidate_stats(cache_key: str | None = None) -> None:
     """Drop cached statistics — all of them, or one lake's (exact key
     plus every ``key#table``-suffixed entry registered under it). The

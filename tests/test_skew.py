@@ -319,12 +319,26 @@ def test_account_profiles_served_through_chooser(spark):
 
     key = f"{SF_DIR}#customer"
     invalidate_stats(key)
+    invalidate_stats(f"{SF_DIR}#orders")
     df, strategy = _account_profiles(spark, SF_DIR)
-    assert strategy == "broadcast"
+    # round-8: the chooser also weighs the FACT side (orders at
+    # fixture scale is far below fact_floor_rows), so the scan-
+    # dominated page path now takes the hash join without the
+    # broadcast build; forcing a 100-TB-sized fact term flips it back
+    assert strategy == "shuffle_hash"
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
     want = _rows(df)
     assert want
+    big_df, big_strategy = _account_profiles(
+        spark, SF_DIR, fact_rows=10_000_000
+    )
+    assert big_strategy == "broadcast"
+    assert (
+        "BroadcastHashJoin"
+        in big_df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert _rows(big_df) == want
 
     # the NDV is now cached: the chooser plans again with ZERO jobs
     # (a poisoned frame under the same key would raise if any ran)
@@ -335,7 +349,7 @@ def test_account_profiles_served_through_chooser(spark):
     )
     assert column_ndv(poisoned, "c_custkey", cache_key=key) > 0
     df2, strategy2 = _account_profiles(spark, SF_DIR)
-    assert strategy2 == "broadcast"
+    assert strategy2 == "shuffle_hash"
     assert _rows(df2) == want
 
     # past the broadcast gate the SAME serving code salts the
@@ -361,11 +375,19 @@ def test_key_accounts_enriched_served_through_chooser(spark):
     key = f"{SF_DIR}#permissions"
     invalidate_stats(key)
     df, strategy = _key_accounts_enriched(spark, SF_DIR)
-    assert strategy == "broadcast"
+    # round-8 fact-side term: the permission log at fixture scale is
+    # below fact_floor_rows, so the hash join wins (see
+    # JOIN_CHOOSER_BENCH_r08); a 100-TB-sized fact flips to broadcast
+    assert strategy == "shuffle_hash"
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
     want = _rows(df)
     assert want
+    big_df, big_strategy = _key_accounts_enriched(
+        spark, SF_DIR, fact_rows=10_000_000
+    )
+    assert big_strategy == "broadcast"
+    assert _rows(big_df) == want
 
     shuffled_df, shuffled_strategy = _key_accounts_enriched(
         spark, SF_DIR, broadcast_rows=0, skew_share=1.1
