@@ -59,27 +59,48 @@ def register(
 # the full registry is swept every round by tests/oracle_check.py
 # (ORACLE_SELF_r*.json) and pytest parametrizes over all specs.
 _SHOWCASE: list[str] = [
-    # round 7: stored-index serving on the actions lake + fork
-    # retraction with exact df/stats adjustment; measured k256 recall
-    "hyp_memo_search_bm25_indexed",
-    "hyp_memo_bm25_post_retraction",
-    "embedding_ivf_k256_recall",
-    "get_account_profiles",
-    "hyp_key_accounts_enriched",
-    "multimodal_decode_jpeg",
-    "embedding_semdedup_k256",
-    "stream_index_bm25",
-    "hyp_memo_phrase_indexed",
-    # round 6: stored inverted index, curation stream, corpus-mix caps
-    "doc_search_bm25_indexed",
-    "doc_search_phrase_indexed",
-    "doc_search_match_and_indexed",
-    "stream_curation_rollup",
+    # round 8 (verdict item 1): the five integer-sum oracle twins the
+    # hardened dtype gate caught — the two driver-FAIL rows plus the
+    # three latent same-class twins, all now CAST ... AS BIGINT
     "doc_source_quota",
     "doc_source_token_budget",
+    "hyp_auth_sequence_flatten",
+    "hyp_trx_regroup",
+    "repair_missing_actions",
+    # round 8 (items 5+8): serving paths re-planned through the
+    # fact-aware cost-gated chooser (JOIN_CHOOSER_BENCH_r08)
+    "get_tokens",
+    "v1_trace_get_block",
+    "get_key_accounts",
+    "get_transaction_shape",
+    "get_account_profiles",
+    "hyp_key_accounts_enriched",
+    # round 8 (item 7): the curation sink's per-wave overhead cuts
+    # must keep stream == batch == SQL
+    "stream_curation_rollup",
+    # never-driver-checked families (verdict item 6): PQ/IVFADC,
+    # packing, decontamination, v1 pos/offset, table handlers
+    "embedding_ivfpq_topk",
+    "embedding_pq_rerank_topk",
+    "embedding_quantized_topk",
+    "doc_pack_sequences",
+    "decontaminate_eval_overlap",
+    "corpus_curation_full",
+    "training_corpus_curation",
+    "v1_pos_offset_tail",
+    "table_handler_accounts_wildcard",
+    "table_handler_userres",
+    "table_handler_voters",
+    "table_handler_global_passthrough",
+    # round 7 carry-over: stored-index serving + fork retraction stay
+    # in the snapshot window while the index code keeps moving
+    "hyp_memo_bm25_post_retraction",
+    "embedding_ivf_k256_recall",
+    "embedding_semdedup_k256",
+    "stream_index_bm25",
+    "doc_search_bm25_indexed",
     "fork_retraction",
     "dedup_incremental",
-    "dedup_minhash_lsh",
 ]
 
 
