@@ -117,7 +117,15 @@ def make_curation_sink(
         "pairs": os.path.join(out_dir, "dup_pairs"),
         "index": store.path,
     }
-    eval_ids = eval_docs.select(id_col)
+    # the benchmark id set is tiny and STATIC: collect it once and
+    # exclude via an isin() predicate folded into the batch scan —
+    # the previous per-wave broadcast anti-join cost one broadcast
+    # build job round every micro-batch for the same constant set
+    # (round-8: part of the per-wave fixed-overhead budget)
+    eval_id_list = [r[0] for r in eval_docs.select(id_col).collect()]
+
+    def _not_eval(c):
+        return ~c.isin(eval_id_list) if eval_id_list else F.lit(True)
     # the benchmark set is STATIC: shingle it once and keep the grams
     # persisted across waves instead of re-deriving + re-broadcasting
     # them per micro-batch (part of the round-6 item-6 fixed overhead)
@@ -131,14 +139,22 @@ def make_curation_sink(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         kept = curation_filter(batch, text_col=text_col)
+        # collapse=False here, unlike the one-shot batch build: the
+        # collapse's exact-duplicate gram-pass saving matters when the
+        # WHOLE corpus is decontaminated at once, but per micro-batch
+        # it re-pays a fingerprint shuffle the stored index's registry
+        # does anyway in the probe right after — and the per-doc
+        # verdicts are identical either way (exact copies share every
+        # n-gram), so kept-set equality is untouched (round-8
+        # per-wave fixed-overhead cut, STREAM_CURATION_BENCH_r08)
         clean = (
             clean_corpus(
-                kept.join(F.broadcast(eval_ids), id_col, "left_anti"),
+                kept.where(_not_eval(F.col(id_col))),
                 eval_docs,
                 text_col,
                 id_col,
                 hashed=False,
-                collapse=True,
+                collapse=False,
                 eval_grams=eval_grams,
             )
             .select(id_col, text_col, "tokens")
