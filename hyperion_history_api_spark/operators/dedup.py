@@ -415,6 +415,7 @@ def incremental_pairs_and_delta(
     num_hashes: int = 48,
     bands: int = 24,
     threshold: float = 0.7,
+    assume_small_batch: bool = False,
 ) -> tuple[DataFrame, DedupIndex]:
     """Per-batch near-dup detection against a persisted LSH index —
     the shape a 100-TB ingest pipeline actually runs: history is never
@@ -482,6 +483,17 @@ def incremental_pairs_and_delta(
         )
         .localCheckpoint(eager=False)
     )
+    # materialize the split NOW (one O(batch) job): every later gate
+    # and leg reads checkpoint blocks, and the row count feeds the
+    # probe broadcast gate below. A caller that KNOWS its batches are
+    # micro-batch-sized (a streaming sink — not a backfill) skips this
+    # job entirely: the lazy checkpoint then materializes inside the
+    # new_hashed eager job (first action over ann's RDD), collapsing
+    # the split's two serial job rounds into one, and the probe side
+    # broadcasts unconditionally — which is the gate's verdict for
+    # any batch small enough to assume (round-8 per-wave cut,
+    # STREAM_CURATION_BENCH_r08).
+    ann_rows = None if assume_small_batch else ann.count()
     known = ann.where(F.col("__known_rep").isNotNull()).select(
         F.col(id_col), F.col("__known_rep").alias("__rep")
     )
@@ -493,13 +505,16 @@ def incremental_pairs_and_delta(
     )
     new_members = novel.select(F.col(id_col), "__rep")
     new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
-    # eager=True here (unlike ``ann``, whose lazy checkpoint is
-    # materialized by the broadcast-gate ``ann.count()`` below before
-    # anything else can touch it): the delta's hashes/bands legs are
+    # eager=True (round-7 ADVICE): the delta's hashes/bands legs are
     # submitted CONCURRENTLY by commit_delta, and a lazy checkpoint
     # only materializes under the FIRST action — concurrent first
-    # actions would each recompute the interpreted shingle pass
-    # instead of reading checkpoint blocks (round-7 ADVICE).
+    # actions would each recompute the interpreted shingle pass.
+    # Skipping the checkpoint for small batches was MEASURED WORSE
+    # (round-8: 3.3 -> 5+ s/wave at sf0.1): the pairs DAG references
+    # this subtree ~6x (ha/hb, new_bands on both probe sides), so
+    # without blocks Catalyst inlines the shingle pass + its exchange
+    # into every reference — the one saved job round never beats six
+    # inlined shuffles, at any batch size.
     new_hashed = hashed_shingles(
         new_reps,
         text_col,
@@ -534,7 +549,7 @@ def incremental_pairs_and_delta(
     # (stored touched-group bands + novel reps' bands). Gate on that
     # realistic estimate so a bulk backfill falls back to the shuffle
     # join before the broadcast reaches hundreds of MB.
-    if ann.count() * bands * 2 * 100 < 64 * 1024 * 1024:
+    if ann_rows is None or ann_rows * bands * 2 * 100 < 64 * 1024 * 1024:
         n = F.broadcast(n)
     n = n.alias("n")
     o = index.bands.unionByName(new_bands).alias("o")

@@ -178,7 +178,17 @@ def make_curation_sink(
                 )
             else:
                 pairs, delta = incremental_pairs_and_delta(
-                    index, clean, text_col, id_col, threshold=threshold
+                    index,
+                    clean,
+                    text_col,
+                    id_col,
+                    threshold=threshold,
+                    # a foreachBatch sink sees micro-batches by
+                    # construction (backfill goes through the one-shot
+                    # batch build): skip the probe-side count gate and
+                    # fold the split materialization into the shingle
+                    # checkpoint job (round-8 per-wave cut)
+                    assume_small_batch=True,
                 )
                 # all six write legs (pairs, clean, 4 index frames)
                 # run concurrently on the commit's thread pool, behind

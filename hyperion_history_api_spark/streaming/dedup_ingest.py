@@ -108,6 +108,11 @@ class DedupIndexStore:
         # snapshot, never a speculative one.
         self.cache_frames = cache_frames
         self._frame_cache: tuple[int, DedupIndex] | None = None
+        # the PERSISTED parquet-read frames underlying the cache —
+        # kept separately because commit_delta advances _frame_cache
+        # to (version+1, cached ∪ delta) unions, and teardown must
+        # unpersist the base frames those unions are built over
+        self._cache_base: DedupIndex | None = None
         # commit protocol (versioning, pointer swap, retention GC) is
         # the shared CommitLog; this class keeps only index POLICY
         # (which frames, delta layout, compaction clustering)
@@ -146,15 +151,17 @@ class DedupIndexStore:
                 **{f: getattr(idx, f).persist() for f in _FRAMES}
             )
             self._frame_cache = (version, idx)
+            self._cache_base = idx
         return idx
 
     def _drop_cache(self) -> None:
         """Unpersist the cached frames (superseded version /
         compaction reset) — nothing computes through them once the
         next read comes from parquet."""
-        if self._frame_cache is not None:
+        if self._cache_base is not None:
             for f in _FRAMES:
-                getattr(self._frame_cache[1], f).unpersist()
+                getattr(self._cache_base, f).unpersist()
+        self._cache_base = None
         self._frame_cache = None
 
     # -- commit protocol ----------------------------------------------
@@ -244,6 +251,27 @@ class DedupIndexStore:
             extra["last_ingest_batch"] = int(m["last_ingest_batch"])
         from concurrent.futures import ThreadPoolExecutor
 
+        advancing = (
+            self.cache_frames
+            and self._frame_cache is not None
+            and self._frame_cache[0] == int(m["version"])
+        )
+        if advancing:
+            # the cache will advance to (cached ∪ delta) after the
+            # publish; checkpoint each delta frame LAZILY so its own
+            # write leg below (its only in-commit action) materializes
+            # O(batch) blocks — next wave's probe then reads flat
+            # block-backed unions instead of re-expanding the delta's
+            # lineage (delta.members anti-joins the CURRENT cache, so
+            # an un-truncated chain would nest one full index plan
+            # per wave)
+            delta = DedupIndex(
+                **{
+                    f: getattr(delta, f).localCheckpoint(eager=False)
+                    for f in _FRAMES
+                }
+            )
+
         def _write_frame(f: str) -> None:
             dst = os.path.join(snap_dir, f)
             link_files(os.path.join(prev, f), dst)
@@ -257,6 +285,30 @@ class DedupIndexStore:
             for fut in futures:
                 fut.result()  # first failure propagates; no publish
         self.log.publish(snap, extra=extra)
+        if advancing:
+            # advance the cache IN PLACE instead of invalidating: the
+            # published snapshot is by construction (linked history) ∪
+            # (delta rows), and both sides already live in this
+            # session — the base frames persisted, the delta frames
+            # checkpoint-backed by the write legs above. Re-listing +
+            # re-decoding the whole index from parquet every wave was
+            # the steady-state read cost (round-8); the union chain
+            # stays O(waves-since-compaction) flat block-backed legs
+            # because compaction resets to a fresh parquet read.
+            # unionByName matches columns by name, so the written
+            # _canon order is irrelevant here.
+            cached = self._frame_cache[1]
+            self._frame_cache = (
+                int(m["version"]) + 1,
+                DedupIndex(
+                    **{
+                        f: getattr(cached, f).unionByName(
+                            getattr(delta, f)
+                        )
+                        for f in _FRAMES
+                    }
+                ),
+            )
         if self.compact_every and delta_commits >= self.compact_every:
             # the paired compaction must not burn a retention slot of
             # its own (two publishes in one sink invocation would halve
@@ -273,7 +325,8 @@ class DedupIndexStore:
             return
         m = self.read_manifest()
         snap, snap_dir = self.log.new_snapshot()
-        for f in _FRAMES:
+
+        def _rewrite(f: str) -> None:
             df = getattr(index, f)
             key = _CLUSTER_KEY[f]
             if key is None or key not in df.columns:
@@ -287,6 +340,16 @@ class DedupIndexStore:
                 .write.mode("overwrite")
                 .parquet(os.path.join(snap_dir, f))
             )
+
+        # the four rewrites are independent write jobs gated behind
+        # the one publish — run them on threads like commit_delta's
+        # legs (the serial ladder made the auto-compaction wave the
+        # slowest wave of the steady window, round-8)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(_FRAMES)) as pool:
+            for fut in [pool.submit(_rewrite, f) for f in _FRAMES]:
+                fut.result()  # first failure propagates; no publish
         extra = {"delta_commits": 0, "compacted": True}
         if m is not None and "last_ingest_batch" in m:
             # the replay guard must survive an OPTIMIZE rewrite —
@@ -352,7 +415,15 @@ def make_dedup_sink(
                 )
             else:
                 pairs, delta = incremental_pairs_and_delta(
-                    index, batch, text_col, id_col, threshold=threshold
+                    index,
+                    batch,
+                    text_col,
+                    id_col,
+                    threshold=threshold,
+                    # foreachBatch micro-batches: skip the probe-side
+                    # count gate, fold the split materialization into
+                    # the shingle checkpoint job (round-8)
+                    assume_small_batch=True,
                 )
                 store.commit_delta(
                     delta,

@@ -255,3 +255,52 @@ def test_auto_compaction_every_k_delta_commits(spark, tmp_path):
     # (after the 2nd), and one delta commit followed it
     assert m["delta_commits"] == 1
     assert store.read().members.count() == docs.count()
+
+
+def test_cached_frames_advance_in_place_across_delta_commits(
+    spark, tmp_path
+):
+    """With cache_frames=True, a delta commit ADVANCES the cache to
+    (cached ∪ delta) instead of invalidating it (round-8): the next
+    read() is version-current with zero parquet re-listing, its rows
+    equal an independent parquet read of the published snapshot, and
+    compaction still resets to a fresh (persisted) parquet read."""
+    from hyperion_history_api_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_delta,
+    )
+
+    docs = _docs(spark)
+    seed = docs.where(F.col("doc_id") % 3 == 0)
+    store = DedupIndexStore(
+        spark, str(tmp_path / "idx"), cache_frames=True, compact_every=None
+    )
+    store.commit(build_dedup_index(seed, "text", "doc_id"))
+    cached0 = store.read()  # populates the cache (fresh parquet read)
+    assert store._frame_cache is not None
+    base = store._cache_base
+
+    for i in (1, 2):
+        b = docs.where(F.col("doc_id") % 3 == i)
+        store.commit_delta(
+            dedup_index_delta(store.read(), b, "text", "doc_id"),
+            batch_id=i,
+        )
+        # the cache advanced to the just-published version in place:
+        # same base frames persisted underneath, version current
+        assert store._frame_cache[0] == int(
+            store.read_manifest()["version"]
+        )
+        assert store._cache_base is base
+        # the advanced cache is row-identical to an independent
+        # parquet read of the published snapshot
+        cold = DedupIndexStore(spark, str(tmp_path / "idx"))
+        assert _frame_rows(store.read()) == _frame_rows(cold.read())
+
+    # compaction publishes a new layout: the next read resets the
+    # cache to a fresh parquet read (new base) with identical rows
+    before = _frame_rows(store.read())
+    store.compact()
+    idx = store.read()
+    assert _frame_rows(idx) == before
+    assert store._cache_base is not None and store._cache_base is not base
