@@ -1,0 +1,315 @@
+"""In-process HTTP serving layer — the fastify REST surface
+(``src/api/routes.ts:18-25``, handlers under ``src/api/routes/``) and
+the Socket.IO relay's bounded-replay path
+(``src/api/socketManager.ts:409-495``) served over stdlib
+``http.server``, with Server-Sent Events standing in for the
+Socket.IO frames (no websocket library exists in this environment;
+SSE is the same one-directional push shape the relay uses for
+replays).
+
+This closes the "HTTP serving layer" gap the engine previously scoped
+out: every handler here is a THIN translation layer — query-string →
+:class:`~..plans.predicates.QueryParams` / stream-request structs →
+the SAME oracle-checked DataFrame plans the registry serves — plus
+the reference's own response conventions:
+
+- envelope metadata (``query_time_ms``, ``cached``, exact ``total``,
+  ``last_indexed_block``) via :mod:`.envelope`
+  (get_actions.ts:88-131);
+- the ``timedQuery`` response cache with per-route TTLs via
+  :mod:`.serving_cache` (functions.ts:946-1006);
+- 400 replies with an ``error`` body for guard violations, exactly
+  where the reference's schema validation / ``ServerError`` path
+  rejects (functions.ts:246-250 skip/limit guards).
+
+Scale shape: the server holds ONE SparkSession; each request submits
+the same pushed-down point/page plans the registry exposes (parquet
+scan + TakeOrderedAndProject), so a serving fleet scales by adding
+stateless HTTP replicas over a shared long-lived session pool —
+the reference's api-node/pm2 layout (SURVEY §3.1) with Spark in place
+of Elasticsearch.
+
+Stand-in schema mapping (same as the registered queries'): ``events``
+is the action log (``user_id`` = account, ``event_type`` = contract,
+``event_id`` = global_sequence), ``orders``/``lineitem`` the
+transaction/trace pair, ``part`` the token registry.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlsplit
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.predicates import QueryGuardError, QueryParams
+from ..registry import _t
+from ..streaming.filters import StreamRequest, StreamSchema, compile_request
+from .envelope import get_actions_with_envelope
+from .serving_cache import DEFAULT_TTLS, ResponseCache, timed_query
+
+_EVENT_NUMERIC = frozenset({"event_id", "user_id", "value"})
+
+
+def _qp(params: dict) -> QueryParams:
+    """Query-string dict → QueryParams (the fastify schema's shared
+    history params, functions.ts:183-250: account/after/before/sort/
+    skip/limit plus free ``field=value`` terms)."""
+    terms: dict[str, str] = {}
+    if "account" in params:
+        terms["user_id"] = params["account"]
+    if "filter" in params:  # contract[:action] filter → event_type
+        terms["event_type"] = params["filter"].split(":", 1)[0]
+    for k, v in params.items():
+        if k.startswith("term."):  # explicit field term passthrough
+            terms[k[5:]] = v
+    return QueryParams(
+        terms=terms,
+        after=params.get("after"),
+        before=params.get("before"),
+        sort=params.get("sort", "desc"),
+        skip=int(params.get("skip", 0)),
+        limit=int(params.get("limit", 100)),
+    )
+
+
+class HyperionAPI:
+    """Route handlers over one shared SparkSession + lake dir."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        *,
+        cache: ResponseCache | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.cache = cache if cache is not None else ResponseCache(
+            ttls=dict(DEFAULT_TTLS)
+        )
+
+    # -- v2 (routes/v2/health) -----------------------------------------
+    def health(self, params: dict) -> dict:
+        ev = _t(self.spark, self.sf_dir)["events"]
+        head = (
+            ev.orderBy(F.col("event_id").desc())
+            .limit(1)
+            .select("event_id", "ts")
+            .first()
+        )
+        return {
+            "version": "spark",
+            "health": [
+                {"service": "SparkSession", "status": "OK"},
+                {
+                    "service": "Lake",
+                    "status": "OK",
+                    "service_data": {
+                        "last_indexed_block": head["event_id"],
+                        "last_indexed_block_time": str(head["ts"]),
+                    },
+                },
+            ],
+        }
+
+    # -- v2-history ------------------------------------------------------
+    def get_actions(self, params: dict) -> dict:
+        """routes/v2-history/get_actions (get_actions.ts:88-131)."""
+        qp = _qp(params)
+        ev = _t(self.spark, self.sf_dir)["events"]
+        return get_actions_with_envelope(
+            self.spark,
+            ev,
+            qp,
+            seq_field="event_id",
+            simple=params.get("simple") == "true",
+            default_sort_field="event_id",
+            tiebreaker="event_id",
+            numeric_fields=_EVENT_NUMERIC,
+        )
+
+    def get_transaction(self, params: dict) -> dict:
+        """routes/v2-history/get_transaction: point lookup of one trx
+        + its traces in canonical ordinal order (the bug-#148 regroup
+        discipline). The key predicate reaches both scans via
+        constraint propagation — same plan family as the registered
+        ``get_transaction_shape``."""
+        trx = int(params["id"])
+        t = _t(self.spark, self.sf_dir)
+        o = t["orders"].where(F.col("o_orderkey") == trx)
+        head = o.select("o_orderkey", "o_orderstatus", "o_orderdate").first()
+        if head is None:
+            return {"executed": False, "trx_id": trx, "actions": []}
+        traces = (
+            t["lineitem"]
+            .where(F.col("l_orderkey") == trx)
+            .orderBy("l_linenumber")
+            .select("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        )
+        return {
+            "executed": True,
+            "trx_id": trx,
+            "status": head["o_orderstatus"],
+            "block_time": str(head["o_orderdate"]),
+            "actions": [r.asDict() for r in traces.collect()],
+        }
+
+    # -- v2-state ----------------------------------------------------------
+    def get_tokens(self, params: dict) -> dict:
+        """routes/v2-state/get_tokens (get_tokens.ts:63-72): account →
+        held symbols. Same mapping as the registered ``get_tokens``
+        (account predicate prunes orders, semi-join into lineitem)."""
+        account = int(params["account"])
+        t = _t(self.spark, self.sf_dir)
+        o = t["orders"].where(F.col("o_custkey") == account).select(
+            F.col("o_orderkey").alias("l_orderkey")
+        )
+        rows = (
+            t["lineitem"]
+            .join(F.broadcast(o), "l_orderkey", "left_semi")
+            .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy(F.col("p_brand").alias("symbol"))
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("amount"),
+                F.count("*").alias("holdings"),
+            )
+            .orderBy("symbol")
+            .collect()
+        )
+        return {"account": account, "tokens": [r.asDict() for r in rows]}
+
+    def get_key_accounts(self, params: dict) -> dict:
+        """routes/v2-state/get_key_accounts: key → controlled
+        accounts (same plan family as the registered query)."""
+        key = params["public_key"]
+        t = _t(self.spark, self.sf_dir)
+        keyed = t["part"].where(F.col("p_brand") == key).select(
+            F.col("p_partkey").alias("l_partkey")
+        )
+        rows = (
+            t["lineitem"]
+            .join(F.broadcast(keyed), "l_partkey", "left_semi")
+            .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_custkey").alias("account"))
+            .distinct()
+            .orderBy("account")
+            .collect()
+        )
+        return {"account_names": [r["account"] for r in rows]}
+
+    # -- routing table ----------------------------------------------------
+    @property
+    def routes(self) -> dict:
+        return {
+            "/v2/health": self.health,
+            "/v2/history/get_actions": self.get_actions,
+            "/v2/history/get_transaction": self.get_transaction,
+            "/v2/state/get_tokens": self.get_tokens,
+            "/v2/state/get_key_accounts": self.get_key_accounts,
+        }
+
+    # -- SSE stream (socketManager.ts replay path) -------------------------
+    def stream_rows(self, params: dict):
+        """Bounded replay of a stream subscription: compile the
+        request to ONE boolean column (the vectorized ws-router
+        predicate, streaming/filters.py) and yield matching rows in
+        sequence order. ``read_until`` bounds the replay exactly like
+        the reference's past-range requests (socketManager.ts:
+        emitTransactionEvents replay branch); a live deployment tails
+        the same predicate via Structured Streaming
+        (streaming/switchover.py)."""
+        req = StreamRequest(
+            contract=params.get("contract", "*"),
+            action=params.get("action", "*"),
+            account=params.get("account", ""),
+            start_from=int(params["start_from"])
+            if "start_from" in params
+            else None,
+            read_until=int(params["read_until"])
+            if "read_until" in params
+            else None,
+        )
+        ev = _t(self.spark, self.sf_dir)["events"]
+        schema = StreamSchema(json_col=None)
+        matched = (
+            ev.where(compile_request(ev, req, schema))
+            .orderBy("event_id")
+            .select("event_id", "user_id", "event_type", "ts", "value")
+        )
+        # toLocalIterator: one partition in flight — the driver never
+        # holds the whole replay (same scroll discipline as O7)
+        for row in matched.toLocalIterator():
+            d = row.asDict()
+            d["ts"] = str(d["ts"])
+            yield d
+
+
+def make_server(
+    api: HyperionAPI, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server. ``port=0`` binds an
+    ephemeral port (``server.server_address[1]`` after return)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silent under test
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 (stdlib API name)
+            url = urlsplit(self.path)
+            params = dict(parse_qsl(url.query))
+            if url.path == "/v2/stream":
+                try:
+                    rows = api.stream_rows(params)
+                except (KeyError, ValueError) as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                for d in rows:
+                    frame = f"data: {json.dumps(d, default=str)}\n\n"
+                    self.wfile.write(frame.encode())
+                self.wfile.write(b"event: end\ndata: {}\n\n")
+                return
+            handler = api.routes.get(url.path)
+            if handler is None:
+                self._reply(404, {"error": f"no route {url.path}"})
+                return
+            try:
+                body = timed_query(
+                    api.cache,
+                    url.path,
+                    params,
+                    lambda: handler(params),
+                )
+                self._reply(200, body)
+            except QueryGuardError as e:
+                self._reply(400, {"error": str(e)})
+            except (KeyError, ValueError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(
+    api: HyperionAPI, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the server on a daemon thread; returns (server, thread).
+    Call ``server.shutdown()`` to stop."""
+    server = make_server(api, host, port)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread

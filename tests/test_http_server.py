@@ -1,0 +1,151 @@
+"""End-to-end tests of the stdlib HTTP serving layer
+(api/http_server.py): real sockets, real requests via urllib, payloads
+compared against the engine plans they wrap. Covers the REST envelope
+(get_actions.ts:88-131), the timedQuery cache (functions.ts:946-1006),
+guard-violation replies, and the SSE bounded-replay stream
+(socketManager.ts replay path)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.api.http_server import (
+    HyperionAPI,
+    serve_background,
+)
+from hyperion_history_api_spark.api.serving_cache import ResponseCache
+from hyperion_history_api_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=60.0))
+    srv, thread = serve_background(api)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, api
+    srv.shutdown()
+
+
+def _get(base: str, path: str) -> dict:
+    with urllib.request.urlopen(base + path, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    base, _ = server
+    body = _get(base, "/v2/health")
+    assert body["health"][0]["status"] == "OK"
+    lake = body["health"][1]["service_data"]
+    assert lake["last_indexed_block"] > 0
+
+
+def test_get_actions_envelope_matches_engine(server, spark):
+    base, _ = server
+    body = _get(base, "/v2/history/get_actions?account=7&limit=5")
+    # envelope shape (get_actions.ts:88-131)
+    assert set(body) >= {
+        "query_time_ms",
+        "cached",
+        "total",
+        "actions",
+        "last_indexed_block",
+    }
+    assert body["total"]["relation"] == "eq"
+    # payload equals the engine plan it wraps
+    ev = load_tables(spark, SF_DIR)["events"]
+    want = [
+        r["event_id"]
+        for r in ev.where(F.col("user_id") == 7)
+        .orderBy(F.col("event_id").desc())
+        .limit(5)
+        .select("event_id")
+        .collect()
+    ]
+    assert [a["event_id"] for a in body["actions"]] == want
+    assert body["total"]["value"] == ev.where(F.col("user_id") == 7).count()
+
+
+def test_response_cache_hit_and_guard_errors(server):
+    base, api = server
+    p = "/v2/history/get_actions?account=3&limit=3"
+    first = _get(base, p)
+    assert first["cached"] is False
+    second = _get(base, p)
+    assert second["cached"] is True  # timedQuery hit
+    assert second["actions"] == first["actions"]
+    assert api.cache.hits >= 1
+    # limit guard → 400 with an error body (functions.ts:246-250)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/v2/history/get_actions?account=3&limit=99999")
+    assert ei.value.code == 400
+    assert "limit" in json.loads(ei.value.read())["error"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/v2/nope")
+    assert ei.value.code == 404
+
+
+def test_get_transaction_and_state_routes(server, spark):
+    base, _ = server
+    body = _get(base, "/v2/history/get_transaction?id=7")
+    assert body["executed"] is True and body["trx_id"] == 7
+    ordinals = [a["l_linenumber"] for a in body["actions"]]
+    assert ordinals == sorted(ordinals)  # canonical ordinal order
+    missing = _get(base, "/v2/history/get_transaction?id=999999999")
+    assert missing["executed"] is False
+
+    t = load_tables(spark, SF_DIR)
+    tokens = _get(base, "/v2/state/get_tokens?account=1")
+    want_syms = sorted(
+        r["p_brand"]
+        for r in t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_custkey") == 1),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_brand")
+        .distinct()
+        .collect()
+    )
+    assert [tok["symbol"] for tok in tokens["tokens"]] == want_syms
+
+    keys = _get(base, "/v2/state/get_key_accounts?public_key=Brand%2313")
+    assert keys["account_names"] == sorted(set(keys["account_names"]))
+    assert keys["account_names"]
+
+
+def test_sse_stream_bounded_replay(server, spark):
+    base, _ = server
+    ev = load_tables(spark, SF_DIR)["events"]
+    want = [
+        r["event_id"]
+        for r in ev.where(
+            (F.col("user_id") == 7) & F.col("event_id").between(1, 2000)
+        )
+        .orderBy("event_id")
+        .select("event_id")
+        .collect()
+    ]
+    url = base + "/v2/stream?account=7&start_from=1&read_until=2000"
+    got, ended = [], False
+    with urllib.request.urlopen(url, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        event = None
+        for raw in r:
+            line = raw.decode().rstrip("\n")
+            if line.startswith("event: "):
+                event = line[7:]
+            elif line.startswith("data: "):
+                if event == "end":
+                    ended = True
+                    break
+                got.append(json.loads(line[6:])["event_id"])
+    assert ended
+    assert got == want and want
