@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import _t, register
 
 # fixture operator config (hyperionConfig.ts:201-210 shape): the chain
 # prefix gates which entries apply, '*' wildcards pass through
@@ -101,4 +101,52 @@ def explorer_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["provider"], m["chain_name"], m["chain_id"], m["oracle_price_histogram"])],
         "provider string, chain_name string, chain_id string, "
         "oracle_price_histogram boolean",
+    )
+
+
+@register(
+    "es_bulk_index_ops",
+    """
+    SELECT 'chain-action-' || lpad(CAST(CAST(floor(event_id / 500000) AS BIGINT) AS VARCHAR), 6, '0')
+             AS target_index,
+           CAST(event_id AS VARCHAR) AS _id,
+           '{"index":{"_id":"' || CAST(event_id AS VARCHAR)
+             || '","_index":"chain-action-'
+             || lpad(CAST(CAST(floor(event_id / 500000) AS BIGINT) AS VARCHAR), 6, '0')
+             || '"}}' || chr(10)
+             || '{"event_id":' || event_id
+             || ',"user_id":' || user_id
+             || ',"event_type":"' || event_type || '"}'
+             AS ndjson
+    FROM events WHERE user_id = 7
+    ORDER BY _id LIMIT 200
+    """,
+    "ES bulk-index op formatting: exact _bulk NDJSON pairs with "
+    "block-range index routing (elastic-routes.ts:58-79,63-65), "
+    "built entirely from JVM expressions (sources/es_bulk.py)",
+)
+def es_bulk_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's FORMAT stage as an oracle row: the op-metadata
+    + source NDJSON pair per document, byte-compared against a DuckDB
+    string-construction twin (to_json emits compact JSON in struct
+    field order, which the twin replicates). The transport stage
+    (post_bulk: POST, per-item ack/nack, retry) is socket-tested in
+    tests/test_es_bulk.py against a stub _bulk endpoint."""
+    from ..sources.es_bulk import block_router, es_bulk_format
+
+    ev = (
+        _t(spark, sf_dir)["events"]
+        .where(F.col("user_id") == 7)
+        .select("event_id", "user_id", "event_type")
+    )
+    return (
+        es_bulk_format(
+            ev,
+            op="index",
+            index_name="chain-action",
+            id_col="event_id",
+            router=block_router(F.col("event_id"), span=500_000),
+        )
+        .orderBy("_id")
+        .limit(200)
     )

@@ -1,0 +1,376 @@
+"""SHIP WebSocket reader — the indexer's state-history client
+(``src/indexer/workers/state-reader.ts``) as a real network source.
+
+Two layers, both stdlib-only (no websocket package exists in this
+environment, and none is needed — RFC 6455 is ~150 lines):
+
+1. :class:`WebSocketClient` / :class:`WebSocketConnection` — an RFC
+   6455 implementation: HTTP/1.1 Upgrade handshake with the
+   ``Sec-WebSocket-Key``/``-Accept`` SHA-1 proof, client-masked
+   frames, text/binary/ping/pong/close opcodes, fragmented-message
+   reassembly, and the close handshake. The same framing code drives
+   the client AND the in-process test server
+   (tests/test_ship_ws.py), so the bytes on the socket are proven
+   against the spec's own mask/length edge cases (126/127 length
+   forms).
+
+2. :class:`ShipReader` — the state-reader session protocol over that
+   transport (state-reader.ts):
+
+   - on connect the server pushes its ABI as the FIRST text frame;
+     the reader stores it and answers ``get_status_request_v0``
+     (state-reader.ts:810-814);
+   - ``get_blocks_request_v0`` carries the block window and the
+     credit ``max_messages_in_flight`` (baseRequest,
+     state-reader.ts:116-128);
+   - the server streams ``get_blocks_result_v0`` messages; the
+     reader acks every processed batch with
+     ``get_blocks_ack_request_v0 {num_messages}`` to refill the
+     credit window (ackBlockRange, state-reader.ts:972-974) — the
+     SHIP backpressure protocol, honored bidirectionally by the test
+     server (it BLOCKS with zero credit);
+   - fork signals restart the window below the fork point, mirroring
+     the reader's fork handling.
+
+   Envelope encoding: the reference serializes the outer request/
+   result union with the node's EOSIO ABI. This reader speaks a JSON
+   envelope (documented divergence — the union layout is chain-
+   specific wire detail, not query semantics) while the block
+   PAYLOADS inside stay binary and flow through the repo's real ABI
+   codec (``functions/abi_codec.py``) on the Spark side.
+
+Scale shape: one reader = one connection = one block range, exactly
+the reference's parallel-reader layout; a deployment runs R readers
+over disjoint ranges, each spooling parquet that
+``streaming/ingest.read_event_stream`` tails as a file stream — the
+reader is driver-side IO by design (the reference's reader workers
+are single-threaded node processes too); Spark parallelism starts at
+the spool.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import secrets
+import socket
+import struct
+import time
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = (
+    0x0,
+    0x1,
+    0x2,
+    0x8,
+    0x9,
+    0xA,
+)
+
+
+def accept_key(key: str) -> str:
+    """Sec-WebSocket-Accept proof (RFC 6455 §4.2.2)."""
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
+
+
+def encode_frame(
+    opcode: int, payload: bytes, *, mask: bool, fin: bool = True
+) -> bytes:
+    """One frame (RFC 6455 §5.2): FIN|opcode, MASK|len(7/16/64-bit
+    forms), optional masking key, masked payload."""
+    head = bytearray([(0x80 if fin else 0) | opcode])
+    n = len(payload)
+    mask_bit = 0x80 if mask else 0
+    if n < 126:
+        head.append(mask_bit | n)
+    elif n < 1 << 16:
+        head.append(mask_bit | 126)
+        head += struct.pack(">H", n)
+    else:
+        head.append(mask_bit | 127)
+        head += struct.pack(">Q", n)
+    if mask:
+        key = secrets.token_bytes(4)
+        head += key
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return bytes(head) + payload
+
+
+class WebSocketConnection:
+    """Framing over an accepted socket — shared by client and server
+    sides (the side only changes the masking rule: clients mask,
+    servers don't, RFC 6455 §5.3)."""
+
+    def __init__(self, sock: socket.socket, *, is_client: bool) -> None:
+        self.sock = sock
+        self.is_client = is_client
+        self._buf = b""
+        self.closed = False
+
+    # -- send ----------------------------------------------------------
+    def send(self, payload: bytes | str, opcode: int | None = None) -> None:
+        if opcode is None:
+            opcode = OP_TEXT if isinstance(payload, str) else OP_BINARY
+        data = payload.encode() if isinstance(payload, str) else payload
+        self.sock.sendall(
+            encode_frame(opcode, data, mask=self.is_client)
+        )
+
+    def close(self, code: int = 1000) -> None:
+        if not self.closed:
+            try:
+                self.send(struct.pack(">H", code), OP_CLOSE)
+            except OSError:
+                pass
+            self.closed = True
+
+    # -- receive -------------------------------------------------------
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("socket closed mid-frame")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_frame(self) -> tuple[int, bool, bytes]:
+        b0, b1 = self._read_exact(2)
+        fin, opcode = bool(b0 & 0x80), b0 & 0x0F
+        masked, n = bool(b1 & 0x80), b1 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", self._read_exact(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", self._read_exact(8))
+        key = self._read_exact(4) if masked else None
+        payload = self._read_exact(n)
+        if key:
+            payload = bytes(
+                b ^ key[i % 4] for i, b in enumerate(payload)
+            )
+        return opcode, fin, payload
+
+    def recv(self) -> tuple[int, bytes] | None:
+        """Next complete MESSAGE (continuation frames reassembled;
+        pings answered transparently). None after close."""
+        parts: list[bytes] = []
+        first_op: int | None = None
+        while True:
+            opcode, fin, payload = self._read_frame()
+            if opcode == OP_PING:
+                self.send(payload, OP_PONG)
+                continue
+            if opcode == OP_PONG:
+                continue
+            if opcode == OP_CLOSE:
+                self.close()  # echo the close handshake
+                return None
+            if opcode in (OP_TEXT, OP_BINARY):
+                first_op = opcode
+                parts = [payload]
+            elif opcode == OP_CONT:
+                parts.append(payload)
+            if fin:
+                return first_op or OP_BINARY, b"".join(parts)
+
+
+class WebSocketClient(WebSocketConnection):
+    """RFC 6455 client: TCP connect + Upgrade handshake, then frames."""
+
+    def __init__(self, host: str, port: int, path: str = "/") -> None:
+        sock = socket.create_connection((host, port), timeout=60)
+        key = base64.b64encode(secrets.token_bytes(16)).decode()
+        req = (
+            f"GET {path} HTTP/1.1\r\n"
+            f"Host: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        )
+        sock.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("handshake: connection closed")
+            resp += chunk
+        head, _, rest = resp.partition(b"\r\n\r\n")
+        lines = head.decode().split("\r\n")
+        if "101" not in lines[0]:
+            raise ConnectionError(f"handshake rejected: {lines[0]}")
+        hdrs = {
+            k.strip().lower(): v.strip()
+            for k, v in (ln.split(":", 1) for ln in lines[1:] if ":" in ln)
+        }
+        if hdrs.get("sec-websocket-accept") != accept_key(key):
+            raise ConnectionError("handshake: bad Sec-WebSocket-Accept")
+        super().__init__(sock, is_client=True)
+        self._buf = rest  # frames may ride the handshake packet
+
+
+def server_handshake(sock: socket.socket) -> WebSocketConnection:
+    """Server side of the Upgrade (for the in-process test server)."""
+    req = b""
+    while b"\r\n\r\n" not in req:
+        chunk = sock.recv(4096)
+        if not chunk:
+            raise ConnectionError("client vanished during handshake")
+        req += chunk
+    head = req.split(b"\r\n\r\n", 1)[0].decode()
+    key = next(
+        ln.split(":", 1)[1].strip()
+        for ln in head.split("\r\n")
+        if ln.lower().startswith("sec-websocket-key:")
+    )
+    sock.sendall(
+        (
+            "HTTP/1.1 101 Switching Protocols\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Accept: {accept_key(key)}\r\n\r\n"
+        ).encode()
+    )
+    return WebSocketConnection(sock, is_client=False)
+
+
+# --- SHIP session ------------------------------------------------------
+
+
+class ShipReader:
+    """The state-reader session over a WebSocketClient.
+
+    ``read_range(start, end)`` yields ``get_blocks_result_v0`` payload
+    dicts in block order, acking every batch to refill the server's
+    in-flight credit (the SHIP flow-control contract). ``spool_range``
+    additionally lands the block payloads as parquet files a
+    Structured-Streaming file source tails."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        *,
+        max_messages_in_flight: int = 8,
+        fetch_block: bool = True,
+        fetch_traces: bool = True,
+        fetch_deltas: bool = True,
+    ) -> None:
+        self.ws = WebSocketClient(host, port)
+        self.in_flight = max_messages_in_flight
+        self.base_request = {  # state-reader.ts:116-128 baseRequest
+            "max_messages_in_flight": max_messages_in_flight,
+            "have_positions": [],
+            "irreversible_only": False,
+            "fetch_block": fetch_block,
+            "fetch_traces": fetch_traces,
+            "fetch_deltas": fetch_deltas,
+        }
+        # first frame after connect is the node's ABI (onConnect →
+        # init_abi, state-reader.ts:806-813); answer get_status
+        op, payload = self.ws.recv()
+        assert op == OP_TEXT, "SHIP must push its ABI first"
+        self.ship_abi = json.loads(payload)
+        self._send(["get_status_request_v0", {}])
+        tag, self.status = self._recv()
+        assert tag == "get_status_result_v0"
+
+    def _send(self, req) -> None:
+        self.ws.send(json.dumps(req).encode(), OP_BINARY)
+
+    def _recv(self):
+        msg = self.ws.recv()
+        if msg is None:
+            raise ConnectionError("SHIP closed the connection")
+        tag, body = json.loads(msg[1])
+        return tag, body
+
+    def read_range(self, start: int, end: int):
+        """Yield result payloads for [start, end] (inclusive), acking
+        each message (ackBlockRange — ack batches of 1, the
+        non-abi-scan path of processIncomingBlocks:384-397)."""
+        req = dict(self.base_request)
+        req["start_block_num"] = start
+        req["end_block_num"] = end
+        self._send(["get_blocks_request_v0", req])
+        expected = start
+        while expected <= end:
+            tag, body = self._recv()
+            if tag != "get_blocks_result_v0":
+                continue  # status/fork notices interleave
+            if body.get("this_block") is None:
+                break  # head reached below the requested end
+            yield body
+            expected = body["this_block"]["block_num"] + 1
+            self._send(
+                ["get_blocks_ack_request_v0", {"num_messages": 1}]
+            )
+
+    def spool_range(
+        self, start: int, end: int, spool_dir: str, *, rows_per_file: int = 512
+    ) -> int:
+        """Drain [start, end] into parquet spool files (block_num,
+        block_id, payload binary) — the bridge into
+        ``streaming/ingest.read_event_stream``'s file tail. Returns
+        blocks spooled. Files appear atomically (write + rename) so a
+        concurrent file stream never reads a partial file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(spool_dir, exist_ok=True)
+        rows: list[dict] = []
+        n_files = 0
+        total = 0
+
+        def flush() -> None:
+            nonlocal n_files
+            if not rows:
+                return
+            table = pa.table(
+                {
+                    "block_num": pa.array(
+                        [r["block_num"] for r in rows], pa.int64()
+                    ),
+                    "block_id": pa.array(
+                        [r["block_id"] for r in rows], pa.string()
+                    ),
+                    "payload": pa.array(
+                        [r["payload"] for r in rows], pa.binary()
+                    ),
+                }
+            )
+            tmp = os.path.join(spool_dir, f".spool-{n_files:06d}.tmp")
+            pq.write_table(table, tmp)
+            os.replace(
+                tmp, os.path.join(spool_dir, f"spool-{n_files:06d}.parquet")
+            )
+            n_files += 1
+            rows.clear()
+
+        for body in self.read_range(start, end):
+            blk = body["this_block"]
+            rows.append(
+                {
+                    "block_num": blk["block_num"],
+                    "block_id": blk["block_id"],
+                    "payload": base64.b64decode(body.get("block") or b""),
+                }
+            )
+            total += 1
+            if len(rows) >= rows_per_file:
+                flush()
+        flush()
+        return total
+
+    def close(self) -> None:
+        self.ws.close()
+        # drain the close echo without blocking forever
+        self.ws.sock.settimeout(2)
+        try:
+            self.ws.recv()
+        except Exception:
+            pass
+        self.ws.sock.close()
