@@ -214,14 +214,23 @@ class HyperionAPI:
 
     # -- SSE stream (socketManager.ts replay path) -------------------------
     def stream_rows(self, params: dict):
-        """Bounded replay of a stream subscription: compile the
-        request to ONE boolean column (the vectorized ws-router
-        predicate, streaming/filters.py) and yield matching rows in
-        sequence order. ``read_until`` bounds the replay exactly like
-        the reference's past-range requests (socketManager.ts:
-        emitTransactionEvents replay branch); a live deployment tails
-        the same predicate via Structured Streaming
-        (streaming/switchover.py)."""
+        """Replay (then optionally live-tail) a stream subscription:
+        compile the request to ONE boolean column (the vectorized
+        ws-router predicate, streaming/filters.py) and yield matching
+        rows in sequence order.
+
+        ``read_until`` bounds the window exactly like the reference's
+        past-range requests; ``follow=true`` is the replay→live
+        switchover on the serving surface (socketManager.ts: history
+        replay, then the relay pushes arrivals): after draining the
+        current head the handler re-lists the lake every ``poll_sec``
+        and pushes rows past the last served sequence — the same
+        predicate, a fresh pruned scan per poll (the scan reads only
+        ``event_id > last`` row groups, so a poll on an idle lake is
+        metadata-cheap). The tail ends at ``read_until`` or after
+        ``idle_timeout`` seconds without arrivals."""
+        import time as _time
+
         req = StreamRequest(
             contract=params.get("contract", "*"),
             action=params.get("action", "*"),
@@ -233,19 +242,46 @@ class HyperionAPI:
             if "read_until" in params
             else None,
         )
-        ev = _t(self.spark, self.sf_dir)["events"]
+        follow = params.get("follow") == "true"
+        poll_sec = float(params.get("poll_sec", "0.5"))
+        idle_timeout = float(params.get("idle_timeout", "30"))
         schema = StreamSchema(json_col=None)
-        matched = (
-            ev.where(compile_request(ev, req, schema))
-            .orderBy("event_id")
-            .select("event_id", "user_id", "event_type", "ts", "value")
-        )
-        # toLocalIterator: one partition in flight — the driver never
-        # holds the whole replay (same scroll discipline as O7)
-        for row in matched.toLocalIterator():
-            d = row.asDict()
-            d["ts"] = str(d["ts"])
-            yield d
+        last = (req.start_from or 0) - 1
+        deadline = _time.monotonic() + idle_timeout
+
+        def batch(after: int):
+            # fresh load per poll: new spool files must be visible
+            # (the DataFrame's file listing is bound at creation)
+            ev = _t(self.spark, self.sf_dir)["events"]
+            return (
+                ev.where(
+                    compile_request(ev, req, schema)
+                    & (F.col("event_id") > after)
+                )
+                .orderBy("event_id")
+                .select("event_id", "user_id", "event_type", "ts", "value")
+            )
+
+        while True:
+            got_any = False
+            # toLocalIterator: one partition in flight — the driver
+            # never holds the whole replay (same scroll discipline
+            # as O7)
+            for row in batch(last).toLocalIterator():
+                d = row.asDict()
+                d["ts"] = str(d["ts"])
+                last = d["event_id"]
+                got_any = True
+                yield d
+            if req.read_until is not None and last >= req.read_until:
+                return
+            if not follow:
+                return
+            if got_any:
+                deadline = _time.monotonic() + idle_timeout
+            elif _time.monotonic() >= deadline:
+                return
+            _time.sleep(poll_sec)
 
 
 def make_server(

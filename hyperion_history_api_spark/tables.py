@@ -64,7 +64,26 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
     long (``spark.sql.legacy.parquet.nanosAsLong``); we restore
     TimestampType by truncating to micros (same truncation DuckDB's
-    ns->us conversion applies, keeping oracle parity)."""
+    ns->us conversion applies, keeping oracle parity).
+
+    ``path`` may be a single parquet file (the driver's flat testdata)
+    or a DIRECTORY of parquet files (a growing spool/lake — e.g. the
+    HTTP layer's live tail or the SHIP reader's spool); for a
+    directory the schema comes from its first data file."""
+    import os
+
+    if os.path.isdir(path):
+        first = next(
+            (
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            ),
+            None,
+        )
+        if first is None:
+            return []
+        path = first
     schema = pq.read_schema(path)
     return [
         f.name

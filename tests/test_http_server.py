@@ -149,3 +149,77 @@ def test_sse_stream_bounded_replay(server, spark):
                 got.append(json.loads(line[6:])["event_id"])
     assert ended
     assert got == want and want
+
+
+def test_sse_live_tail_follow_mode(spark, tmp_path):
+    """Replay -> live switchover on the serving surface: the SSE
+    handler drains the head, then a new spool file lands in the lake
+    mid-stream and its matching rows arrive over the SAME response,
+    ending at read_until (socketManager.ts: history replay, then the
+    relay pushes arrivals)."""
+    import shutil
+    import threading
+    import time as _time
+
+    # growable lake: events.parquet becomes a DIRECTORY seeded with
+    # the fixture file
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    evdir = lake / "events.parquet"
+    evdir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", evdir / "part-000.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+
+    ev = load_tables(spark, str(lake))["events"]
+    head = ev.agg(F.max("event_id")).first()[0]
+    # the tail window: 3 future events for user 7, 1 for someone else
+    future = spark.createDataFrame(
+        [
+            (head + 1, 7, "click", 1.5),
+            (head + 2, 8, "view", 2.5),
+            (head + 3, 7, "view", 3.5),
+            (head + 4, 7, "click", 4.5),
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv, _ = serve_background(api)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def append_later():
+            _time.sleep(2.0)
+            future.coalesce(1).write.mode("append").parquet(str(evdir))
+
+        threading.Thread(target=append_later, daemon=True).start()
+        url = (
+            base
+            + f"/v2/stream?account=7&start_from={head - 5}"
+            + f"&read_until={head + 4}&follow=true&poll_sec=0.2"
+        )
+        got, ended = [], False
+        with urllib.request.urlopen(url, timeout=120) as r:
+            event = None
+            for raw in r:
+                line = raw.decode().rstrip("\n")
+                if line.startswith("event: "):
+                    event = line[7:]
+                elif line.startswith("data: "):
+                    if event == "end":
+                        ended = True
+                        break
+                    got.append(json.loads(line[6:]))
+        assert ended
+        # replay rows (user 7 in the last 5 of the head) came first,
+        # then exactly the three matching future events, in order
+        tail = [d["event_id"] for d in got if d["event_id"] > head]
+        assert tail == [head + 1, head + 3, head + 4]
+        assert all(d["user_id"] == 7 for d in got)
+        ids = [d["event_id"] for d in got]
+        assert ids == sorted(ids)
+    finally:
+        srv.shutdown()
