@@ -158,7 +158,96 @@ class HyperionAPI:
             "actions": [r.asDict() for r in traces.collect()],
         }
 
+    def get_deltas(self, params: dict) -> dict:
+        """routes/v2-history/get_deltas: (code,table) → event_type,
+        scope → account range, payer → promoted props.k — the same
+        predicate-compiler path as the registered
+        ``get_deltas_by_scope``."""
+        ev = _t(self.spark, self.sf_dir)["events"].withColumn(
+            "payer", F.get_json_object("props", "$.k").cast("long")
+        )
+        terms: dict[str, str] = {}
+        if "code" in params or "table" in params:
+            terms["event_type"] = params.get("table", params.get("code"))
+        if "scope" in params:
+            terms["user_id"] = params["scope"]
+        if "payer" in params:
+            terms["payer"] = params["payer"]
+        qp = QueryParams(
+            terms=terms,
+            after=params.get("after"),
+            before=params.get("before"),
+            sort=params.get("sort", "desc"),
+            skip=int(params.get("skip", 0)),
+            limit=int(params.get("limit", 100)),
+        )
+        return get_actions_with_envelope(
+            self.spark,
+            ev,
+            qp,
+            seq_field="event_id",
+            default_sort_field="event_id",
+            tiebreaker="event_id",
+            numeric_fields=frozenset({"event_id", "user_id", "payer"}),
+        )
+
+    def get_created_accounts(self, params: dict) -> dict:
+        """routes/v2-history/get_created_accounts: creator → created
+        accounts (nation = creator dimension, 25-row broadcast)."""
+        t = _t(self.spark, self.sf_dir)
+        creator = F.broadcast(
+            t["nation"].where(F.col("n_name") == params["account"])
+        )
+        rows = (
+            t["customer"]
+            .join(creator, F.col("c_nationkey") == F.col("n_nationkey"))
+            .orderBy(F.col("c_custkey").desc())
+            .limit(int(params.get("limit", 100)))
+            .select(
+                F.col("c_custkey").alias("account"),
+                F.col("c_name").alias("account_name"),
+            )
+            .collect()
+        )
+        return {"accounts": [r.asDict() for r in rows]}
+
+    def get_creator(self, params: dict) -> dict:
+        """routes/v2-history/get_creator: the account's first signup
+        event is its creation record (newaccount semantics)."""
+        account = int(params["account"])
+        ev = _t(self.spark, self.sf_dir)["events"]
+        row = (
+            ev.where(
+                (F.col("event_type") == "signup")
+                & (F.col("user_id") == account)
+            )
+            .orderBy("event_id")
+            .limit(1)
+            .first()
+        )
+        if row is None:
+            return {"account": account, "creator": None}
+        return {
+            "account": account,
+            "creation_seq": row["event_id"],
+            "timestamp": str(row["ts"]),
+        }
+
     # -- v2-state ----------------------------------------------------------
+    def get_top_holders(self, params: dict) -> dict:
+        """routes/v2-state/get_top_holders: balance-ranked page."""
+        cust = _t(self.spark, self.sf_dir)["customer"]
+        rows = (
+            cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+            .limit(int(params.get("limit", 20)))
+            .select(
+                F.col("c_custkey").alias("account"),
+                F.round("c_acctbal", 4).alias("amount"),
+            )
+            .collect()
+        )
+        return {"holders": [r.asDict() for r in rows]}
+
     def get_tokens(self, params: dict) -> dict:
         """routes/v2-state/get_tokens (get_tokens.ts:63-72): account →
         held symbols. Same mapping as the registered ``get_tokens``
@@ -207,9 +296,13 @@ class HyperionAPI:
         return {
             "/v2/health": self.health,
             "/v2/history/get_actions": self.get_actions,
+            "/v2/history/get_deltas": self.get_deltas,
             "/v2/history/get_transaction": self.get_transaction,
+            "/v2/history/get_created_accounts": self.get_created_accounts,
+            "/v2/history/get_creator": self.get_creator,
             "/v2/state/get_tokens": self.get_tokens,
             "/v2/state/get_key_accounts": self.get_key_accounts,
+            "/v2/state/get_top_holders": self.get_top_holders,
         }
 
     # -- SSE stream (socketManager.ts replay path) -------------------------
@@ -302,9 +395,27 @@ def make_server(
             self.end_headers()
             self.wfile.write(body)
 
+        def do_POST(self) -> None:  # noqa: N802 (stdlib API name)
+            """The reference accepts GET query strings AND POSTed JSON
+            bodies on the same routes (fastify shared schemas) — both
+            reach the same handler with one params dict."""
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n) if n else b"{}"
+            try:
+                body = json.loads(raw) if raw.strip() else {}
+                if not isinstance(body, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError as e:
+                self._reply(400, {"error": f"bad JSON body: {e}"})
+                return
+            self._dispatch({str(k): str(v) for k, v in body.items()})
+
         def do_GET(self) -> None:  # noqa: N802 (stdlib API name)
             url = urlsplit(self.path)
-            params = dict(parse_qsl(url.query))
+            self._dispatch(dict(parse_qsl(url.query)))
+
+        def _dispatch(self, params: dict) -> None:
+            url = urlsplit(self.path)
             if url.path == "/v2/stream":
                 try:
                     rows = api.stream_rows(params)

@@ -223,3 +223,66 @@ def test_sse_live_tail_follow_mode(spark, tmp_path):
         assert ids == sorted(ids)
     finally:
         srv.shutdown()
+
+
+def test_more_routes_and_post_bodies(server, spark):
+    """get_deltas through the predicate compiler, created-accounts /
+    creator / top-holders pages, and POSTed JSON bodies reaching the
+    same handlers as GET query strings."""
+    base, _ = server
+    t = load_tables(spark, SF_DIR)
+
+    deltas = _get(
+        base, "/v2/history/get_deltas?code=purchase&scope=2-6&limit=50"
+    )
+    assert deltas["total"]["relation"] == "eq"
+    assert all(
+        a["event_type"] == "purchase" and 2 <= a["user_id"] <= 6
+        for a in deltas["actions"]
+    )
+    assert deltas["actions"]
+
+    created = _get(
+        base, "/v2/history/get_created_accounts?account=CHINA&limit=10"
+    )
+    want = [
+        r["c_custkey"]
+        for r in t["customer"]
+        .join(
+            t["nation"].where(F.col("n_name") == "CHINA"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy(F.col("c_custkey").desc())
+        .limit(10)
+        .collect()
+    ]
+    assert [a["account"] for a in created["accounts"]] == want
+
+    holders = _get(base, "/v2/state/get_top_holders?limit=5")
+    amounts = [h["amount"] for h in holders["holders"]]
+    assert amounts == sorted(amounts, reverse=True) and len(amounts) == 5
+
+    # POST body == GET query string (fastify shared-schema parity)
+    req = urllib.request.Request(
+        base + "/v2/state/get_top_holders",
+        data=json.dumps({"limit": 5}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        posted = json.loads(r.read())
+    # cached:true permitted - the POST hits the GET's cache entry,
+    # exactly the reference's route+params keying
+    assert posted["holders"] == holders["holders"]
+
+    creator = _get(base, "/v2/history/get_creator?account=7")
+    ev = t["events"]
+    first = (
+        ev.where((F.col("event_type") == "signup") & (F.col("user_id") == 7))
+        .orderBy("event_id")
+        .first()
+    )
+    if first is None:
+        assert creator["creator"] is None
+    else:
+        assert creator["creation_seq"] == first["event_id"]
