@@ -274,7 +274,9 @@ def v1_trace_get_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- v2-state -----------------------------------------------------------
 
 
-def _get_tokens(spark: SparkSession, sf_dir: str, **chooser_kwargs):
+def _get_tokens(
+    spark: SparkSession, sf_dir: str, account: int = 1, **chooser_kwargs
+):
     """Core of ``get_tokens`` with the trace-side semi-join planned by
     the cost-gated chooser from CATALOG stats (round-7 verdict item 8:
     no static ``broadcast()`` hint). Returns ``(df, strategy)``.
@@ -289,7 +291,7 @@ def _get_tokens(spark: SparkSession, sf_dir: str, **chooser_kwargs):
     from ..sources.stats import column_ndv, table_rows
 
     t = _t(spark, sf_dir)
-    o = t["orders"].where(F.col("o_custkey") == 1).select(
+    o = t["orders"].where(F.col("o_custkey") == account).select(
         F.col("o_orderkey").alias("l_orderkey")
     )
     if "dim_rows" not in chooser_kwargs:
@@ -458,7 +460,12 @@ def get_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _get_key_accounts(spark: SparkSession, sf_dir: str, **chooser_kwargs):
+def _get_key_accounts(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str = "Brand#13",
+    **chooser_kwargs,
+):
     """Core of ``get_key_accounts`` with the key->holders semi-join
     planned by the cost-gated chooser from catalog stats (round-7
     verdict item 8: no static ``broadcast()`` hint). The dim is part
@@ -472,7 +479,7 @@ def _get_key_accounts(spark: SparkSession, sf_dir: str, **chooser_kwargs):
     t = _t(spark, sf_dir)
     keyed_parts = (
         t["part"]
-        .where(F.col("p_brand") == "Brand#13")
+        .where(F.col("p_brand") == key)
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     if "dim_rows" not in chooser_kwargs:

@@ -54,18 +54,21 @@ from .serving_cache import DEFAULT_TTLS, ResponseCache, timed_query
 _EVENT_NUMERIC = frozenset({"event_id", "user_id", "value"})
 
 
-def _qp(params: dict) -> QueryParams:
+def _qp(params: dict, terms: dict[str, str] | None = None) -> QueryParams:
     """Query-string dict → QueryParams (the fastify schema's shared
     history params, functions.ts:183-250: account/after/before/sort/
-    skip/limit plus free ``field=value`` terms)."""
-    terms: dict[str, str] = {}
-    if "account" in params:
-        terms["user_id"] = params["account"]
-    if "filter" in params:  # contract[:action] filter → event_type
-        terms["event_type"] = params["filter"].split(":", 1)[0]
-    for k, v in params.items():
-        if k.startswith("term."):  # explicit field term passthrough
-            terms[k[5:]] = v
+    skip/limit plus free ``field=value`` terms). ``terms`` lets a
+    route pre-map its own field names (get_deltas) while sharing the
+    paging/window parsing — one place to add a future guard."""
+    if terms is None:
+        terms = {}
+        if "account" in params:
+            terms["user_id"] = params["account"]
+        if "filter" in params:  # contract[:action] filter → event_type
+            terms["event_type"] = params["filter"].split(":", 1)[0]
+        for k, v in params.items():
+            if k.startswith("term."):  # explicit field term passthrough
+                terms[k[5:]] = v
     return QueryParams(
         terms=terms,
         after=params.get("after"),
@@ -101,18 +104,27 @@ class HyperionAPI:
             .select("event_id", "ts")
             .first()
         )
+        # an EMPTY lake is a degraded-but-alive service, not a crash:
+        # a load-balancer probe must get a response precisely when the
+        # service is newly up (health.ts reports per-service status
+        # the same way)
+        lake = (
+            {
+                "service": "Lake",
+                "status": "OK",
+                "service_data": {
+                    "last_indexed_block": head["event_id"],
+                    "last_indexed_block_time": str(head["ts"]),
+                },
+            }
+            if head is not None
+            else {"service": "Lake", "status": "Error", "service_data": {}}
+        )
         return {
             "version": "spark",
             "health": [
                 {"service": "SparkSession", "status": "OK"},
-                {
-                    "service": "Lake",
-                    "status": "OK",
-                    "service_data": {
-                        "last_indexed_block": head["event_id"],
-                        "last_indexed_block_time": str(head["ts"]),
-                    },
-                },
+                lake,
             ],
         }
 
@@ -173,14 +185,7 @@ class HyperionAPI:
             terms["user_id"] = params["scope"]
         if "payer" in params:
             terms["payer"] = params["payer"]
-        qp = QueryParams(
-            terms=terms,
-            after=params.get("after"),
-            before=params.get("before"),
-            sort=params.get("sort", "desc"),
-            skip=int(params.get("skip", 0)),
-            limit=int(params.get("limit", 100)),
-        )
+        qp = _qp(params, terms=terms)
         return get_actions_with_envelope(
             self.spark,
             ev,
@@ -250,45 +255,28 @@ class HyperionAPI:
 
     def get_tokens(self, params: dict) -> dict:
         """routes/v2-state/get_tokens (get_tokens.ts:63-72): account →
-        held symbols. Same mapping as the registered ``get_tokens``
-        (account predicate prunes orders, semi-join into lineitem)."""
+        held symbols — the SAME stats-planned chooser core the
+        registered ``get_tokens`` serves (endpoints_ext._get_tokens),
+        parameterized by account, so the HTTP plan can never drift
+        from the oracle-checked one."""
+        from .endpoints_ext import _get_tokens
+
         account = int(params["account"])
-        t = _t(self.spark, self.sf_dir)
-        o = t["orders"].where(F.col("o_custkey") == account).select(
-            F.col("o_orderkey").alias("l_orderkey")
-        )
-        rows = (
-            t["lineitem"]
-            .join(F.broadcast(o), "l_orderkey", "left_semi")
-            .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
-            .groupBy(F.col("p_brand").alias("symbol"))
-            .agg(
-                F.round(F.sum("l_quantity"), 4).alias("amount"),
-                F.count("*").alias("holdings"),
-            )
-            .orderBy("symbol")
-            .collect()
-        )
-        return {"account": account, "tokens": [r.asDict() for r in rows]}
+        df, _ = _get_tokens(self.spark, self.sf_dir, account=account)
+        return {
+            "account": account,
+            "tokens": [r.asDict() for r in df.collect()],
+        }
 
     def get_key_accounts(self, params: dict) -> dict:
         """routes/v2-state/get_key_accounts: key → controlled
-        accounts (same plan family as the registered query)."""
-        key = params["public_key"]
-        t = _t(self.spark, self.sf_dir)
-        keyed = t["part"].where(F.col("p_brand") == key).select(
-            F.col("p_partkey").alias("l_partkey")
+        accounts via the registered query's chooser core."""
+        from .endpoints_ext import _get_key_accounts
+
+        df, _ = _get_key_accounts(
+            self.spark, self.sf_dir, key=params["public_key"]
         )
-        rows = (
-            t["lineitem"]
-            .join(F.broadcast(keyed), "l_partkey", "left_semi")
-            .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-            .select(F.col("o_custkey").alias("account"))
-            .distinct()
-            .orderBy("account")
-            .collect()
-        )
-        return {"account_names": [r["account"] for r in rows]}
+        return {"account_names": [r["account"] for r in df.collect()]}
 
     # -- routing table ----------------------------------------------------
     @property
@@ -322,8 +310,12 @@ class HyperionAPI:
         ``event_id > last`` row groups, so a poll on an idle lake is
         metadata-cheap). The tail ends at ``read_until`` or after
         ``idle_timeout`` seconds without arrivals."""
-        import time as _time
-
+        # parse/validate EAGERLY — this function must raise for bad
+        # params BEFORE the handler commits a 200 + event-stream
+        # header (a generator would defer the int()/float() failures
+        # into mid-stream); read_until=0 is the reference's
+        # "no end" convention (filters.py:compile_request skips the
+        # bound the same way)
         req = StreamRequest(
             contract=params.get("contract", "*"),
             action=params.get("action", "*"),
@@ -335,17 +327,33 @@ class HyperionAPI:
             if "read_until" in params
             else None,
         )
+        read_until = req.read_until if req.read_until else None
         follow = params.get("follow") == "true"
         poll_sec = float(params.get("poll_sec", "0.5"))
         idle_timeout = float(params.get("idle_timeout", "30"))
+        return self._stream_iter(
+            req, read_until, follow, poll_sec, idle_timeout
+        )
+
+    def _stream_iter(self, req, read_until, follow, poll_sec, idle_timeout):
+        import time as _time
+
+        from ..tables import _load_one
+
+        # the nanos-timestamp shim normally set by load_tables — a
+        # stream-only client may be this session's first reader
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = StreamSchema(json_col=None)
         last = (req.start_from or 0) - 1
         deadline = _time.monotonic() + idle_timeout
 
         def batch(after: int):
-            # fresh load per poll: new spool files must be visible
-            # (the DataFrame's file listing is bound at creation)
-            ev = _t(self.spark, self.sf_dir)["events"]
+            # fresh load of ONLY the events table per poll: new spool
+            # files must be visible (a DataFrame's file listing is
+            # bound at creation), and a follow-mode subscriber polls
+            # twice a second — re-reading the whole 10-table catalog
+            # here was pure driver overhead
+            ev = _load_one(self.spark, f"{self.sf_dir}/events.parquet")
             return (
                 ev.where(
                     compile_request(ev, req, schema)
@@ -366,7 +374,7 @@ class HyperionAPI:
                 last = d["event_id"]
                 got_any = True
                 yield d
-            if req.read_until is not None and last >= req.read_until:
+            if read_until is not None and last >= read_until:
                 return
             if not follow:
                 return
@@ -408,7 +416,19 @@ def make_server(
             except ValueError as e:
                 self._reply(400, {"error": f"bad JSON body: {e}"})
                 return
-            self._dispatch({str(k): str(v) for k, v in body.items()})
+            # canonicalize to query-string form so typed JSON behaves
+            # exactly like its GET twin: booleans become the lowercase
+            # "true"/"false" the flag checks compare against
+            self._dispatch(
+                {
+                    str(k): (
+                        "true" if v is True
+                        else "false" if v is False
+                        else str(v)
+                    )
+                    for k, v in body.items()
+                }
+            )
 
         def do_GET(self) -> None:  # noqa: N802 (stdlib API name)
             url = urlsplit(self.path)

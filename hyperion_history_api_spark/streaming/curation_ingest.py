@@ -82,6 +82,7 @@ def make_curation_sink(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     compact_every: int | None = 8,
+    assume_small_batch: bool = True,
 ):
     """foreachBatch sink for the composed curation pipeline.
 
@@ -100,6 +101,12 @@ def make_curation_sink(
     benchmark grams and the index store's frame cache) — call it when
     the streaming query terminates; the sink must not be invoked
     afterwards.
+
+    ``assume_small_batch`` (default True) asserts every micro-batch
+    fits the dedup probe's 64 MB broadcast gate, skipping the
+    per-wave gate count (~17% of steady wave latency). Pass False for
+    feeds that may replay bulk-sized spool files — those batches pay
+    the counted gate and fall back to a shuffle join.
     """
     from ..operators.decontam import clean_corpus
 
@@ -188,7 +195,7 @@ def make_curation_sink(
                     # batch build): skip the probe-side count gate and
                     # fold the split materialization into the shingle
                     # checkpoint job (round-8 per-wave cut)
-                    assume_small_batch=True,
+                    assume_small_batch=assume_small_batch,
                 )
                 # all six write legs (pairs, clean, 4 index frames)
                 # run concurrently on the commit's thread pool, behind

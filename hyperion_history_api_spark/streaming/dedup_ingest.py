@@ -382,12 +382,21 @@ def make_dedup_sink(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     compact_every: int | None = 8,
+    assume_small_batch: bool = True,
 ):
     """foreachBatch sink: probe -> append pairs -> delta-commit the
     index additions (O(batch) IO, history hard-linked forward), with
     an automatic compaction every ``compact_every`` delta commits so
     probe cost stays flat over a long ingest run.
-    Returns ``(sink, paths)`` like ``make_ingest_sink``."""
+    Returns ``(sink, paths)`` like ``make_ingest_sink``.
+
+    ``assume_small_batch`` (default True) asserts every micro-batch
+    fits the probe's 64 MB broadcast gate, skipping the per-wave gate
+    count (worth ~17% of steady wave latency,
+    STREAM_CURATION_BENCH_r08). Pass False for feeds that may replay
+    BULK-sized spool files (maxFilesPerTrigger caps files, not rows)
+    — those batches then pay the counted gate and fall back to a
+    shuffle join instead of a giant broadcast."""
     store = DedupIndexStore(
         spark,
         os.path.join(out_dir, "dedup_index"),
@@ -423,7 +432,7 @@ def make_dedup_sink(
                     # foreachBatch micro-batches: skip the probe-side
                     # count gate, fold the split materialization into
                     # the shingle checkpoint job (round-8)
-                    assume_small_batch=True,
+                    assume_small_batch=assume_small_batch,
                 )
                 store.commit_delta(
                     delta,

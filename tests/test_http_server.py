@@ -286,3 +286,39 @@ def test_more_routes_and_post_bodies(server, spark):
         assert creator["creator"] is None
     else:
         assert creator["creation_seq"] == first["event_id"]
+
+
+def test_review_fixes_stream_400_post_bools_empty_health(server, spark, tmp_path):
+    """Round-8 review regressions: bad stream params 400 BEFORE any
+    SSE headers; POSTed JSON booleans behave like their query-string
+    twins; an empty lake degrades /v2/health instead of crashing."""
+    base, _ = server
+    # 1. eager stream validation: a non-numeric start_from is a 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/v2/stream?start_from=abc")
+    assert ei.value.code == 400
+    # 2. POST {"simple": true} == GET simple=true (simple_actions key)
+    req = urllib.request.Request(
+        base + "/v2/history/get_actions",
+        data=json.dumps({"account": 7, "limit": 3, "simple": True}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert "simple_actions" in body and "actions" not in body
+    # 3. empty lake: health answers with a degraded Lake status
+    import shutil
+    lake = tmp_path / "empty"
+    lake.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    ev = load_tables(spark, SF_DIR)["events"]
+    ev.limit(0).write.parquet(str(lake / "events.parquet"))
+    from hyperion_history_api_spark.api.http_server import HyperionAPI as H
+    api2 = H(spark, str(lake))
+    health = api2.health({})
+    assert health["health"][1]["status"] == "Error"

@@ -304,3 +304,23 @@ def test_cached_frames_advance_in_place_across_delta_commits(
     idx = store.read()
     assert _frame_rows(idx) == before
     assert store._cache_base is not None and store._cache_base is not base
+
+
+def test_assume_small_batch_off_counts_the_gate(spark, tmp_path):
+    """make_dedup_sink(assume_small_batch=False) routes every batch
+    through the COUNTED probe-broadcast gate (the bulk-spool-replay
+    configuration): output pairs are identical to the asserted-path
+    sink over the same waves."""
+    docs = _docs(spark)
+    outs = {}
+    for flag in (True, False):
+        sink, paths = make_dedup_sink(
+            spark,
+            str(tmp_path / f"out_{flag}"),
+            threshold=0.5,
+            assume_small_batch=flag,
+        )
+        for w in range(3):
+            sink(docs.where(F.col("doc_id") % 3 == w), w)
+        outs[flag] = _pairs_set(read_pairs(spark, paths["pairs"]))
+    assert outs[True] == outs[False] and outs[True]
