@@ -78,6 +78,10 @@ _SHOWCASE: list[str] = [
     # round 8 (item 7): the curation sink's per-wave overhead cuts
     # must keep stream == batch == SQL
     "stream_curation_rollup",
+    # round 8 (new capabilities): the ES bulk connector's exact
+    # NDJSON bytes and the temperature-scaled source mix
+    "es_bulk_index_ops",
+    "doc_source_temperature_mix",
     # never-driver-checked families (verdict item 6): PQ/IVFADC,
     # packing, decontamination, v1 pos/offset, table handlers
     "embedding_ivfpq_topk",
