@@ -278,6 +278,39 @@ class HyperionAPI:
         )
         return {"account_names": [r["account"] for r in df.collect()]}
 
+    def get_table_rows(self, params: dict) -> dict:
+        """routes/v2-state/get_table_rows: the dynamic-table endpoint
+        with the Mongo find-grammar ``filters`` param
+        (get_table_rows.ts:76-129) — POST a JSON object like
+        ``{"table": "orders", "filters": {"o_totalprice":
+        {"$gt": 50000}}, "limit": 20}``; every clause compiles to one
+        Column predicate that lands in the scan's PushedFilters
+        (plans/mongo_query.py)."""
+        from ..plans.mongo_query import compile_mongo_query
+        from ..tables import TABLE_NAMES
+
+        table = params.get("table", "orders")
+        if table not in TABLE_NAMES:
+            raise ValueError(f"unknown table {table!r}")
+        filters = params.get("filters", "{}")
+        if isinstance(filters, str):
+            filters = json.loads(filters)
+        limit = min(int(params.get("limit", 100)), 1000)
+        df = _t(self.spark, self.sf_dir)[table]
+        pred = compile_mongo_query(df, filters) if filters else F.lit(True)
+        key = df.columns[0]
+        rows = (
+            df.where(pred).orderBy(key).limit(limit).collect()
+        )
+        return {
+            "table": table,
+            "rows": [
+                {k: (str(v) if hasattr(v, "isoformat") else v)
+                 for k, v in r.asDict().items()}
+                for r in rows
+            ],
+        }
+
     # -- routing table ----------------------------------------------------
     @property
     def routes(self) -> dict:
@@ -291,6 +324,7 @@ class HyperionAPI:
             "/v2/state/get_tokens": self.get_tokens,
             "/v2/state/get_key_accounts": self.get_key_accounts,
             "/v2/state/get_top_holders": self.get_top_holders,
+            "/v2/state/get_table_rows": self.get_table_rows,
         }
 
     # -- SSE stream (socketManager.ts replay path) -------------------------
@@ -418,12 +452,15 @@ def make_server(
                 return
             # canonicalize to query-string form so typed JSON behaves
             # exactly like its GET twin: booleans become the lowercase
-            # "true"/"false" the flag checks compare against
+            # "true"/"false" the flag checks compare against, and
+            # nested objects/arrays stay JSON text (a GET would carry
+            # them URL-encoded the same way)
             self._dispatch(
                 {
                     str(k): (
                         "true" if v is True
                         else "false" if v is False
+                        else json.dumps(v) if isinstance(v, (dict, list))
                         else str(v)
                     )
                     for k, v in body.items()

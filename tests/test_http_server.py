@@ -322,3 +322,40 @@ def test_review_fixes_stream_400_post_bools_empty_health(server, spark, tmp_path
     api2 = H(spark, str(lake))
     health = api2.health({})
     assert health["health"][1]["status"] == "Error"
+
+
+def test_get_table_rows_mongo_filters_over_post(server, spark):
+    """The dynamic-table endpoint: POSTed Mongo find-grammar filters
+    compile to pushed predicates; results equal the engine plan."""
+    base, _ = server
+    filters = {
+        "o_orderstatus": {"$in": ["O", "F"]},
+        "o_totalprice": {"$gt": 50000, "$lte": 200000},
+    }
+    req = urllib.request.Request(
+        base + "/v2/state/get_table_rows",
+        data=json.dumps(
+            {"table": "orders", "filters": filters, "limit": 15}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    o = load_tables(spark, SF_DIR)["orders"]
+    want = [
+        r["o_orderkey"]
+        for r in o.where(
+            F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_totalprice") > 50000)
+            & (F.col("o_totalprice") <= 200000)
+        )
+        .orderBy("o_orderkey")
+        .limit(15)
+        .collect()
+    ]
+    assert [row["o_orderkey"] for row in body["rows"]] == want and want
+    # unknown table → 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/v2/state/get_table_rows?table=nope")
+    assert ei.value.code == 400
