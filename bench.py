@@ -72,10 +72,20 @@ def main() -> None:
     # resident session does anyway; here it just stops GC timing from
     # being attributed to whichever query runs next.
     import gc
+    import time as _time
 
     def _scrub() -> None:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # two rounds: the first python collect releases the py4j
+        # handles of dead DataFrames, the JVM gc then frees their
+        # RDDs, which queues ContextCleaner block removals — a second
+        # round (after a beat) reaps what the cleaner just
+        # unreferenced. One round measured enough at sf0.1 but left
+        # ~2x ingest debt at sf3 (SCALE_r08 recheck: 16.1k in-bench
+        # vs 35.4k isolated).
+        for _ in range(2):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _time.sleep(0.3)
 
     _scrub()
     sentinel_before = _load_sentinel()
