@@ -185,7 +185,9 @@ def check_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v1_trace_get_block(spark: SparkSession, sf_dir: str, **chooser_kwargs):
+def _v1_trace_get_block(
+    spark: SparkSession, sf_dir: str, lo: int = 1, hi: int = 160, **chooser_kwargs
+):
     """Core of ``v1_trace_get_block``, chooser-planned from catalog
     facts (round-7 verdict item 8) — and the first genuinely
     SCAN-DOMINATED page path: both sides are pruned to the page's key
@@ -199,7 +201,6 @@ def _v1_trace_get_block(spark: SparkSession, sf_dir: str, **chooser_kwargs):
     from ..operators.skew import choose_join_strategy
     from ..sources.stats import column_ndv, table_rows
 
-    lo, hi = 1, 160
     t = _t(spark, sf_dir)
     o = t["orders"].where(F.col("o_orderkey").between(lo, hi)).select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"

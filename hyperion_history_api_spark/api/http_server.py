@@ -53,6 +53,19 @@ from .serving_cache import DEFAULT_TTLS, ResponseCache, timed_query
 
 _EVENT_NUMERIC = frozenset({"event_id", "user_id", "value"})
 
+#: hard cap on any route's collected page — the reference's fastify
+#: schema rejects limit > 1000 (functions.ts skip/limit guards); a
+#: route that let a raw ``limit`` reach ``.limit().collect()`` would
+#: serialize an entire table onto the serving driver.
+MAX_LIMIT = 1000
+
+
+def _limit(params: dict, default: int = 100) -> int:
+    n = int(params.get("limit", default))
+    if n < 0:
+        raise ValueError(f"limit must be >= 0, got {n}")
+    return min(n, MAX_LIMIT)
+
 
 def _qp(params: dict, terms: dict[str, str] | None = None) -> QueryParams:
     """Query-string dict → QueryParams (the fastify schema's shared
@@ -94,6 +107,15 @@ class HyperionAPI:
         self.cache = cache if cache is not None else ResponseCache(
             ttls=dict(DEFAULT_TTLS)
         )
+        # per-route request totals served by /v2/stats/get_api_usage
+        # (the reference aggregates the same counters from its
+        # rate-limiter store)
+        self.usage: dict[str, int] = {}
+        self._usage_lock = threading.Lock()
+
+    def count_request(self, route: str) -> None:
+        with self._usage_lock:
+            self.usage[route] = self.usage.get(route, 0) + 1
 
     # -- v2 (routes/v2/health) -----------------------------------------
     def health(self, params: dict) -> dict:
@@ -207,7 +229,7 @@ class HyperionAPI:
             t["customer"]
             .join(creator, F.col("c_nationkey") == F.col("n_nationkey"))
             .orderBy(F.col("c_custkey").desc())
-            .limit(int(params.get("limit", 100)))
+            .limit(_limit(params))
             .select(
                 F.col("c_custkey").alias("account"),
                 F.col("c_name").alias("account_name"),
@@ -244,7 +266,7 @@ class HyperionAPI:
         cust = _t(self.spark, self.sf_dir)["customer"]
         rows = (
             cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-            .limit(int(params.get("limit", 20)))
+            .limit(_limit(params, default=20))
             .select(
                 F.col("c_custkey").alias("account"),
                 F.round("c_acctbal", 4).alias("amount"),
@@ -295,7 +317,7 @@ class HyperionAPI:
         filters = params.get("filters", "{}")
         if isinstance(filters, str):
             filters = json.loads(filters)
-        limit = min(int(params.get("limit", 100)), 1000)
+        limit = _limit(params)
         df = _t(self.spark, self.sf_dir)[table]
         pred = compile_mongo_query(df, filters) if filters else F.lit(True)
         key = df.columns[0]
@@ -314,7 +336,15 @@ class HyperionAPI:
     # -- routing table ----------------------------------------------------
     @property
     def routes(self) -> dict:
-        return {
+        """The full REST surface: the handlers here plus the
+        :mod:`.http_routes` extension families (v2-history tail,
+        v2-state, v2-stats, v2 misc, v1 shims) — the reference
+        autoloads every route dir the same way (routes.ts:18-25)."""
+        from functools import partial
+
+        from .http_routes import EXTRA_ROUTES
+
+        base = {
             "/v2/health": self.health,
             "/v2/history/get_actions": self.get_actions,
             "/v2/history/get_deltas": self.get_deltas,
@@ -325,6 +355,9 @@ class HyperionAPI:
             "/v2/state/get_key_accounts": self.get_key_accounts,
             "/v2/state/get_top_holders": self.get_top_holders,
             "/v2/state/get_table_rows": self.get_table_rows,
+        }
+        return base | {
+            path: partial(fn, self) for path, fn in EXTRA_ROUTES.items()
         }
 
     # -- SSE stream (socketManager.ts replay path) -------------------------
@@ -474,6 +507,7 @@ def make_server(
         def _dispatch(self, params: dict) -> None:
             url = urlsplit(self.path)
             if url.path == "/v2/stream":
+                api.count_request(url.path)
                 try:
                     rows = api.stream_rows(params)
                 except (KeyError, ValueError) as e:
@@ -492,6 +526,7 @@ def make_server(
             if handler is None:
                 self._reply(404, {"error": f"no route {url.path}"})
                 return
+            api.count_request(url.path)
             try:
                 body = timed_query(
                     api.cache,
@@ -504,6 +539,22 @@ def make_server(
                 self._reply(400, {"error": str(e)})
             except (KeyError, ValueError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                # user-controlled input can reach Catalyst analysis
+                # (e.g. get_table_rows filters naming an unknown
+                # column): the reference 400s on filter-processing
+                # errors; anything else is a 500 JSON body instead of
+                # a dropped connection + handler-thread traceback
+                if type(e).__name__ in (
+                    "AnalysisException",
+                    "PySparkValueError",
+                    "PySparkTypeError",
+                ):
+                    self._reply(400, {"error": f"bad request: {e}"})
+                else:
+                    self._reply(
+                        500, {"error": f"internal error: {type(e).__name__}: {e}"}
+                    )
 
     return ThreadingHTTPServer((host, port), Handler)
 

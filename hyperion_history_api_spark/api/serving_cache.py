@@ -66,7 +66,11 @@ class ResponseCache:
             return None
         expires, payload = entry
         if self.clock() >= expires:
-            del self._store[key]  # lazy expiry, like Redis TTL
+            # lazy expiry, like Redis TTL; pop(key, None) not del —
+            # under ThreadingHTTPServer two readers can race to expire
+            # the same key, and the loser's KeyError would surface as
+            # a spurious 400 on a valid request
+            self._store.pop(key, None)
             self.misses += 1
             return None
         self.hits += 1
@@ -125,4 +129,6 @@ DEFAULT_TTLS: dict[str, float] = {
     "/v2/stats/get_trx_count": 60.0,
     "/v2/stats/get_resource_usage": 300.0,
     "/v2/health": 10.0,
+    # live serving counters must never serve stale (TTL 0 = no cache)
+    "/v2/stats/get_api_usage": 0.0,
 }

@@ -53,15 +53,38 @@ def unique_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unique_actors_approx",
-    None,  # approximate (HLL) — no exact oracle; rows-only check
-    "A3 cardinality agg, approx variant (ES HyperLogLog semantics)",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS within_bound
+    FROM events
+    """,
+    "A3 cardinality agg, approx variant (ES HyperLogLog semantics) — "
+    "oracle-gated: the twin computes the exact distinct and the Spark "
+    "side asserts the HLL estimate lands within 5x its rsd of it "
+    "(within_bound flips false -> hash FAIL if the sketch drifts), "
+    "the same assertion-twin pattern as embedding_lsh_recall",
 )
 def unique_actors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`approx_count_distinct` = ES cardinality: HLL sketch, constant
     memory per group — the 100 TB path where exact distinct would
-    shuffle every key."""
+    shuffle every key. The serving answer is the ESTIMATE; this
+    registry row is its honesty gate: both aggregates run in ONE scan
+    and the hashed output is (exact, estimate-within-bound), so the
+    oracle check fails exactly when the HLL answer would be wrong
+    beyond its advertised rsd (0.01, 5-sigma tolerance)."""
     ev = _t(spark, sf_dir)["events"]
-    return ev.agg(F.approx_count_distinct("user_id", 0.01).alias("unique_actors"))
+    rsd = 0.01
+    agg = ev.agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd).alias("est"),
+    )
+    return agg.select(
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 5 * rsd * F.col("exact_distinct") + 1
+        ).alias("within_bound"),
+    )
 
 
 @register(

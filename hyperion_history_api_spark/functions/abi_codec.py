@@ -14,6 +14,10 @@ all per the public Antelope serialization spec:
   ASCII code, NUL-padded).
 - ``string``: varuint32 length prefix + UTF-8 bytes.
 - ``uint64``: LE.
+- plus the primitives the SHIP outer envelope needs
+  (``sources/ship_envelope.py``): ``uint32`` LE, ``bool`` (one byte,
+  0/1 strict), ``checksum256`` (32 raw bytes <-> hex string),
+  ``bytes`` (varuint32 length prefix + raw).
 
 Decoding is STRICT: short reads raise, and trailing bytes after the
 last field raise — so decoding a blob against the wrong ABI version
@@ -113,6 +117,18 @@ def _encode_one(ftype: str, value) -> bytes:
         return struct.pack("<Q", name_to_u64(value))
     if ftype == "uint64":
         return struct.pack("<Q", int(value))
+    if ftype == "uint32":
+        return struct.pack("<I", int(value))
+    if ftype == "bool":
+        return b"\x01" if value else b"\x00"
+    if ftype == "checksum256":
+        raw = bytes.fromhex(value) if isinstance(value, str) else bytes(value)
+        if len(raw) != 32:
+            raise AbiDecodeError(f"checksum256 needs 32 bytes, got {len(raw)}")
+        return raw
+    if ftype == "bytes":
+        raw = bytes(value)
+        return _write_varuint32(len(raw)) + raw
     if ftype == "asset":
         amount_units, precision, code = value  # (int, int, str)
         sym = bytes([precision]) + code.encode("ascii").ljust(7, b"\x00")
@@ -128,6 +144,17 @@ def _decode_one(ftype: str, rd: _Reader):
         return u64_to_name(struct.unpack("<Q", rd.take(8))[0])
     if ftype == "uint64":
         return struct.unpack("<Q", rd.take(8))[0]
+    if ftype == "uint32":
+        return struct.unpack("<I", rd.take(4))[0]
+    if ftype == "bool":
+        b = rd.take(1)[0]
+        if b > 1:
+            raise AbiDecodeError(f"bad bool byte {b:#x}")
+        return bool(b)
+    if ftype == "checksum256":
+        return rd.take(32).hex()
+    if ftype == "bytes":
+        return rd.take(rd.varuint32())
     if ftype == "asset":
         amount_units = struct.unpack("<q", rd.take(8))[0]
         sym = rd.take(8)

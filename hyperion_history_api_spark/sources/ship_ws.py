@@ -29,15 +29,26 @@ environment, and none is needed — RFC 6455 is ~150 lines):
      credit window (ackBlockRange, state-reader.ts:972-974) — the
      SHIP backpressure protocol, honored bidirectionally by the test
      server (it BLOCKS with zero credit);
-   - fork signals restart the window below the fork point, mirroring
-     the reader's fork handling.
+   - **forks**: SHIP signals a fork by streaming the NEW chain's
+     blocks starting at the fork point — a ``this_block.block_num``
+     at or below one already delivered. ``read_range`` detects the
+     regression and invokes ``on_fork(fork_num)``; ``spool_range``
+     uses it to DROP stale spool rows (buffered rows discarded,
+     already-flushed files rewritten atomically without the stale
+     tail) before landing the new chain, so a tail that starts after
+     the spool completes sees exactly one row per block. A tail that
+     already consumed stale rows relies on the downstream fork
+     retraction (``streaming/state_store.py`` fork rollback) — the
+     reference splits the work the same way (reader restart +
+     indexer fork events).
 
-   Envelope encoding: the reference serializes the outer request/
-   result union with the node's EOSIO ABI. This reader speaks a JSON
-   envelope (documented divergence — the union layout is chain-
-   specific wire detail, not query semantics) while the block
-   PAYLOADS inside stay binary and flow through the repo's real ABI
-   codec (``functions/abi_codec.py``) on the Spark side.
+   Envelope encoding: by default the outer request/result unions are
+   the node ABI's BINARY variant layout (``ship_envelope.py`` — the
+   reference deserializes with the same ABI, state-reader.ts:612-735);
+   ``envelope="json"`` keeps the previous JSON envelope as a debug
+   mode (human-readable frames against stand-in servers). Block
+   PAYLOADS inside are binary either way and flow through the repo's
+   ABI codec (``functions/abi_codec.py``) on the Spark side.
 
 Scale shape: one reader = one connection = one block range, exactly
 the reference's parallel-reader layout; a deployment runs R readers
@@ -258,7 +269,11 @@ class ShipReader:
         fetch_block: bool = True,
         fetch_traces: bool = True,
         fetch_deltas: bool = True,
+        envelope: str = "binary",
     ) -> None:
+        if envelope not in ("binary", "json"):
+            raise ValueError(f"envelope must be binary|json, not {envelope!r}")
+        self.envelope = envelope
         self.ws = WebSocketClient(host, port)
         self.in_flight = max_messages_in_flight
         self.base_request = {  # state-reader.ts:116-128 baseRequest
@@ -270,7 +285,10 @@ class ShipReader:
             "fetch_deltas": fetch_deltas,
         }
         # first frame after connect is the node's ABI (onConnect →
-        # init_abi, state-reader.ts:806-813); answer get_status
+        # init_abi, state-reader.ts:806-813) — a TEXT frame carrying
+        # the JSON ABI in BOTH envelope modes (that is how the real
+        # plugin ships it; everything after is binary); answer
+        # get_status
         op, payload = self.ws.recv()
         assert op == OP_TEXT, "SHIP must push its ABI first"
         self.ship_abi = json.loads(payload)
@@ -279,19 +297,36 @@ class ShipReader:
         assert tag == "get_status_result_v0"
 
     def _send(self, req) -> None:
-        self.ws.send(json.dumps(req).encode(), OP_BINARY)
+        if self.envelope == "binary":
+            from .ship_envelope import encode_request
+
+            self.ws.send(encode_request(req[0], req[1]), OP_BINARY)
+        else:
+            self.ws.send(json.dumps(req).encode(), OP_BINARY)
 
     def _recv(self):
         msg = self.ws.recv()
         if msg is None:
             raise ConnectionError("SHIP closed the connection")
+        if self.envelope == "binary":
+            from .ship_envelope import decode_result
+
+            return decode_result(msg[1])
         tag, body = json.loads(msg[1])
         return tag, body
 
-    def read_range(self, start: int, end: int):
+    def read_range(self, start: int, end: int, *, on_fork=None):
         """Yield result payloads for [start, end] (inclusive), acking
         each message (ackBlockRange — ack batches of 1, the
-        non-abi-scan path of processIncomingBlocks:384-397)."""
+        non-abi-scan path of processIncomingBlocks:384-397).
+
+        Fork protocol: a ``this_block.block_num`` at or below the last
+        delivered block means the chain forked and the server is now
+        streaming the replacement chain from the fork point (SHIP
+        resumes in-stream; no re-request is required). The reader
+        calls ``on_fork(fork_num)`` BEFORE yielding the replacement
+        block so a sink can drop rows >= fork_num, then continues the
+        window from the new chain."""
         req = dict(self.base_request)
         req["start_block_num"] = start
         req["end_block_num"] = end
@@ -300,70 +335,121 @@ class ShipReader:
         while expected <= end:
             tag, body = self._recv()
             if tag != "get_blocks_result_v0":
-                continue  # status/fork notices interleave
+                continue  # status notices interleave
             if body.get("this_block") is None:
                 break  # head reached below the requested end
+            num = body["this_block"]["block_num"]
+            if num < expected and on_fork is not None:
+                on_fork(num)
             yield body
-            expected = body["this_block"]["block_num"] + 1
+            expected = num + 1
             self._send(
                 ["get_blocks_ack_request_v0", {"num_messages": 1}]
             )
 
     def spool_range(
-        self, start: int, end: int, spool_dir: str, *, rows_per_file: int = 512
+        self,
+        start: int,
+        end: int,
+        spool_dir: str,
+        *,
+        rows_per_file: int = 512,
+        file_prefix: str = "spool-",
     ) -> int:
         """Drain [start, end] into parquet spool files (block_num,
         block_id, payload binary) — the bridge into
         ``streaming/ingest.read_event_stream``'s file tail. Returns
-        blocks spooled. Files appear atomically (write + rename) so a
-        concurrent file stream never reads a partial file."""
+        blocks spooled (net of fork-dropped rows). Files appear
+        atomically (write + rename) so a concurrent file stream never
+        reads a partial file; ``file_prefix`` keeps parallel readers'
+        files range-disjoint inside ONE flat directory
+        (:func:`parallel_backfill`).
+
+        Forks: on a block-number regression the stale tail is dropped
+        BEFORE the replacement chain lands — buffered rows >=
+        fork_num are discarded and any already-flushed file whose
+        range reaches fork_num is atomically rewritten without its
+        stale rows (deleted if nothing survives), so the finished
+        spool holds exactly one row per block, all from the winning
+        chain."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         os.makedirs(spool_dir, exist_ok=True)
         rows: list[dict] = []
         n_files = 0
-        total = 0
+        # flushed file -> (path, max block_num it contains); forks are
+        # near the head, so at most the last file or two rewrite
+        flushed: list[tuple[str, int]] = []
+
+        def _table(rs: list[dict]) -> "pa.Table":
+            return pa.table(
+                {
+                    "block_num": pa.array(
+                        [r["block_num"] for r in rs], pa.int64()
+                    ),
+                    "block_id": pa.array(
+                        [r["block_id"] for r in rs], pa.string()
+                    ),
+                    "payload": pa.array(
+                        [r["payload"] for r in rs], pa.binary()
+                    ),
+                }
+            )
+
+        def _atomic_write(table: "pa.Table", path: str) -> None:
+            tmp = os.path.join(
+                spool_dir, f".{os.path.basename(path)}.tmp"
+            )
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)
 
         def flush() -> None:
             nonlocal n_files
             if not rows:
                 return
-            table = pa.table(
-                {
-                    "block_num": pa.array(
-                        [r["block_num"] for r in rows], pa.int64()
-                    ),
-                    "block_id": pa.array(
-                        [r["block_id"] for r in rows], pa.string()
-                    ),
-                    "payload": pa.array(
-                        [r["payload"] for r in rows], pa.binary()
-                    ),
-                }
+            path = os.path.join(
+                spool_dir, f"{file_prefix}{n_files:06d}.parquet"
             )
-            tmp = os.path.join(spool_dir, f".spool-{n_files:06d}.tmp")
-            pq.write_table(table, tmp)
-            os.replace(
-                tmp, os.path.join(spool_dir, f"spool-{n_files:06d}.parquet")
-            )
+            _atomic_write(_table(rows), path)
+            flushed.append((path, max(r["block_num"] for r in rows)))
             n_files += 1
             rows.clear()
 
-        for body in self.read_range(start, end):
+        def on_fork(fork_num: int) -> None:
+            rows[:] = [r for r in rows if r["block_num"] < fork_num]
+            while flushed and flushed[-1][1] >= fork_num:
+                path, _ = flushed.pop()
+                tbl = pq.read_table(path)
+                keep = tbl.filter(
+                    pa.compute.less(tbl["block_num"], fork_num)
+                )
+                if keep.num_rows:
+                    _atomic_write(keep, path)
+                    flushed.append(
+                        (path, keep["block_num"].to_pylist()[-1])
+                    )
+                else:
+                    os.remove(path)
+
+        for body in self.read_range(start, end, on_fork=on_fork):
             blk = body["this_block"]
+            payload = body.get("block") or b""
+            if isinstance(payload, str):  # JSON envelope: base64 text
+                payload = base64.b64decode(payload)
             rows.append(
                 {
                     "block_num": blk["block_num"],
                     "block_id": blk["block_id"],
-                    "payload": base64.b64decode(body.get("block") or b""),
+                    "payload": bytes(payload),
                 }
             )
-            total += 1
             if len(rows) >= rows_per_file:
                 flush()
         flush()
-        return total
+        return sum(
+            pq.read_metadata(path).num_rows for path, _ in flushed
+        )
 
     def close(self) -> None:
         self.ws.close()
@@ -384,13 +470,15 @@ def parallel_backfill(
     *,
     max_messages_in_flight: int = 8,
     rows_per_file: int = 512,
+    envelope: str = "binary",
 ) -> int:
     """The reference's parallel-reader backfill layout
     (state-reader.ts is spawned once per block range by the master,
     hyperion-master.ts worker map): one :class:`ShipReader`
-    connection per range, all spooling into ONE directory under
-    range-disjoint file prefixes, so the downstream file stream sees
-    a single growing lake. Returns total blocks spooled.
+    connection per range, all spooling into ONE flat directory under
+    range-disjoint file prefixes (``range-{lo:012d}-NNNNNN.parquet``),
+    so the downstream file stream globs a single growing lake with no
+    recursive lookup. Returns total blocks spooled.
 
     Threads (not processes): each reader is IO-bound socket work —
     the GIL is released in socket recv — and the parquet spool writes
@@ -407,14 +495,18 @@ def parallel_backfill(
     def run(i: int, lo: int, hi: int) -> None:
         try:
             reader = ShipReader(
-                host, port, max_messages_in_flight=max_messages_in_flight
+                host,
+                port,
+                max_messages_in_flight=max_messages_in_flight,
+                envelope=envelope,
             )
             try:
                 totals[i] = reader.spool_range(
                     lo,
                     hi,
-                    os.path.join(spool_dir, f"range-{lo:012d}"),
+                    spool_dir,
                     rows_per_file=rows_per_file,
+                    file_prefix=f"range-{lo:012d}-",
                 )
             finally:
                 reader.close()

@@ -128,11 +128,37 @@ def make_curation_sink(
     # exclude via an isin() predicate folded into the batch scan —
     # the previous per-wave broadcast anti-join cost one broadcast
     # build job round every micro-batch for the same constant set
-    # (round-8: part of the per-wave fixed-overhead budget)
-    eval_id_list = [r[0] for r in eval_docs.select(id_col).collect()]
+    # (round-8: part of the per-wave fixed-overhead budget).
+    # Guardrails (round-9 ADVICE): NOT IN under SQL three-valued logic
+    # silently drops null ids the anti-join used to keep, so the
+    # predicate is null-safe; and an eval set too large to embed as
+    # plan literals (it would bloat every batch plan) falls back to
+    # the broadcast anti-join path.
+    _EVAL_ISIN_MAX = 10_000
+    eval_id_list = [
+        r[0] for r in eval_docs.select(id_col).distinct().collect()
+    ]
+    _eval_has_null = any(v is None for v in eval_id_list)
+    eval_id_list = [v for v in eval_id_list if v is not None]
+    _use_isin = len(eval_id_list) <= _EVAL_ISIN_MAX
 
-    def _not_eval(c):
-        return ~c.isin(eval_id_list) if eval_id_list else F.lit(True)
+    def _not_eval_filter(df: DataFrame) -> DataFrame:
+        if not eval_id_list and not _eval_has_null:
+            return df
+        if _use_isin:
+            c = F.col(id_col)
+            pred = c.isNull() | ~c.isin(eval_id_list)
+            if _eval_has_null:
+                # the reference set contains a null id: match the
+                # anti-join's null-safe-equality semantics (null ids
+                # in the batch are then excluded too)
+                pred = c.isNotNull() & ~c.isin(eval_id_list)
+            return df.where(pred)
+        return df.join(
+            F.broadcast(eval_docs.select(id_col).distinct()),
+            on=id_col,
+            how="left_anti",
+        )
     # the benchmark set is STATIC: shingle it once and keep the grams
     # persisted across waves instead of re-deriving + re-broadcasting
     # them per micro-batch (part of the round-6 item-6 fixed overhead)
@@ -156,7 +182,7 @@ def make_curation_sink(
         # per-wave fixed-overhead cut, STREAM_CURATION_BENCH_r08)
         clean = (
             clean_corpus(
-                kept.where(_not_eval(F.col(id_col))),
+                _not_eval_filter(kept),
                 eval_docs,
                 text_col,
                 id_col,
