@@ -150,3 +150,72 @@ def es_bulk_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_id")
         .limit(200)
     )
+
+
+@register(
+    "es_bulk_upsert_ops",
+    """
+    WITH latest AS (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    SELECT 'chain-state' AS target_index,
+           CAST(user_id AS VARCHAR) || '-' || event_type AS _id,
+           '{"update":{"_id":"' || CAST(user_id AS VARCHAR) || '-'
+             || event_type || '","retry_on_conflict":3}}' || chr(10)
+             || '{"script":{"id":"updateByBlock","params":{"block_num":'
+             || CAST(CAST(floor(event_id / 5) AS BIGINT) + 1 AS VARCHAR)
+             || ',"user_id":' || user_id
+             || ',"event_type":"' || event_type
+             || '","value_units":' || CAST(floor(value * 100) AS BIGINT)
+             || '}},"scripted_upsert":true,"upsert":{}}'
+             AS ndjson
+    FROM latest WHERE rn = 1
+    ORDER BY _id LIMIT 200
+    """,
+    "ES scripted-upsert op formatting: exact updateByBlock NDJSON "
+    "pairs per state key (makeScriptedOp, elastic-routes.ts:23-28; "
+    "S6), JVM-codegen like the index-op twin — the format stage of "
+    "the streaming indexer loop (streaming/es_indexer.py)",
+)
+def es_bulk_upsert_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexer loop's STATE write as an oracle row: one
+    ``updateByBlock`` scripted upsert per (scope, pk) carrying the
+    key's latest block + integer value units (the asset-units
+    convention keeps the JSON byte-exact across engines; floor is
+    IEEE-identical both sides where round modes differ). The
+    transport + crash/replay convergence is socket-tested in
+    tests/test_es_indexer.py."""
+    from pyspark.sql import Window
+    from ..sources.es_bulk import es_bulk_format as _fmt
+
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.concat_ws("-", "user_id", "event_type").alias("_state_id"),
+            (F.floor(F.col("event_id") / 5) + 1)
+            .cast("long")
+            .alias("block_num"),
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("value_units"),
+        )
+    )
+    return (
+        _fmt(
+            latest,
+            op="update_script",
+            index_name="chain-state",
+            id_col="_state_id",
+            source_cols=["block_num", "user_id", "event_type", "value_units"],
+        )
+        .orderBy("_id")
+        .limit(200)
+    )

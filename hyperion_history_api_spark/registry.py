@@ -59,6 +59,16 @@ def register(
 # the full registry is swept every round by tests/oracle_check.py
 # (ORACLE_SELF_r*.json) and pytest parametrizes over all specs.
 _SHOWCASE: list[str] = [
+    # round 9 (verdict item 3): the last no_oracle row now carries a
+    # real gate — exact distinct + HLL-within-rsd assertion twin
+    "unique_actors_approx",
+    # round 9 (item 7): the realistic-k IVF topk page is hash-gated
+    # (embedded-codebook oracle ranks the probed cells exactly)
+    "embedding_ivf_k256_topk",
+    # round 9 (item 6): the indexer loop's state write — exact
+    # updateByBlock NDJSON bytes (the format stage of
+    # streaming/es_indexer.py; transport is socket-tested)
+    "es_bulk_upsert_ops",
     # round 8 (verdict item 1): the five integer-sum oracle twins the
     # hardened dtype gate caught — the two driver-FAIL rows plus the
     # three latent same-class twins, all now CAST ... AS BIGINT
