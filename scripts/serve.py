@@ -1,11 +1,13 @@
-"""Run the HTTP serving layer over a lake dir — the api-node process
+"""Run the serving layer over a lake dir — the api-node process
 (``src/api/server.ts``) of this engine.
 
-    python scripts/serve.py [sf_dir] [port]
+    python scripts/serve.py [sf_dir] [port] [ws_port]
 
-Serves the v2 REST routes + the SSE stream (api/http_server.py) from
-one long-lived SparkSession; Ctrl-C stops. A fleet deployment runs N
-of these per shared session pool behind any HTTP load balancer.
+Serves the full REST surface (33 routes, api/http_server.py +
+api/http_routes.py), the SSE stream, AND the acked WebSocket stream
+(api/ws_stream.py — the Socket.IO replay contract) from one long-lived
+SparkSession; Ctrl-C stops. A fleet deployment runs N of these per
+shared session pool behind any HTTP load balancer.
 """
 
 from __future__ import annotations
@@ -19,11 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     port = int(sys.argv[2]) if len(sys.argv) > 2 else 7000
+    ws_port = int(sys.argv[3]) if len(sys.argv) > 3 else port + 1
 
     from hyperion_history_api_spark.api.http_server import (
         HyperionAPI,
         make_server,
     )
+    from hyperion_history_api_spark.api.ws_stream import WsStreamServer
     from hyperion_history_api_spark.session import get_spark
 
     spark = get_spark("hyperion-http")
@@ -31,12 +35,16 @@ def main() -> None:
     api = HyperionAPI(spark, sf_dir)
     server = make_server(api, port=port)
     host, bound = server.server_address[:2]
+    ws = WsStreamServer(api, port=ws_port)
     print(f"serving {sf_dir} on http://{host}:{bound}  (Ctrl-C to stop)")
-    print("routes:", ", ".join(sorted(api.routes)), "+ /v2/stream (SSE)")
+    print(f"routes: {len(api.routes)} REST + /v2/stream (SSE) + "
+          f"ws://{host}:{ws.port} (acked replay/live)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        ws.close()
 
 
 if __name__ == "__main__":
