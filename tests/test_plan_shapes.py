@@ -310,3 +310,48 @@ def test_quantized_topk_scans_stored_int8(spark):
     plan = _plan(_q("embedding_quantized_topk", spark))
     assert "int8_codes" in plan
     assert "LessThan(vec_id,5)" in plan
+
+
+def test_ccnet_buckets_freqs_broadcast(spark):
+    """CCNet bucketing: the per-language vocab and totals broadcast
+    into the scoring pass (map-side after the freq build) — the word
+    scoring join must NEVER shuffle the exploded corpus."""
+    plan = _plan(_q("ccnet_perplexity_buckets", spark))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_http_route_plans_push_down(spark):
+    """The round-9 HTTP translations stay the registry's plan shapes:
+    get_blocks' range predicate reaches the scan; get_table_state's
+    as-of bound prunes before the window (one exchange)."""
+    from hyperion_history_api_spark.plans.predicates import (
+        QueryParams,
+        compile_predicate,
+    )
+    from hyperion_history_api_spark.operators.latest_state import (
+        latest_row_per_key,
+    )
+    from hyperion_history_api_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    pred = compile_predicate(
+        ev, QueryParams(after="100", before="699"), seq_field="event_id"
+    )
+    blocks = (
+        ev.where(pred)
+        .groupBy((F.col("event_id") / 100).cast("long").alias("block_num"))
+        .agg(F.count("*").alias("trx_count"))
+    )
+    plan = _plan(blocks)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:160]
+    assert "GreaterThan" in pushed and "LessThan" in pushed
+
+    latest = latest_row_per_key(
+        ev, ["user_id", "event_type"], "event_id",
+        as_of=F.col("event_id") <= 800,
+    )
+    plan = _plan(latest.select("user_id", "event_type", "event_id"))
+    assert "LessThanOrEqual(event_id,800" in plan.split("PushedFilters")[1][:200]
+    assert plan.count("Exchange") == 1  # the window key shuffle only
