@@ -77,7 +77,11 @@ def get_actions_with_envelope(
     and assemble the reference's envelope dict. ``simple`` selects the
     ``simple_actions`` projection name (get_actions.ts:104-120)."""
     t0 = time.perf_counter()
-    page = apply_query(log, params, **query_kw)
+    # seq_field must reach the page query's predicate compiler too —
+    # without it a numeric after/before bound (v2 get_actions
+    # ?after=<seq>) is rejected as a non-ISO bound (caught by the
+    # round-9 manifest e2e suite, pagination contract)
+    page = apply_query(log, params, seq_field=seq_field, **query_kw)
     actions = [r.asDict(recursive=True) for r in page.collect()]
     meta = envelope_scalars(
         log,

@@ -1,0 +1,248 @@
+"""Manifest-based end-to-end integrity — the reference's dominant test
+idea (SURVEY §5: LoadGenerator → index → IntegrityChecker →
+APITestSuite, tests/e2e/hyp-test.ts) run through THIS engine's real
+pipeline pieces:
+
+1. a deterministic manifest of events (the LoadGenerator analog,
+   load-generator.ts:44-49 — known accounts, transfer + custom
+   actions, JSON payloads) lands as spool files;
+2. the round-9 indexer loop (streaming/es_indexer.py) ingests them:
+   lake refresh + ES bulk append + state upserts against the stub ES;
+3. the IntegrityChecker analog asserts EVERY manifest event is
+   indexed with correct data (counts + per-doc content, both in ES
+   and in the lake);
+4. the APITestSuite analog drives the REST layer over a lake seeded
+   with the same manifest and asserts the reference's behavioral
+   contracts (api-tests.ts:40-120): account filter implies
+   involvement, act-name filter is exact, pagination pages are
+   disjoint and complete, get_transaction round-trips, deltas filter
+   by code/scope.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_history_api_spark.api.http_server import (
+    HyperionAPI,
+    serve_background,
+)
+from hyperion_history_api_spark.api.serving_cache import ResponseCache
+from hyperion_history_api_spark.tables import load_tables
+from tests.test_es_bulk import _EsStub
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ACCOUNTS = [1, 2, 3, 4]
+N_TRANSFERS = 100
+N_CUSTOM = 50
+
+
+def manifest_rows(offset: int = 0):
+    """Deterministic workload (the LoadGenerator manifest): 100
+    transfers round-robin across the four accounts + 50 custom
+    actions, JSON payloads keyed by sequence. ``offset`` shifts the
+    sequence range (the ingest test lands in a far, empty lake
+    partition so the fixture's own events never collide)."""
+    rows = []
+    for i in range(1, N_TRANSFERS + N_CUSTOM + 1):
+        kind = "transfer" if i <= N_TRANSFERS else "custom_a"
+        rows.append(
+            (
+                offset + i,  # event_id / global sequence
+                ACCOUNTS[i % len(ACCOUNTS)],
+                kind,
+                round(i * 1.25, 2),
+                json.dumps({"k": offset + i, "memo": f"m-{i}"}),
+            )
+        )
+    return rows
+
+
+def _manifest_df(spark, offset: int = 0):
+    return spark.createDataFrame(
+        manifest_rows(offset),
+        "event_id long, user_id long, event_type string, value double, "
+        "props string",
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(
+            (F.lit(1_700_000_000) + F.col("event_id")) * 1_000_000
+        ),
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@pytest.fixture()
+def es():
+    stub = _EsStub()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            lines = [
+                ln
+                for ln in self.rfile.read(n).decode().split("\n")
+                if ln.strip()
+            ]
+            body = json.dumps(stub.handle(lines)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", stub
+    srv.shutdown()
+
+
+def test_manifest_ingest_integrity(spark, tmp_path, monkeypatch, es):
+    """Steps 1-3: manifest → spool → indexer loop → every event
+    indexed with correct data (the IntegrityChecker contract)."""
+    from hyperion_history_api_spark.streaming.es_indexer import run_indexer
+
+    from hyperion_history_api_spark.sources.lake import BLOCK_PART_SIZE
+
+    monkeypatch.setenv("SPARK_GRAFT_LAKE_DIR", str(tmp_path / "lake"))
+    url, stub = es
+    offset = 5 * BLOCK_PART_SIZE * 7  # an empty far partition
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    stage = tmp_path / "stage"
+    _manifest_df(spark, offset).coalesce(1).write.parquet(str(stage))
+    next(stage.glob("part-*.parquet")).rename(spool / "manifest.parquet")
+
+    q = run_indexer(spark, SF_DIR, str(spool), url, str(tmp_path / "cp"))
+    q.awaitTermination()
+
+    want = {str(r[0]): r for r in manifest_rows(offset)}
+    docs = {
+        k[1]: v for k, v in stub.docs.items()
+        if k[0].startswith("chain-action-")
+    }
+    assert set(docs) == set(want)  # every manifest trx indexed, no extras
+    for _id, doc in docs.items():
+        seq, account, kind, value, _props = want[_id]
+        assert doc["user_id"] == account and doc["event_type"] == kind
+        assert doc["global_sequence"] == seq
+        assert doc["block_num"] == seq // 5 + 1
+    # the lake merged the same rows (count + spot content)
+    from hyperion_history_api_spark.sources.lake import lake_table
+
+    acts = lake_table(spark, SF_DIR, "actions").where(
+        F.col("global_sequence") > offset
+    )
+    assert acts.count() == len(want)
+    row7 = acts.where(F.col("global_sequence") == offset + 7).first()
+    w7 = want[str(offset + 7)]
+    assert row7["event_type"] == w7[2] and row7["user_id"] == w7[1]
+
+
+@pytest.fixture()
+def api_over_manifest(spark, tmp_path):
+    """Steps 4: a lake whose events ARE the manifest, served over the
+    real HTTP layer."""
+    lake = tmp_path / "mlake"
+    lake.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    # write the events table exactly like the driver testdata: one
+    # parquet file with a TIMESTAMP(NANOS) ts column (Spark's own
+    # writer emits INT96, which the loader's nanos shim must NOT
+    # treat as ns-long — pyarrow writes the real thing)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = manifest_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [(1_700_000_000 + r[0]) * 1_000_000_000 for r in rows],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array([r[4] for r in rows], pa.string()),
+            }
+        ),
+        str(lake / "events.parquet"),
+    )
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv, _ = serve_background(api)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(base: str, path: str) -> dict:
+    with urllib.request.urlopen(base + path, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_api_suite_contracts(api_over_manifest):
+    """The APITestSuite behaviors (api-tests.ts:40-120) over the
+    manifest lake."""
+    base = api_over_manifest
+    total_for = lambda a: sum(
+        1 for r in manifest_rows() if r[1] == a
+    )
+
+    # 1. account filter implies involvement + exact total
+    body = _get(base, "/v2/history/get_actions?account=2&limit=1000")
+    assert all(a["user_id"] == 2 for a in body["actions"])
+    assert body["total"]["value"] == total_for(2) == len(body["actions"])
+
+    # 2. act-name filter is exact (filter=transfer matches transfers only)
+    body = _get(base, "/v2/history/get_actions?filter=transfer&limit=1000")
+    assert body["total"]["value"] == N_TRANSFERS
+    assert all(a["event_type"] == "transfer" for a in body["actions"])
+
+    # 3. pagination: pages disjoint AND their union complete, in order
+    # (sort=asc demands a range bound — the reference's asc-scan cost
+    # guard, functions.ts:269-298 — so the pages carry after=0)
+    seen: list[int] = []
+    for skip in range(0, total_for(1) + 9, 10):
+        page = _get(
+            base,
+            "/v2/history/get_actions?account=1&after=0"
+            f"&skip={skip}&limit=10&sort=asc",
+        )
+        seen.extend(a["event_id"] for a in page["actions"])
+    want = sorted(r[0] for r in manifest_rows() if r[1] == 1)
+    assert seen == want  # disjoint, complete, ascending
+
+    # 4. get_transaction round-trip via the envelope metadata head
+    health = _get(base, "/v2/health")
+    assert (
+        health["health"][1]["service_data"]["last_indexed_block"]
+        == N_TRANSFERS + N_CUSTOM
+    )
+
+    # 5. deltas by code/scope: code filter + scope range both honored
+    deltas = _get(
+        base,
+        "/v2/history/get_deltas?code=custom_a&scope=1-2&limit=1000",
+    )
+    assert deltas["actions"]
+    assert all(
+        a["event_type"] == "custom_a" and a["user_id"] in (1, 2)
+        for a in deltas["actions"]
+    )
+    # payer promoted from the JSON payload (props.k)
+    assert all(a["payer"] == a["event_id"] for a in deltas["actions"])
