@@ -220,9 +220,15 @@ def check_transaction(api, params: dict) -> dict:
 
 
 def get_account(api, params: dict) -> dict:
-    """routes/v2-state/get_account (get_account.ts:56-87): account row
-    + activity rollup + last action in ONE key-pruned plan (the
-    registered ``get_account`` composition, parameterized)."""
+    """routes/v2-state/get_account (get_account.ts:38-108): the FULL
+    composition the reference assembles from parallel subqueries —
+    account row + activity rollup (one key-pruned plan, the registered
+    ``get_account`` shape) plus the account's recent actions, held
+    tokens (the chooser-planned ``get_tokens`` core) and permission
+    links. Every leg is key-pruned to the one account; the reference
+    fires them as Promise.all and so does a Spark scheduler under
+    concurrent jobs — here they run serially per request, each a
+    sub-100ms point plan."""
     account = int(params.get("account", 7))
     t = _t(api.spark, api.sf_dir)
     c = t["customer"].where(F.col("c_custkey") == account)
@@ -241,6 +247,24 @@ def get_account(api, params: dict) -> dict:
     )
     if row is None:
         return {"account": account, "known": False}
+    # the three side legs of the reference composition
+    from .endpoints_ext import _get_tokens
+
+    tokens_df, _ = _get_tokens(api.spark, api.sf_dir, account=account)
+    actions = (
+        _t(api.spark, api.sf_dir)["events"]
+        .where(F.col("user_id") == account)
+        .orderBy(F.col("event_id").desc())
+        .limit(10)
+        .select("event_id", "event_type", "ts", "value")
+    )
+    links = (
+        _t(api.spark, api.sf_dir)["events"]
+        .where(F.col("user_id") == account)
+        .groupBy(F.col("event_type").alias("action"))
+        .agg(F.min("event_id").alias("linked_at"))
+        .orderBy("action")
+    )
     return {
         "account": account,
         "known": True,
@@ -249,6 +273,9 @@ def get_account(api, params: dict) -> dict:
         "total_trx": row["total_trx"],
         "total_volume": row["total_volume"],
         "last_trx": row["last_trx"],
+        "tokens": _rows(tokens_df, 100),
+        "actions": _rows(actions),
+        "links": _rows(links, 100),
     }
 
 

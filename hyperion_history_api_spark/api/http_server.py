@@ -367,6 +367,12 @@ class HyperionAPI:
         ws-router predicate, streaming/filters.py) and yield matching
         rows in sequence order.
 
+        ``stream=deltas`` selects the StreamDeltasRequest shape
+        (stream-requests.ts:25-49: code/table/scope/payer instead of
+        contract/action/account) — same compiler, the delta column
+        mapping (payer promoted from the JSON payload), exactly the
+        two subscription kinds the reference's socketManager serves.
+
         ``read_until`` bounds the window exactly like the reference's
         past-range requests; ``follow=true`` is the replay→live
         switchover on the serving surface (socketManager.ts: history
@@ -383,26 +389,49 @@ class HyperionAPI:
         # into mid-stream); read_until=0 is the reference's
         # "no end" convention (filters.py:compile_request skips the
         # bound the same way)
-        req = StreamRequest(
-            contract=params.get("contract", "*"),
-            action=params.get("action", "*"),
-            account=params.get("account", ""),
-            start_from=int(params["start_from"])
-            if "start_from" in params
-            else None,
-            read_until=int(params["read_until"])
-            if "read_until" in params
-            else None,
-        )
+        kind = params.get("stream", "actions")
+        if kind == "deltas":
+            # StreamDeltasRequest: code/table -> the routing key,
+            # scope -> the account dimension, payer -> the promoted
+            # JSON field (the delta column mapping of the registered
+            # get_deltas_by_scope plan)
+            req = StreamRequest(
+                contract=params.get("table", params.get("code", "*")),
+                action="*",
+                account=params.get("payer", ""),
+                scope=params.get("scope", ""),
+                start_from=int(params["start_from"])
+                if "start_from" in params
+                else None,
+                read_until=int(params["read_until"])
+                if "read_until" in params
+                else None,
+            )
+        elif kind == "actions":
+            req = StreamRequest(
+                contract=params.get("contract", "*"),
+                action=params.get("action", "*"),
+                account=params.get("account", ""),
+                start_from=int(params["start_from"])
+                if "start_from" in params
+                else None,
+                read_until=int(params["read_until"])
+                if "read_until" in params
+                else None,
+            )
+        else:
+            raise ValueError(f"stream must be actions|deltas, not {kind!r}")
         read_until = req.read_until if req.read_until else None
         follow = params.get("follow") == "true"
         poll_sec = float(params.get("poll_sec", "0.5"))
         idle_timeout = float(params.get("idle_timeout", "30"))
         return self._stream_iter(
-            req, read_until, follow, poll_sec, idle_timeout
+            req, read_until, follow, poll_sec, idle_timeout, kind=kind
         )
 
-    def _stream_iter(self, req, read_until, follow, poll_sec, idle_timeout):
+    def _stream_iter(
+        self, req, read_until, follow, poll_sec, idle_timeout, *, kind="actions"
+    ):
         import time as _time
 
         from ..tables import _load_one
@@ -410,7 +439,14 @@ class HyperionAPI:
         # the nanos-timestamp shim normally set by load_tables — a
         # stream-only client may be this session's first reader
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = StreamSchema(json_col=None)
+        if kind == "deltas":
+            # delta rows route on (code, scope, payer): payer is the
+            # promoted JSON field, scope the account dimension
+            schema = StreamSchema(
+                account_col="payer", scope_col="user_id", json_col=None
+            )
+        else:
+            schema = StreamSchema(json_col=None)
         last = (req.start_from or 0) - 1
         deadline = _time.monotonic() + idle_timeout
 
@@ -421,13 +457,19 @@ class HyperionAPI:
             # twice a second — re-reading the whole 10-table catalog
             # here was pure driver overhead
             ev = _load_one(self.spark, f"{self.sf_dir}/events.parquet")
+            cols = ["event_id", "user_id", "event_type", "ts", "value"]
+            if kind == "deltas":
+                ev = ev.withColumn(
+                    "payer", F.get_json_object("props", "$.k").cast("long")
+                )
+                cols.append("payer")
             return (
                 ev.where(
                     compile_request(ev, req, schema)
                     & (F.col("event_id") > after)
                 )
                 .orderBy("event_id")
-                .select("event_id", "user_id", "event_type", "ts", "value")
+                .select(*cols)
             )
 
         while True:

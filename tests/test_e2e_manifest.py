@@ -246,3 +246,55 @@ def test_api_suite_contracts(api_over_manifest):
     )
     # payer promoted from the JSON payload (props.k)
     assert all(a["payer"] == a["event_id"] for a in deltas["actions"])
+
+
+def test_delta_stream_subscription(api_over_manifest):
+    """The socketManager's SECOND subscription kind
+    (StreamDeltasRequest, stream-requests.ts:25-49): code/scope/payer
+    routing over the SSE surface — rows are the scope's custom_a
+    deltas with the payer promoted from the JSON payload."""
+    base = api_over_manifest
+    want = [
+        r[0] for r in manifest_rows() if r[2] == "custom_a" and r[1] == 1
+    ]
+    url = (
+        base
+        + "/v2/stream?stream=deltas&code=custom_a&scope=1"
+        + f"&start_from=1&read_until={N_TRANSFERS + N_CUSTOM}"
+    )
+    got = []
+    with urllib.request.urlopen(url, timeout=120) as r:
+        event = None
+        for raw in r:
+            line = raw.decode().rstrip("\n")
+            if line.startswith("event: "):
+                event = line[7:]
+            elif line.startswith("data: "):
+                if event == "end":
+                    break
+                got.append(json.loads(line[6:]))
+    assert [d["event_id"] for d in got] == want and want
+    assert all(d["payer"] == d["event_id"] for d in got)
+    # payer routing: a payer filter narrows to exactly that row
+    one = want[0]
+    url2 = (
+        base
+        + f"/v2/stream?stream=deltas&payer={one}"
+        + f"&start_from=1&read_until={N_TRANSFERS + N_CUSTOM}"
+    )
+    rows2 = []
+    with urllib.request.urlopen(url2, timeout=120) as r:
+        event = None
+        for raw in r:
+            line = raw.decode().rstrip("\n")
+            if line.startswith("event: "):
+                event = line[7:]
+            elif line.startswith("data: "):
+                if event == "end":
+                    break
+                rows2.append(json.loads(line[6:]))
+    assert [d["event_id"] for d in rows2] == [one]
+    # unknown stream kind is a 400 before any SSE header
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/v2/stream?stream=nope", timeout=30)
+    assert ei.value.code == 400

@@ -156,6 +156,28 @@ def test_get_account_matches_registry(server, spark):
     for k in ("account", "account_name", "balance", "total_trx",
               "total_volume", "last_trx"):
         assert body[k] == want[k], k
+    # the reference composition's side legs (get_account.ts:38-108):
+    # recent actions (desc), held tokens, permission links
+    assert [a["event_id"] for a in body["actions"]] == sorted(
+        (a["event_id"] for a in body["actions"]), reverse=True
+    )
+    ev = load_tables(spark, SF_DIR)["events"].where(F.col("user_id") == 7)
+    assert len(body["actions"]) == min(10, ev.count())
+    assert len(body["links"]) == ev.select("event_type").distinct().count()
+    t = load_tables(spark, SF_DIR)
+    want_syms = sorted(
+        r["p_brand"]
+        for r in t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_custkey") == 7),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_brand")
+        .distinct()
+        .collect()
+    )
+    assert [tok["symbol"] for tok in body["tokens"]] == want_syms
 
 
 def test_get_links_matches_registry(server, spark):
