@@ -390,6 +390,32 @@ class HyperionAPI:
         # "no end" convention (filters.py:compile_request skips the
         # bound the same way)
         kind = params.get("stream", "actions")
+        # the subscription's field-filter list (stream-requests.ts:1-6
+        # + streamFunctions.ts:58-94 every/some semantics) — a JSON
+        # array of {field, value, operator}; filter_op=or selects the
+        # "some" form. The compiler (streaming/filters.py) already
+        # vectorizes these; this just exposes them on the wire.
+        from ..streaming.filters import RequestFilter
+
+        raw_filters = params.get("filters", "[]")
+        try:
+            flist = json.loads(raw_filters) if isinstance(raw_filters, str) \
+                else raw_filters
+            if not isinstance(flist, list):
+                raise ValueError("filters must be a JSON array")
+            filters = tuple(
+                RequestFilter(
+                    field=str(f["field"]),
+                    value=f["value"],
+                    operator=str(f.get("operator", "eq")),
+                )
+                for f in flist
+            )
+        except (KeyError, TypeError) as e:
+            raise ValueError(f"bad filters param: {e}") from None
+        filter_op = params.get("filter_op", "and")
+        if filter_op not in ("and", "or"):
+            raise ValueError(f"filter_op must be and|or, not {filter_op!r}")
         if kind == "deltas":
             # StreamDeltasRequest: code/table -> the routing key,
             # scope -> the account dimension, payer -> the promoted
@@ -406,6 +432,8 @@ class HyperionAPI:
                 read_until=int(params["read_until"])
                 if "read_until" in params
                 else None,
+                filter_op=filter_op,
+                filters=filters,
             )
         elif kind == "actions":
             req = StreamRequest(
@@ -418,6 +446,8 @@ class HyperionAPI:
                 read_until=int(params["read_until"])
                 if "read_until" in params
                 else None,
+                filter_op=filter_op,
+                filters=filters,
             )
         else:
             raise ValueError(f"stream must be actions|deltas, not {kind!r}")

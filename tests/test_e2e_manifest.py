@@ -298,3 +298,62 @@ def test_delta_stream_subscription(api_over_manifest):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(base + "/v2/stream?stream=nope", timeout=30)
     assert ei.value.code == 400
+
+
+def test_stream_field_filters_every_and_some(api_over_manifest):
+    """The subscription filter list on the serving surface
+    (stream-requests.ts:1-6 + streamFunctions.ts:58-94): every/some
+    combination of field filters compiles into the replay predicate."""
+    import urllib.parse
+
+    base = api_over_manifest
+    hi = N_TRANSFERS + N_CUSTOM
+
+    def sse_rows(query: str) -> list[dict]:
+        out = []
+        with urllib.request.urlopen(base + "/v2/stream?" + query, timeout=120) as r:
+            event = None
+            for raw in r:
+                line = raw.decode().rstrip("\n")
+                if line.startswith("event: "):
+                    event = line[7:]
+                elif line.startswith("data: "):
+                    if event == "end":
+                        break
+                    out.append(json.loads(line[6:]))
+        return out
+
+    # every-semantics: account 1 AND value > 100
+    filters = urllib.parse.quote(
+        json.dumps([{"field": "value", "operator": "gt", "value": 100}])
+    )
+    got = sse_rows(
+        f"account=1&start_from=1&read_until={hi}&filters={filters}"
+    )
+    want = [
+        r[0] for r in manifest_rows() if r[1] == 1 and r[3] > 100
+    ]
+    assert [d["event_id"] for d in got] == want and want
+
+    # some-semantics (filter_op=or): value > 180 OR event_type=signup
+    filters = urllib.parse.quote(
+        json.dumps(
+            [
+                {"field": "value", "operator": "gt", "value": 180},
+                {"field": "event_type", "value": "signup"},
+            ]
+        )
+    )
+    got = sse_rows(
+        f"start_from=1&read_until={hi}&filters={filters}&filter_op=or"
+    )
+    want = [r[0] for r in manifest_rows() if r[3] > 180 or r[2] == "signup"]
+    assert [d["event_id"] for d in got] == want and want
+
+    # malformed filters → 400 before any SSE header
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            base + "/v2/stream?start_from=1&filters=%7B%22a%22:1%7D",
+            timeout=30,
+        )
+    assert ei.value.code == 400
