@@ -85,11 +85,12 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed 2048-token training sequences. The
     oracle computes the running total with a global window; the Spark
-    plan uses :func:`operators.packing.pack_sequences` — range
-    partition, per-partition running sums, and an N-row broadcast of
-    cumulative partition offsets — so no stage ever funnels the corpus
+    plan uses :func:`operators.packing.pack_sequences` — value-derived
+    chunks, per-chunk running sums, and an N-row broadcast of
+    cumulative chunk offsets — so no stage ever funnels the corpus
     through one task (the sf-independent design point; see
-    operators/packing.py docstring).
+    operators/packing.py docstring for why the chunk key must come
+    from the data, not spark_partition_id).
     """
     from ..operators.packing import pack_sequences
 
@@ -524,3 +525,57 @@ def stream_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "stream_index_bm25", build,
         source_file="documents.parquet", extra_key="v1:waves3",
     ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+@register(
+    "doc_shard_assignment",
+    """
+    WITH cum AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS running
+        FROM documents
+    )
+    SELECT source,
+           CAST(floor((running - n_chars) / 2000.0) AS BIGINT) AS shard,
+           count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY source, shard ORDER BY source, shard
+    """,
+    "curation: training-shard assignment — deterministic per-source "
+    "byte-budget sharding (first-fit by cumulative start offset, the "
+    "packing discipline one level up: files instead of context "
+    "windows); the dataloader-facing output stage "
+    "(operators/sharding.py, JSONL writer + manifest)",
+)
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which shard each doc lands in when every source is cut into
+    2000-char JSONL files. The oracle computes the per-source running
+    total with a plain window; the Spark plan uses the GROUPED
+    two-phase distributed prefix sum (operators/sharding.py:
+    range-partition on (source, doc_id), per-partition sums, broadcast
+    (partition x source) offsets), so no source ever funnels through
+    one task — the naive Window.partitionBy(source) would at 100 TB.
+    Shard content is a contiguous id range, so boundaries are stable
+    under appends (resumable dataloaders)."""
+    from ..operators.sharding import shard_assignment
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    assigned = shard_assignment(
+        docs, group_col="source", order_col="doc_id",
+        weight=F.col("n_chars").cast("long"), budget=2000, n_partitions=8,
+    )
+    return (
+        assigned.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )

@@ -10,16 +10,22 @@ partition key moves the whole table through one task — fine for a
 mismatch report, fatal for a 100 TB corpus. The classic two-phase
 scan used here is the textbook fix:
 
-1. range-partition by the order column (N even ranges, sampled
-   boundaries — same machinery as a global sort);
-2. per-partition running sum (window partitioned by partition id —
-   parallel, no cross-partition traffic);
-3. per-partition totals (N rows) -> cumulative offsets on the driver
-   side of a broadcast join — the only "global" step touches N rows,
-   not N billion.
+1. split the order column's VALUE RANGE into N width-equal chunks
+   (two scalar aggregates fold the bounds; ids are dense by
+   construction in this domain, so chunks are even);
+2. per-chunk running sum (window partitioned by chunk id — parallel,
+   no cross-chunk traffic);
+3. per-chunk totals (N rows) -> cumulative offsets behind a broadcast
+   join — the only "global" step touches N rows, not N billion.
 
-The result is invariant to the sampled partition boundaries, so the
-output is deterministic even though the partitioning is not.
+The chunk key is derived from the DATA, not from runtime partition
+ids: the frame is referenced twice (local cums + chunk totals), and a
+sampled ``repartitionByRange`` + ``spark_partition_id`` pair is not
+guaranteed to assign identical pids in both subtrees once AQE
+re-coalesces them independently (measured as mis-joined offsets at
+sf0.1, round 9 — the grouped twin in operators/sharding.py hit it
+first); a value-derived chunk is identical in every subtree by
+construction.
 """
 
 from __future__ import annotations
@@ -35,27 +41,36 @@ def running_total(
     (inclusive of the current row), via the two-phase distributed
     prefix sum described in the module docstring.
 
-    ``order_col`` must be globally unique (ties would make the prefix
-    sum order-dependent).
+    ``order_col`` must be numeric and globally unique (ties would make
+    the prefix sum order-dependent).
     """
-    d = (
-        df.withColumn("_w", weight)
-        .repartitionByRange(n_partitions, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
+    lo, hi = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if lo is None:
+        return df.withColumn("_w", weight).withColumn("_cum", F.col("_w"))
+    width = max(1, (int(hi) - int(lo) + n_partitions) // n_partitions)
+    d = df.withColumn("_w", weight).withColumn(
+        "_chunk",
+        F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast(
+            "long"
+        ),
     )
-    local = Window.partitionBy("_pid").orderBy(order_col)
+    local = Window.partitionBy("_chunk").orderBy(order_col)
     d = d.withColumn("_local_cum", F.sum("_w").over(local))
-    # N-row side: total per partition -> exclusive cumulative offset.
+    # N-row side: total per chunk -> exclusive cumulative offset.
     # The single-partition window here runs over n_partitions rows.
-    totals = d.groupBy("_pid").agg(F.sum("_w").alias("_ptotal"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    totals = d.groupBy("_chunk").agg(F.sum("_w").alias("_ptotal"))
+    off_w = Window.orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_ptotal").over(off_w), F.lit(0))
-    ).select("_pid", "_offset")
+    ).select("_chunk", "_offset")
     return (
-        d.join(F.broadcast(offsets), "_pid")
+        d.join(F.broadcast(offsets), "_chunk")
         .withColumn("_cum", F.col("_offset") + F.col("_local_cum"))
-        .drop("_pid", "_local_cum", "_offset")
+        .drop("_chunk", "_local_cum", "_offset")
     )
 
 

@@ -69,9 +69,12 @@ _SHOWCASE: list[str] = [
     # updateByBlock NDJSON bytes (the format stage of
     # streaming/es_indexer.py; transport is socket-tested)
     "es_bulk_upsert_ops",
-    # round 9 (new LLM-pipeline row): CCNet per-language
-    # head/middle/tail perplexity tertiles over the corpus-LM score
+    # round 9 (new LLM-pipeline rows): CCNet per-language
+    # head/middle/tail perplexity tertiles over the corpus-LM score;
+    # deterministic byte-budget training-shard assignment (the
+    # dataloader-facing output stage, operators/sharding.py)
     "ccnet_perplexity_buckets",
+    "doc_shard_assignment",
     # round 8 (verdict item 1): the five integer-sum oracle twins the
     # hardened dtype gate caught — the two driver-FAIL rows plus the
     # three latent same-class twins, all now CAST ... AS BIGINT

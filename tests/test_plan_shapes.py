@@ -130,8 +130,11 @@ def test_packing_has_no_global_window(spark):
     input reaches its window through a hash exchange on _pid, not
     through Exchange SinglePartition feeding the full row set)."""
     plan = _plan(_q("doc_pack_sequences", spark))
-    # the corpus-side running sum is clustered by partition id...
-    assert "Exchange hashpartitioning(_pid" in plan
+    # the corpus-side running sum is clustered by the value-derived
+    # chunk key (round 9: data-derived, not spark_partition_id — the
+    # runtime-pid form mis-joined offsets when AQE re-coalesced the
+    # two subtree executions independently)...
+    assert "Exchange hashpartitioning(_chunk" in plan
     # ...and the ONLY single-partition funnel is the N-row totals window
     assert plan.count("Exchange SinglePartition") == 1
     # offsets come back as a broadcast, not a shuffle join
