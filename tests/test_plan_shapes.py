@@ -358,3 +358,13 @@ def test_http_route_plans_push_down(spark):
     plan = _plan(latest.select("user_id", "event_type", "event_id"))
     assert "LessThanOrEqual(event_id,800" in plan.split("PushedFilters")[1][:200]
     assert plan.count("Exchange") == 1  # the window key shuffle only
+
+
+def test_shard_assignment_prunes_columns_and_broadcasts(spark):
+    """The shard-assignment prefix sum reads ONLY the three columns it
+    needs (no text in the scan) and ships offsets by broadcast."""
+    plan = _plan(_q("doc_shard_assignment", spark))
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read and "n_chars" in read
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning(_chunk" in plan
