@@ -2182,6 +2182,84 @@ def embedding_semdedup_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_semdedup_threshold_sweep",
+    _k256_cells_cte()
+    + """,
+    ec AS (SELECT e.vec_id, c.cell, e.v
+           FROM eall e JOIN cellsq c USING (vec_id)),
+    mx AS (
+        SELECT b.vec_id,
+               max(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v)))) AS raw_max
+        FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    ),
+    scored AS (
+        SELECT ec.vec_id, coalesce(round(mx.raw_max, 4), -2.0) AS max_cos
+        FROM ec LEFT JOIN mx USING (vec_id)
+    ),
+    th(threshold) AS (
+        SELECT CAST(t AS DOUBLE) FROM (VALUES (0.2), (0.3), (0.4)) v(t)
+    )
+    SELECT threshold,
+           CAST(count(*) FILTER (WHERE max_cos < threshold) AS BIGINT)
+               AS kept,
+           CAST(count(*) FILTER (WHERE max_cos >= threshold) AS BIGINT)
+               AS dropped
+    FROM scored CROSS JOIN th
+    GROUP BY threshold ORDER BY threshold
+    """,
+    "dedup: SemDeDup threshold TUNING SWEEP — kept/dropped at every "
+    "candidate threshold from ONE within-cell GEMM pass (max "
+    "smaller-id cell-mate cosine per vector; kept@t = max_cos < t), "
+    "the curve a pipeline reads to pick its dedup aggressiveness "
+    "without re-running the quadratic leg per candidate",
+)
+def embedding_semdedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How aggressive should SemDeDup be? The paper tunes the cosine
+    threshold by sweeping it; recomputing the within-cell pairs per
+    candidate multiplies the most expensive leg by the sweep width.
+    The threshold-free statistic (``semdedup_max_cos``: one GEMM per
+    cell, same plan as the verdict form) makes every threshold a
+    FILTER over one scan — the whole curve costs one pass at any
+    corpus size. Rounding lives JVM-side (F.round HALF_UP == DuckDB
+    round; numpy's banker's rounding would flap the hash)."""
+    from ..operators.similarity import semdedup_max_cos
+
+    corpus, _ = _corpus_probes(spark, sf_dir)
+    ec = corpus.join(_kbig_cells(spark, sf_dir), "vec_id").select(
+        "vec_id", "cell", F.col("e").alias("v")
+    )
+    mx = semdedup_max_cos(ec, cell_col="cell").select(
+        "vec_id",
+        F.when(F.col("max_cos") <= -2.0, F.lit(-2.0))
+        .otherwise(F.round("max_cos", 4))
+        .alias("max_cos"),
+    )
+    th = F.explode(F.array(F.lit(0.2), F.lit(0.3), F.lit(0.4))).alias(
+        "threshold"
+    )
+    return (
+        mx.select(th, "max_cos")
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("max_cos") < F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept"),
+            F.sum(
+                F.when(F.col("max_cos") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("dropped"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
     "embedding_ivf_k256_recall",
     _k256_oracle_sql(),
     "similarity: recall gate for the realistic-k quantizer — IVF "

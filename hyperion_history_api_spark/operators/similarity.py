@@ -955,6 +955,53 @@ def semdedup(
     )
 
 
+def semdedup_max_cos(
+    emb: DataFrame,
+    *,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Per-vector SemDeDup STATISTIC instead of a verdict: the max
+    cosine to any smaller-id cell-mate (``-2.0`` when the vector has
+    none). One GEMM pass per cell — the same plan as :func:`semdedup`
+    — but threshold-FREE, so a tuning sweep evaluates every candidate
+    threshold from one scan (kept@t = max_cos < t) instead of
+    re-running the quadratic leg per threshold. Output: (id, cell,
+    max_cos) RAW — callers round with ``F.round`` (JVM HALF_UP, the
+    DuckDB-matching mode; numpy's round is banker's and would flap
+    oracle hashes at .xxxx5 boundaries)."""
+    out_schema = T.StructType(
+        [
+            emb.schema[id_col],
+            emb.schema[cell_col],
+            T.StructField("max_cos", T.DoubleType(), False),
+        ]
+    )
+
+    def stat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        mn = m / nrm
+        g = mn @ mn.T
+        g[np.tril_indices_from(g)] = -np.inf  # only i < j contributes to j
+        mx = g.max(axis=0)
+        mx[~np.isfinite(mx)] = -2.0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                cell_col: pdf[cell_col],
+                "max_cos": mx,
+            }
+        )
+
+    return emb.select(id_col, cell_col, vec_col).groupBy(cell_col).applyInPandas(
+        stat, schema=out_schema
+    )
+
+
 from ..udf_compat import pickle_by_value as _pbv  # noqa: E402
 
 _pbv(__name__)

@@ -75,6 +75,7 @@ _SHOWCASE: list[str] = [
     # dataloader-facing output stage, operators/sharding.py)
     "ccnet_perplexity_buckets",
     "doc_shard_assignment",
+    "embedding_semdedup_threshold_sweep",
     # round 8 (verdict item 1): the five integer-sum oracle twins the
     # hardened dtype gate caught — the two driver-FAIL rows plus the
     # three latent same-class twins, all now CAST ... AS BIGINT
