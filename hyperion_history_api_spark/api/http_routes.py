@@ -216,6 +216,103 @@ def check_transaction(api, params: dict) -> dict:
     }
 
 
+def hyp_get_actions(api, params: dict) -> dict:
+    """``model=hyperion`` on routes/v2-history/get_actions: serve the
+    REAL nested action documents from the partitioned lake — the
+    document shape the reference returns (index-templates.ts:52-178),
+    not the flat testdata mapping. Predicates are the registry's own:
+    account => the triple involvement disjunction over
+    notified/receipts.receiver/act.authorization.actor
+    (hyp_actions_account_disjunction); ``filter=code:action`` =>
+    the OR-of-conjunctions compiler; after/before => block bounds that
+    PRUNE LAKE PARTITIONS (prune_block_range — the block_hint
+    single-index routing, get_transaction.ts:73-79)."""
+    from ..plans.predicates import compile_code_action_filter
+    from ..sources.lake import lake_actions, prune_block_range
+    from .http_server import _limit
+
+    a = lake_actions(api.spark, api.sf_dir)
+    if "after" in params or "before" in params:
+        a = prune_block_range(
+            a,
+            lo=int(params["after"]) if "after" in params else None,
+            hi=int(params["before"]) if "before" in params else None,
+        )
+    pred = F.lit(True)
+    if "account" in params:
+        acct = params["account"]
+        pred = pred & (
+            F.array_contains("notified", acct)
+            | F.exists("receipts", lambda r: r["receiver"] == acct)
+            | F.exists("act.authorization", lambda x: x["actor"] == acct)
+        )
+    if "filter" in params:
+        pred = pred & compile_code_action_filter(
+            F.col("act.account"), F.col("act.name"), params["filter"]
+        )
+    matched = a.where(pred)
+    limit = _limit(params)
+    skip = int(params.get("skip", 0))
+    order = (
+        F.col("global_sequence").asc()
+        if params.get("sort") == "asc"
+        else F.col("global_sequence").desc()
+    )
+    page = matched.orderBy(order)
+    if skip:
+        page = page.offset(skip)
+    page = page.limit(limit).select(
+        "global_sequence",
+        "block_num",
+        "trx_id",
+        "act",
+        "notified",
+        F.col("ts").cast("string").alias("timestamp"),
+    )
+    actions = [r.asDict(recursive=True) for r in page.collect()]
+    return {
+        "actions": actions,
+        "total": {"value": matched.count(), "relation": "eq"},
+        "model": "hyperion",
+    }
+
+
+def hyp_get_transaction(api, params: dict) -> dict:
+    """``model=hyperion`` on get_transaction: the trx's actions in
+    canonical ordinal order from the nested lake, key-pruned by
+    trx_id (+ optional block_num_hint partition routing — the
+    reference's single-index hint, get_transaction.ts:73-79)."""
+    from ..sources.lake import lake_actions, prune_block_range
+
+    trx_id = params["id"]
+    a = lake_actions(api.spark, api.sf_dir)
+    if "block_hint" in params:
+        hint = int(params["block_hint"])
+        a = prune_block_range(a, lo=hint, hi=hint)
+    rows = (
+        a.where(F.col("trx_id") == trx_id)
+        .orderBy("action_ordinal", "global_sequence")
+        .select(
+            "global_sequence",
+            "action_ordinal",
+            "creator_action_ordinal",
+            "block_num",
+            "act",
+            F.size("receipts").cast("long").alias("n_receipts"),
+        )
+        .limit(1000)
+        .collect()
+    )
+    if not rows:
+        return {"executed": False, "trx_id": trx_id, "actions": []}
+    return {
+        "executed": True,
+        "trx_id": trx_id,
+        "block_num": rows[0]["block_num"],
+        "actions": [r.asDict(recursive=True) for r in rows],
+    }
+
+
 # --- v2-state remainder ---------------------------------------------------
 
 

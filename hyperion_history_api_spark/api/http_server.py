@@ -152,7 +152,13 @@ class HyperionAPI:
 
     # -- v2-history ------------------------------------------------------
     def get_actions(self, params: dict) -> dict:
-        """routes/v2-history/get_actions (get_actions.ts:88-131)."""
+        """routes/v2-history/get_actions (get_actions.ts:88-131).
+        ``model=hyperion`` serves the nested lake documents instead of
+        the flat testdata mapping (http_routes.hyp_get_actions)."""
+        if params.get("model") == "hyperion":
+            from .http_routes import hyp_get_actions
+
+            return hyp_get_actions(self, params)
         qp = _qp(params)
         ev = _t(self.spark, self.sf_dir)["events"]
         return get_actions_with_envelope(
@@ -171,7 +177,12 @@ class HyperionAPI:
         + its traces in canonical ordinal order (the bug-#148 regroup
         discipline). The key predicate reaches both scans via
         constraint propagation — same plan family as the registered
-        ``get_transaction_shape``."""
+        ``get_transaction_shape``. ``model=hyperion`` serves the
+        nested lake documents with block_hint partition routing."""
+        if params.get("model") == "hyperion":
+            from .http_routes import hyp_get_transaction
+
+            return hyp_get_transaction(self, params)
         trx = int(params["id"])
         t = _t(self.spark, self.sf_dir)
         o = t["orders"].where(F.col("o_orderkey") == trx)

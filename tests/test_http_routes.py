@@ -365,3 +365,58 @@ def test_limit_clamp_on_collect_routes(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base, "/v2/state/get_top_holders?limit=-5")
     assert ei.value.code == 400
+
+
+def test_hyperion_model_get_actions(server, spark):
+    """model=hyperion serves the NESTED lake documents; the account
+    involvement page equals the registered
+    hyp_actions_account_disjunction row."""
+    base, _ = server
+    body = _get(base, "/v2/history/get_actions?model=hyperion&account=user7")
+    want = [
+        r["global_sequence"]
+        for r in Q["hyp_actions_account_disjunction"](spark, SF_DIR).collect()
+    ]
+    assert [a["global_sequence"] for a in body["actions"]] == want and want
+    assert body["model"] == "hyperion"
+    # nested shape is REAL: act struct with authorization array
+    a0 = body["actions"][0]
+    assert "account" in a0["act"] and isinstance(a0["notified"], list)
+    assert isinstance(a0["act"]["authorization"], list)
+    # code:action filter composes on the nested columns
+    flt = _get(
+        base,
+        "/v2/history/get_actions?model=hyperion&filter=eosio.token:transfer"
+        "&limit=50",
+    )
+    assert flt["actions"]
+    assert all(
+        a["act"]["account"] == "eosio.token" and a["act"]["name"] == "transfer"
+        for a in flt["actions"]
+    )
+
+
+def test_hyperion_model_get_transaction_with_block_hint(server, spark):
+    import hashlib
+
+    base, _ = server
+    trx = hashlib.md5(b"trx100").hexdigest()[:16]
+    body = _get(base, f"/v2/history/get_transaction?model=hyperion&id={trx}")
+    want = Q["hyp_get_transaction"](spark, SF_DIR).collect()
+    assert body["executed"] is True
+    assert [a["global_sequence"] for a in body["actions"]] == [
+        r["global_sequence"] for r in want
+    ]
+    ords = [a["action_ordinal"] for a in body["actions"]]
+    assert ords == sorted(ords)  # canonical ordinal order
+    # block_hint routes to the single partition and returns the same
+    hinted = _get(
+        base,
+        f"/v2/history/get_transaction?model=hyperion&id={trx}"
+        f"&block_hint={body['block_num']}",
+    )
+    assert hinted["actions"] == body["actions"]
+    missing = _get(
+        base, "/v2/history/get_transaction?model=hyperion&id=ffffffffffffffff"
+    )
+    assert missing["executed"] is False
