@@ -105,7 +105,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.groupBy("pack_id")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.sum("tokens").alias("pack_tokens"),
+            F.sum("_w").alias("pack_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
@@ -573,7 +573,7 @@ def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("source", "shard")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.sum("_w").alias("shard_chars"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )

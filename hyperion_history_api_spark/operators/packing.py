@@ -58,18 +58,34 @@ def running_total(
     )
     local = Window.partitionBy("_chunk").orderBy(order_col)
     d = d.withColumn("_local_cum", F.sum("_w").over(local))
-    # N-row side: total per chunk -> exclusive cumulative offset.
-    # The single-partition window here runs over n_partitions rows.
-    totals = d.groupBy("_chunk").agg(F.sum("_w").alias("_ptotal"))
+    # N-row side: total per chunk (= max of the inclusive running sum)
+    # -> exclusive cumulative offset. Deriving totals from the WINDOWED
+    # frame, not the pre-window frame, makes this subtree share the
+    # identical Exchange(hash(_chunk)) with the main side, so
+    # ReuseExchange evaluates the scan + weight expression once; a
+    # groupBy on the pre-window frame plans a *different* exchange
+    # (partial-agg child) and re-computes the weight over the whole
+    # corpus. The single-partition window below runs over
+    # n_partitions rows.
+    totals = d.groupBy("_chunk").agg(F.max("_local_cum").alias("_ptotal"))
     off_w = Window.orderBy("_chunk").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_ptotal").over(off_w), F.lit(0))
     ).select("_chunk", "_offset")
+    # LEFT join on purpose: every row's chunk exists in `offsets` by
+    # construction, but an INNER join would infer isnotnull(_chunk) and
+    # push it into the stream-side scan only — the two subtrees then
+    # canonicalize differently and ReuseExchange stops deduping the
+    # shared shuffle (measured: the weight expression re-evaluated
+    # corpus-wide). Left join keeps both scans identical.
     return (
-        d.join(F.broadcast(offsets), "_chunk")
-        .withColumn("_cum", F.col("_offset") + F.col("_local_cum"))
+        d.join(F.broadcast(offsets), "_chunk", "left")
+        .withColumn(
+            "_cum",
+            F.coalesce(F.col("_offset"), F.lit(0)) + F.col("_local_cum"),
+        )
         .drop("_chunk", "_local_cum", "_offset")
     )
 

@@ -61,10 +61,16 @@ def grouped_running_total(
     )
     local = Window.partitionBy("_chunk", *group_cols).orderBy(order_col)
     d = d.withColumn("_local_cum", F.sum("_w").over(local))
-    # (chunk x group) totals -> exclusive per-group offsets; this side
-    # is n_partitions x |groups| rows — broadcast-sized by construction
+    # (chunk x group) totals (= max of the inclusive running sum per
+    # cell) -> exclusive per-group offsets; this side is n_partitions x
+    # |groups| rows — broadcast-sized by construction. Totals come from
+    # the WINDOWED frame so this subtree shares the identical
+    # Exchange(hash(_chunk, groups)) with the main side and
+    # ReuseExchange evaluates the scan + weight expression once (a
+    # pre-window groupBy plans a different partial-agg exchange and
+    # re-computes the weight corpus-wide).
     totals = d.groupBy("_chunk", *group_cols).agg(
-        F.sum("_w").alias("_ptotal")
+        F.max("_local_cum").alias("_ptotal")
     )
     off_w = (
         Window.partitionBy(*group_cols)
@@ -73,11 +79,34 @@ def grouped_running_total(
     )
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_ptotal").over(off_w), F.lit(0))
-    ).select("_chunk", *group_cols, "_offset")
+    ).select(
+        F.col("_chunk").alias("_r_chunk"),
+        *[F.col(g).alias(f"_r_{g}") for g in group_cols],
+        "_offset",
+    )
+    # NULL-SAFE left join on purpose: an inner or plain-equality join
+    # would infer isnotnull(keys) and push it into ONE side's scan (the
+    # build side for left, the stream side for inner), so the two
+    # subtrees canonicalize differently and ReuseExchange stops deduping
+    # the shared shuffle — the scan + weight expression then run twice
+    # corpus-wide (measured at sf0.1). `<=>` infers no null filters,
+    # keeps both scans identical, and matches null groups correctly.
+    cond = F.col("_chunk").eqNullSafe(F.col("_r_chunk"))
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_r_{g}"))
     return (
-        d.join(F.broadcast(offsets), ["_chunk", *group_cols])
-        .withColumn("_cum", F.col("_offset") + F.col("_local_cum"))
-        .drop("_chunk", "_local_cum", "_offset")
+        d.join(F.broadcast(offsets), cond, "left")
+        .withColumn(
+            "_cum",
+            F.coalesce(F.col("_offset"), F.lit(0)) + F.col("_local_cum"),
+        )
+        .drop(
+            "_chunk",
+            "_local_cum",
+            "_offset",
+            "_r_chunk",
+            *[f"_r_{g}" for g in group_cols],
+        )
     )
 
 
