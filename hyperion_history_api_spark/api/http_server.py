@@ -38,7 +38,9 @@ transaction/trace pair, ``part`` the token registry.
 from __future__ import annotations
 
 import json
+import logging
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
 
@@ -635,8 +637,17 @@ def make_server(
                 ):
                     self._reply(400, {"error": f"bad request: {e}"})
                 else:
+                    # opaque body: the detail (class + message +
+                    # traceback) goes to the server log under an error
+                    # id the client can quote back — exception text
+                    # can carry paths/SQL fragments a serving layer
+                    # must not echo to callers
+                    err_id = uuid.uuid4().hex[:12]
+                    logging.getLogger(__name__).exception(
+                        "request %s failed [id=%s]", url.path, err_id
+                    )
                     self._reply(
-                        500, {"error": f"internal error: {type(e).__name__}: {e}"}
+                        500, {"error": "internal error", "id": err_id}
                     )
 
     return ThreadingHTTPServer((host, port), Handler)

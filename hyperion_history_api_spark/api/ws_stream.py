@@ -61,12 +61,16 @@ class WsStreamServer:
         port: int = 0,
         *,
         ack_timeout: float = 120.0,
+        max_connections: int = 64,
     ) -> None:
         self.api = api
         self.ack_timeout = ack_timeout
+        self.max_connections = max_connections
         self.sock = socket.create_server((host, port))
         self.port = self.sock.getsockname()[1]
         self._stop = threading.Event()
+        self._active = 0
+        self._active_lock = threading.Lock()
         # observability for tests: highest batch seq sent per conn id
         self.sent_batches: dict[int, int] = {}
         self.thread = threading.Thread(target=self._accept_loop, daemon=True)
@@ -88,9 +92,38 @@ class WsStreamServer:
             except OSError:
                 return
             n += 1
+            # connection cap mirroring the reference's serving-side
+            # limits: a saturated server tells the client why (one
+            # error frame after the handshake) instead of growing an
+            # unbounded thread-per-connection pool
+            with self._active_lock:
+                if self._active >= self.max_connections:
+                    threading.Thread(
+                        target=self._reject_one, args=(conn,), daemon=True
+                    ).start()
+                    continue
+                self._active += 1
             threading.Thread(
                 target=self._serve_one, args=(conn, n), daemon=True
             ).start()
+
+    def _reject_one(self, conn: socket.socket) -> None:
+        try:
+            ws = server_handshake(conn)
+            ws.send(
+                json.dumps(
+                    {"type": "error", "error": "too many connections"}
+                ),
+                OP_TEXT,
+            )
+            ws.close()
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
 
     # -- per-connection protocol ------------------------------------------
     def _serve_one(self, conn: socket.socket, conn_id: int) -> None:
@@ -108,6 +141,8 @@ class WsStreamServer:
         except (AckTimeout, ConnectionError, OSError, ValueError):
             pass  # forceful disconnect path: drop the connection
         finally:
+            with self._active_lock:
+                self._active -= 1
             try:
                 conn.close()
             except OSError:

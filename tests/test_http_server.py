@@ -359,3 +359,20 @@ def test_get_table_rows_mongo_filters_over_post(server, spark):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base, "/v2/state/get_table_rows?table=nope")
     assert ei.value.code == 400
+
+
+def test_unexpected_exception_is_opaque_500(server):
+    """VERDICT r9 item 8: a handler crash returns an opaque error id,
+    not the exception text (which can carry paths/SQL fragments)."""
+    base, api = server
+    api.get_tokens = lambda params: 1 / 0  # routes is a live property
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base, "/v2/state/get_tokens?account=1&boom=1")
+        assert ei.value.code == 500
+        body = json.loads(ei.value.read())
+        assert body["error"] == "internal error"
+        assert "ZeroDivision" not in json.dumps(body)
+        assert len(body["id"]) == 12
+    finally:
+        del api.get_tokens

@@ -174,3 +174,54 @@ def test_replay_then_live_exactly_once_over_socket(spark, tmp_path):
         assert all(d["user_id"] == 7 for d in rows)
     finally:
         srv.close()
+
+
+def test_connection_cap_rejects_then_recovers(spark):
+    """max_connections guard (VERDICT r9 item 8): a saturated server
+    answers the (max+1)th subscriber with one error frame and keeps
+    serving; a freed slot is reusable."""
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    srv = WsStreamServer(api, ack_timeout=30.0, max_connections=1)
+    try:
+        # occupy the only slot: no acks, window=1 -> server blocks
+        ws1 = _subscribe(
+            srv.port,
+            {
+                "account": 7,
+                "start_from": 1,
+                "read_until": 2000,
+                "batch_size": 5,
+                "window": 1,
+            },
+        )
+        first = json.loads(ws1.recv()[1])
+        assert first["type"] == "batch"
+        # second connection is told why and closed
+        ws2 = _subscribe(srv.port, {"account": 7})
+        frame = json.loads(ws2.recv()[1])
+        assert frame == {"type": "error", "error": "too many connections"}
+        ws2.close()
+        # free the slot; the server notices on its next recv
+        ws1.close()
+        deadline = _time.time() + 20
+        while True:
+            ws3 = _subscribe(
+                srv.port,
+                {
+                    "account": 7,
+                    "start_from": 1,
+                    "read_until": 500,
+                    "batch_size": 50,
+                    "window": 8,
+                },
+            )
+            frame = json.loads(ws3.recv()[1])
+            if frame["type"] != "error":
+                break
+            ws3.close()
+            assert _time.time() < deadline, "slot never freed"
+            _time.sleep(0.2)
+        assert frame["type"] in ("batch", "end")
+        ws3.close()
+    finally:
+        srv.close()
