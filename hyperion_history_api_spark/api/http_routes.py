@@ -49,7 +49,10 @@ def _rows(df: DataFrame, limit: int | None = None) -> list[dict]:
 def get_blocks(api, params: dict) -> dict:
     """routes/v2-history/get_blocks (get_blocks.ts:6-161): block-range
     headers with per-block rollups — the ``get_blocks_range`` plan
-    parameterized by the [after, before] sequence window."""
+    parameterized by the [after, before] sequence window.
+    ``model=hyperion`` serves the nested lake rollups."""
+    if params.get("model") == "hyperion":
+        return hyp_get_blocks(api, params)
     from .http_server import _limit
 
     after = int(params.get("after", 100))
@@ -77,7 +80,10 @@ def get_block(api, params: dict) -> dict:
     """routes/v2-history/get_block: ONE block's header rollup plus its
     transactions — the single-block specialization of get_blocks (the
     block_num = event_id // 100 mapping the registry uses), both scans
-    pruned to the block's 100-sequence slice."""
+    pruned to the block's 100-sequence slice. ``model=hyperion``
+    serves the nested lake header."""
+    if params.get("model") == "hyperion":
+        return hyp_get_block_route(api, params)
     num = int(params.get("block_num", 3))
     lo, hi = num * 100, num * 100 + 99
     ev = _t(api.spark, api.sf_dir)["events"].where(
@@ -156,7 +162,10 @@ def get_table_state(api, params: dict) -> dict:
     latest row per (scope, primary_key) as-of ``block``, paged by the
     composite ``after_key`` cursor — ``get_table_state_latest`` +
     ``keyset_pagination`` in one parameterized plan. One shuffle on
-    the state key; the as-of bound is pushed to the scan."""
+    the state key; the as-of bound is pushed to the scan.
+    ``model=hyperion`` serves the nested deltas-lake state."""
+    if params.get("model") == "hyperion":
+        return hyp_get_table_state(api, params)
     from .http_server import _limit
 
     block = int(params.get("block", 800))
@@ -311,6 +320,128 @@ def hyp_get_transaction(api, params: dict) -> dict:
         "block_num": rows[0]["block_num"],
         "actions": [r.asDict(recursive=True) for r in rows],
     }
+
+
+def hyp_get_deltas(api, params: dict) -> dict:
+    """``model=hyperion`` on get_deltas: the nested delta documents
+    from the lake (promoted @accounts struct), newest first — the
+    shared :func:`..api.nested.deltas_page` core the hash-gated
+    ``hyp_get_deltas_page`` row runs; route defaults are the row's
+    constants."""
+    from .http_server import _limit
+    from .nested import deltas_page
+
+    df = deltas_page(
+        api.spark,
+        api.sf_dir,
+        code=params.get("code", "eosio.token"),
+        table=params.get("table", "accounts"),
+        scope=params.get("scope"),
+        payer=params.get("payer"),
+        block_hi=int(params["before"]) if "before" in params else 180,
+        limit=_limit(params, default=100),
+    )
+    return {"deltas": _rows(df), "model": "hyperion"}
+
+
+def hyp_get_blocks(api, params: dict) -> dict:
+    """``model=hyperion`` on get_blocks: per-block header rollups from
+    the nested actions lake over [after, before] — the shared
+    :func:`..api.nested.blocks_range_rollup` core of the hash-gated
+    ``hyp_get_blocks_range`` row (its constants are the defaults)."""
+    from .http_server import _limit
+    from .nested import blocks_range_rollup
+
+    lo = int(params.get("after", 40))
+    hi = int(params.get("before", 60))
+    df = blocks_range_rollup(api.spark, api.sf_dir, lo, hi).orderBy(
+        F.col("block_num").desc()
+    )
+    return {"blocks": _rows(df, _limit(params)), "model": "hyperion"}
+
+
+def hyp_get_block_route(api, params: dict) -> dict:
+    """``model=hyperion`` on get_block: one block's nested header
+    rollup — the hash-gated ``hyp_get_block`` row parameterized by
+    block_num (same :func:`..api.nested.blocks_range_rollup` core)."""
+    from .nested import blocks_range_rollup
+
+    num = int(params.get("block_num", 42))
+    rows = _rows(
+        blocks_range_rollup(api.spark, api.sf_dir, num, num).withColumn(
+            "prev_id",
+            F.expr(
+                "substr(md5('blk' || CAST(block_num - 1 AS STRING)), 1, 16)"
+            ),
+        )
+    )
+    if not rows:
+        return {"block_num": num, "present": False, "model": "hyperion"}
+    return rows[0] | {"present": True, "model": "hyperion"}
+
+
+def hyp_get_table_state(api, params: dict) -> dict:
+    """``model=hyperion`` on get_table_state: latest present row per
+    (scope, primary_key) as-of ``block`` on the nested deltas lake —
+    the shared :func:`..api.nested.table_state_asof` core of the
+    hash-gated ``hyp_table_state_latest`` row, plus the route's
+    keyset ``after_key`` page cursor (O8)."""
+    from .http_server import _limit
+    from .nested import table_state_asof
+
+    block = int(params.get("block", 1500))
+    limit = _limit(params, default=100)
+    latest = table_state_asof(
+        api.spark,
+        api.sf_dir,
+        params.get("code", "eosio.token"),
+        params.get("table", "accounts"),
+        block,
+    )
+    page = latest.withColumn(
+        "_key", F.concat_ws("-", F.col("scope"), F.col("primary_key"))
+    )
+    if params.get("after_key"):
+        page = page.where(F.col("_key") > params["after_key"])
+    rows = _rows(page.orderBy(F.col("_key").asc()).limit(limit))
+    next_key = rows[-1]["_key"] if len(rows) == limit else None
+    for r in rows:
+        del r["_key"]
+    return {
+        "block": block,
+        "rows": rows,
+        "next_key": next_key,
+        "model": "hyperion",
+    }
+
+
+def hyp_get_created_accounts(api, params: dict) -> dict:
+    """``model=hyperion`` on get_created_accounts: the creator's
+    newaccount actions from the nested lake (promoted @newaccount
+    struct) — the shared :func:`..api.nested.created_accounts` core of
+    the hash-gated ``hyp_created_accounts`` row."""
+    from .http_server import _limit
+    from .nested import created_accounts
+
+    creator = params.get("account", "user8")
+    df = created_accounts(
+        api.spark, api.sf_dir, creator, limit=_limit(params, default=100)
+    )
+    return {"accounts": _rows(df), "model": "hyperion"}
+
+
+def hyp_get_creator(api, params: dict) -> dict:
+    """``model=hyperion`` on get_creator: top-1 newaccount lookup by
+    created account on the nested lake — the shared
+    :func:`..api.nested.creator_of` core of the hash-gated
+    ``hyp_get_creator`` row."""
+    from .nested import creator_of
+
+    account = params.get("account", "user5")
+    rows = _rows(creator_of(api.spark, api.sf_dir, account))
+    if not rows:
+        return {"account": account, "creator": None, "model": "hyperion"}
+    return rows[0] | {"model": "hyperion"}
 
 
 # --- v2-state remainder ---------------------------------------------------

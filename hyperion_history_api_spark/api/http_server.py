@@ -209,7 +209,12 @@ class HyperionAPI:
         """routes/v2-history/get_deltas: (code,table) → event_type,
         scope → account range, payer → promoted props.k — the same
         predicate-compiler path as the registered
-        ``get_deltas_by_scope``."""
+        ``get_deltas_by_scope``. ``model=hyperion`` serves the nested
+        lake documents (http_routes.hyp_get_deltas)."""
+        if params.get("model") == "hyperion":
+            from .http_routes import hyp_get_deltas
+
+            return hyp_get_deltas(self, params)
         ev = _t(self.spark, self.sf_dir)["events"].withColumn(
             "payer", F.get_json_object("props", "$.k").cast("long")
         )
@@ -233,7 +238,12 @@ class HyperionAPI:
 
     def get_created_accounts(self, params: dict) -> dict:
         """routes/v2-history/get_created_accounts: creator → created
-        accounts (nation = creator dimension, 25-row broadcast)."""
+        accounts (nation = creator dimension, 25-row broadcast).
+        ``model=hyperion`` serves the nested newaccount documents."""
+        if params.get("model") == "hyperion":
+            from .http_routes import hyp_get_created_accounts
+
+            return hyp_get_created_accounts(self, params)
         t = _t(self.spark, self.sf_dir)
         creator = F.broadcast(
             t["nation"].where(F.col("n_name") == params["account"])
@@ -253,7 +263,12 @@ class HyperionAPI:
 
     def get_creator(self, params: dict) -> dict:
         """routes/v2-history/get_creator: the account's first signup
-        event is its creation record (newaccount semantics)."""
+        event is its creation record (newaccount semantics).
+        ``model=hyperion`` serves the nested newaccount top-1."""
+        if params.get("model") == "hyperion":
+            from .http_routes import hyp_get_creator
+
+            return hyp_get_creator(self, params)
         account = int(params["account"])
         ev = _t(self.spark, self.sf_dir)["events"]
         row = (

@@ -59,6 +59,13 @@ def register(
 # the full registry is swept every round by tests/oracle_check.py
 # (ORACLE_SELF_r*.json) and pytest parametrizes over all specs.
 _SHOWCASE: list[str] = [
+    # round 10 (verdict item 3): model=hyperion route-parity rows —
+    # the nested-lake cores every remaining envelope route now serves
+    # (deltas page, block-range rollups, created-accounts, creator)
+    "hyp_get_deltas_page",
+    "hyp_get_blocks_range",
+    "hyp_created_accounts",
+    "hyp_get_creator",
     # round 9 (verdict item 3): the last no_oracle row now carries a
     # real gate — exact distinct + HLL-within-rsd assertion twin
     "unique_actors_approx",

@@ -420,3 +420,107 @@ def test_hyperion_model_get_transaction_with_block_hint(server, spark):
         base, "/v2/history/get_transaction?model=hyperion&id=ffffffffffffffff"
     )
     assert missing["executed"] is False
+
+
+def test_hyperion_model_get_deltas(server, spark):
+    """model=hyperion on get_deltas == the hash-gated
+    hyp_get_deltas_page row (VERDICT r9 item 3)."""
+    base, _ = server
+    body = _get(
+        base,
+        "/v2/history/get_deltas?model=hyperion&before=180&limit=100",
+    )
+    want = Q["hyp_get_deltas_page"](spark, SF_DIR).collect()
+    assert body["model"] == "hyperion"
+    assert [(d["block_num"], d["event_id"]) for d in body["deltas"]] == [
+        (r["block_num"], r["event_id"]) for r in want
+    ] and want
+    # scope term composes on the nested lake
+    scoped = _get(
+        base, "/v2/history/get_deltas?model=hyperion&scope=user3&limit=50"
+    )
+    assert scoped["deltas"]
+    assert all(d["scope"] == "user3" for d in scoped["deltas"])
+
+
+def test_hyperion_model_get_blocks_and_block(server, spark):
+    """model=hyperion on get_blocks/get_block == the hash-gated
+    hyp_get_blocks_range / hyp_get_block rows."""
+    base, _ = server
+    body = _get(
+        base, "/v2/history/get_blocks?model=hyperion&after=40&before=60"
+    )
+    want = Q["hyp_get_blocks_range"](spark, SF_DIR).collect()
+    assert body["model"] == "hyperion"
+    assert [(b["block_num"], b["trx_count"], b["cpu_usage"])
+            for b in body["blocks"]] == [
+        (r["block_num"], r["trx_count"], r["cpu_usage"]) for r in want
+    ] and want
+    one = _get(base, "/v2/history/get_block?model=hyperion&block_num=42")
+    row = Q["hyp_get_block"](spark, SF_DIR).collect()[0]
+    assert one["present"] is True
+    for k in ("block_num", "block_id", "prev_id", "producer",
+              "trx_count", "cpu_usage", "net_usage"):
+        assert one[k] == row[k]
+    missing = _get(
+        base, "/v2/history/get_block?model=hyperion&block_num=99999999"
+    )
+    assert missing["present"] is False
+
+
+def test_hyperion_model_get_table_state(server, spark):
+    """model=hyperion on get_table_state == hyp_table_state_latest,
+    and the after_key keyset pages are disjoint + exhaustive."""
+    base, _ = server
+    want = [
+        (r["scope"], r["primary_key"], r["amount"], r["block_num"])
+        for r in Q["hyp_table_state_latest"](spark, SF_DIR).collect()
+    ]
+    body = _get(
+        base,
+        "/v2/history/get_table_state?model=hyperion&block=1500&limit=500",
+    )
+    assert body["model"] == "hyperion"
+    got = [
+        (r["scope"], r["primary_key"], r["amount"], r["block_num"])
+        for r in body["rows"]
+    ]
+    assert got == want and want
+    # keyset pagination: two pages re-assemble the full result
+    p1 = _get(
+        base,
+        "/v2/history/get_table_state?model=hyperion&block=1500&limit="
+        f"{len(want) // 2}",
+    )
+    p2 = _get(
+        base,
+        "/v2/history/get_table_state?model=hyperion&block=1500&limit=500"
+        f"&after_key={p1['next_key']}",
+    )
+    pages = [
+        (r["scope"], r["primary_key"], r["amount"], r["block_num"])
+        for r in p1["rows"] + p2["rows"]
+    ]
+    assert pages == want
+
+
+def test_hyperion_model_created_accounts_and_creator(server, spark):
+    """model=hyperion on get_created_accounts/get_creator == the
+    hash-gated hyp_created_accounts / hyp_get_creator rows."""
+    base, _ = server
+    body = _get(
+        base, "/v2/history/get_created_accounts?model=hyperion&account=user8"
+    )
+    want = Q["hyp_created_accounts"](spark, SF_DIR).collect()
+    assert body["model"] == "hyperion"
+    assert [(a["account"], a["creation_seq"]) for a in body["accounts"]] == [
+        (r["account"], r["creation_seq"]) for r in want
+    ] and want
+    one = _get(base, "/v2/history/get_creator?model=hyperion&account=user5")
+    row = Q["hyp_get_creator"](spark, SF_DIR).collect()[0]
+    for k in ("account", "creator", "creation_seq", "block_num", "trx_id"):
+        assert one[k] == row[k]
+    missing = _get(
+        base, "/v2/history/get_creator?model=hyperion&account=nosuchacct"
+    )
+    assert missing["creator"] is None
