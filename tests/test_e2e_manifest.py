@@ -186,7 +186,7 @@ def api_over_manifest(spark, tmp_path):
     )
     api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
     srv, _ = serve_background(api)
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    yield f"http://127.0.0.1:{srv.server_address[1]}", api
     srv.shutdown()
 
 
@@ -198,7 +198,7 @@ def _get(base: str, path: str) -> dict:
 def test_api_suite_contracts(api_over_manifest):
     """The APITestSuite behaviors (api-tests.ts:40-120) over the
     manifest lake."""
-    base = api_over_manifest
+    base, _ = api_over_manifest
     total_for = lambda a: sum(
         1 for r in manifest_rows() if r[1] == a
     )
@@ -253,7 +253,7 @@ def test_delta_stream_subscription(api_over_manifest):
     (StreamDeltasRequest, stream-requests.ts:25-49): code/scope/payer
     routing over the SSE surface — rows are the scope's custom_a
     deltas with the payer promoted from the JSON payload."""
-    base = api_over_manifest
+    base, _ = api_over_manifest
     want = [
         r[0] for r in manifest_rows() if r[2] == "custom_a" and r[1] == 1
     ]
@@ -306,7 +306,7 @@ def test_stream_field_filters_every_and_some(api_over_manifest):
     combination of field filters compiles into the replay predicate."""
     import urllib.parse
 
-    base = api_over_manifest
+    base, _ = api_over_manifest
     hi = N_TRANSFERS + N_CUSTOM
 
     def sse_rows(query: str) -> list[dict]:
@@ -357,3 +357,149 @@ def test_stream_field_filters_every_and_some(api_over_manifest):
             timeout=30,
         )
     assert ei.value.code == 400
+
+
+def test_fork_damage_repair_full_integrity(spark, tmp_path):
+    """VERDICT r9 item 4 — the reference's full damage story as ONE
+    test (scan.ts:435 forked-block detection feeding the fill): a
+    chain fork mid-manifest (reader drops the stale tail,
+    ship_ws.py read_range on_fork) PLUS a deleted spool range, then
+    the repair loop (streaming/repair.py scan → fill → verify), and
+    the IntegrityChecker contract goes green — every expected block
+    present exactly once, all content from the winning chain."""
+    import glob
+    import os
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from hyperion_history_api_spark.sources.ship_ws import ShipReader
+    from hyperion_history_api_spark.streaming.repair import repair_spool
+    from tests.test_ship_ws import _ShipServer
+
+    spool = str(tmp_path / "spool")
+    # 1. ingest the 40-block manifest over SHIP; the chain forks at 16
+    #    back to 12 (blocks >= 12 are only canonical on chain b)
+    srv = _ShipServer(n_blocks=40, fork=(16, 12))
+    r = ShipReader("127.0.0.1", srv.port)
+    assert r.spool_range(1, 40, spool, rows_per_file=4) == 40
+    r.close()
+    srv.sock.close()
+
+    # 2. damage: delete every spool file holding any of blocks 21-24
+    removed = []
+    for path in glob.glob(os.path.join(spool, "*.parquet")):
+        nums = pq.read_table(path, columns=["block_num"])[
+            "block_num"
+        ].to_pylist()
+        if any(21 <= x <= 24 for x in nums):
+            removed.append(sorted(nums))
+            os.remove(path)
+    assert removed, "damage injection must hit at least one file"
+    lost = sorted(x for nums in removed for x in nums)
+
+    # 3. repair against the post-fork chain (the fill endpoint serves
+    #    chain b from the damaged range on — the canonical chain now)
+    fill_srv = _ShipServer(n_blocks=40, fork=(lost[0], lost[0]))
+    report = repair_spool(
+        spark,
+        "127.0.0.1",
+        fill_srv.port,
+        spool,
+        expected_start=1,
+        expected_head=40,
+        max_readers=1,  # the stand-in server is single-connection
+    )
+    fill_srv.sock.close()
+    assert report["repaired"] is True and report["gaps_after"] == 0
+    assert report["blocks_fetched"] == len(lost)
+    assert report["missing_before"] == len(lost)
+
+    # 4. IntegrityChecker: complete, duplicate-free, winning-chain
+    rows = spark.read.parquet(spool).select("block_num", "payload").collect()
+    nums = sorted(r["block_num"] for r in rows)
+    assert nums == list(range(1, 41))  # complete AND exactly-once
+    for row in rows:
+        num, marker = struct.unpack("<IQ", bytes(row["payload"]))
+        assert num == row["block_num"]
+        # chain b carries marker num*1000+1; chain a num*1000 — every
+        # block >= the fork point must be the replacement chain's
+        assert marker == num * 1000 + (1 if num >= 12 else 0)
+
+
+def test_ws_stream_behavioral_contracts(spark, api_over_manifest):
+    """VERDICT r9 item 7 — the APITestSuite stream contracts driven
+    over the acked WebSocket surface (the reference runs its stream
+    tests through the socket, tests/e2e/hyp-test.ts): involvement,
+    batch disjointness + completeness in order, field-filter
+    exactness, and the deltas subscription kind."""
+    from hyperion_history_api_spark.api.ws_stream import WsStreamServer
+    from tests.test_ws_stream import _frames_until_end, _subscribe
+
+    _, api = api_over_manifest
+    srv = WsStreamServer(api, ack_timeout=30.0)
+    hi = N_TRANSFERS + N_CUSTOM
+    try:
+        # involvement + exactness + pagination-disjointness: batches
+        # are disjoint, their union is the account's exact manifest
+        # slice, in sequence order
+        ws = _subscribe(
+            srv.port,
+            {
+                "account": 2,
+                "start_from": 1,
+                "read_until": hi,
+                "batch_size": 7,
+                "window": 2,
+            },
+        )
+        rows, batches = _frames_until_end(ws)
+        ws.close()
+        want = [r[0] for r in manifest_rows() if r[1] == 2]
+        got = [d["event_id"] for d in rows]
+        assert got == want and want  # complete, ordered
+        assert len(set(got)) == len(got)  # disjoint batches
+        assert all(d["user_id"] == 2 for d in rows)  # involvement
+        assert batches == -(-len(want) // 7)
+
+        # field-filter exactness over the socket (filters= list)
+        ws = _subscribe(
+            srv.port,
+            {
+                "account": 1,
+                "start_from": 1,
+                "read_until": hi,
+                "filters": json.dumps(
+                    [{"field": "value", "operator": "gt", "value": 100}]
+                ),
+                "batch_size": 50,
+                "window": 4,
+            },
+        )
+        rows, _ = _frames_until_end(ws)
+        ws.close()
+        want = [r[0] for r in manifest_rows() if r[1] == 1 and r[3] > 100]
+        assert [d["event_id"] for d in rows] == want and want
+
+        # the second subscription kind (StreamDeltasRequest) with acks
+        ws = _subscribe(
+            srv.port,
+            {
+                "stream": "deltas",
+                "code": "custom_a",
+                "scope": 1,
+                "start_from": 1,
+                "read_until": hi,
+                "batch_size": 5,
+                "window": 1,
+            },
+        )
+        rows, _ = _frames_until_end(ws)
+        ws.close()
+        want = [
+            r[0] for r in manifest_rows() if r[2] == "custom_a" and r[1] == 1
+        ]
+        assert [d["event_id"] for d in rows] == want and want
+        assert all(d["payer"] == d["event_id"] for d in rows)
+    finally:
+        srv.close()
