@@ -66,6 +66,11 @@ _SHOWCASE: list[str] = [
     "hyp_get_blocks_range",
     "hyp_created_accounts",
     "hyp_get_creator",
+    # round 10 (verdict item 6): stdlib MP4 container parse — keyframe
+    # byte ranges/timestamps from moov/stbl, no codec; + keyframe-seek
+    # frame sampling replacing the env-gated video stub
+    "multimodal_mp4_keyframes",
+    "multimodal_mp4_frame_sample",
     # round 9 (verdict item 3): the last no_oracle row now carries a
     # real gate — exact distinct + HLL-within-rsd assertion twin
     "unique_actors_approx",

