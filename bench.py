@@ -14,7 +14,16 @@ instead of silently inflating it (round-3 verdict what's-wrong #4):
 - ``load_sentinel_sec``: a fixed single-thread busy-loop timed before
   and after the query block — a calibration constant for THIS code on
   ANY host, so two artifacts are comparable (a contended run shows a
-  sentinel well above the quiet-host ~0.2 s and/or a wide spread).
+  sentinel well above the quiet-host ~0.2 s and/or a wide spread);
+- ``external_cpu_cores_avg`` / ``loadavg_start`` (round-10,
+  DRIFT_r10.json): whole-machine contamination canary. The r9
+  driver-session regression (ingest -29%, micro-batch +31%, flat
+  under controlled re-measure) slipped past the sentinel because one
+  thread can still get a full core while the other 31 are contended —
+  this field is the /proc/stat busy delta NOT attributable to this
+  bench's own process tree, in cores-average over the timed span.
+  Quiet host ~0; read any bench row with external_cpu_cores_avg >> 1
+  as contaminated rather than regressed.
 """
 
 from __future__ import annotations
@@ -42,6 +51,47 @@ def _load_sentinel() -> float:
         acc = (acc + i * i) % 1_000_003
     assert acc >= 0
     return time.perf_counter() - t0
+
+
+def _cpu_snapshot() -> tuple[int, int]:
+    """(total_busy_jiffies, our_tree_jiffies) from /proc — the
+    whole-machine canary the single-thread sentinel cannot be
+    (DRIFT_r10: the driver's contaminated r9 run shows a QUIET 0.18 s
+    sentinel because one thread still gets a full core while the
+    other 31 are contended). ``our_tree`` walks the live descendants
+    of this process (the JVM, pyspark daemons/workers) and includes
+    each pid's reaped-children time, so worker CPU is never
+    misattributed to the host."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    v = [int(x) for x in parts[1:]]
+    idle = v[3] + (v[4] if len(v) > 4 else 0)  # idle + iowait
+    total_busy = sum(v) - idle
+
+    children: dict[int, list[int]] = {}
+    stats: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        # fields after the parenthesized comm (which may hold spaces)
+        rest = s[s.rindex(")") + 2 :].split()
+        pid = int(d)
+        ppid = int(rest[1])
+        # utime+stime+cutime+cstime (rest idx 11..14 = stat 14..17)
+        stats[pid] = sum(int(x) for x in rest[11:15])
+        children.setdefault(ppid, []).append(pid)
+    tree = 0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        tree += stats.get(p, 0)
+        stack.extend(children.get(p, ()))
+    return total_busy, tree
 
 
 def main() -> None:
@@ -89,6 +139,9 @@ def main() -> None:
 
     _scrub()
     sentinel_before = _load_sentinel()
+    cpu_total0, cpu_tree0 = _cpu_snapshot()
+    loadavg0 = os.getloadavg()[0]
+    wall0 = time.perf_counter()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -204,6 +257,17 @@ def main() -> None:
     finally:
         shutil.rmtree(mb_out, ignore_errors=True)
 
+    cpu_total1, cpu_tree1 = _cpu_snapshot()
+    wall = time.perf_counter() - wall0
+    hz = os.sysconf("SC_CLK_TCK")
+    # CPU-cores-average burned by processes OUTSIDE this bench's tree
+    # over the whole timed span (queries + ingest + microbatch). A
+    # quiet host reads ~0; the r9 driver-session contamination that a
+    # full-core single-thread sentinel missed reads as multiple cores.
+    external_cores = max(
+        0.0,
+        ((cpu_total1 - cpu_total0) - (cpu_tree1 - cpu_tree0)) / hz / wall,
+    )
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -217,6 +281,8 @@ def main() -> None:
                 "load_sentinel_sec": round(
                     max(sentinel_before, sentinel_after), 4
                 ),
+                "external_cpu_cores_avg": round(external_cores, 2),
+                "loadavg_start": round(loadavg0, 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_sec": round(ingest_sec, 4),
                 "ingest_rows": rows,
