@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import socket
 import threading
+import time
 import uuid
 
 from ..sources.ship_ws import OP_TEXT, WebSocketConnection, server_handshake
@@ -149,6 +150,24 @@ class SocketIOStreamServer:
             OP_TEXT,
         )
         next_ack = [0]  # server-side emitWithAck id counter
+        last_recv = [time.monotonic()]
+        # Engine.IO v4 heartbeat direction: the SERVER pings, the client
+        # pongs — a stock socket.io client closes the transport if no
+        # ping arrives within pingInterval+pingTimeout, so a server that
+        # only ANSWERS pings loses every idle/live-tail session at
+        # ~145 s. All sends stay on this session thread (ws.send is not
+        # locked): recv waits are bounded at ping_interval and each
+        # timeout beat sends one ping; a peer silent past
+        # pingInterval+pingTimeout is dropped (engine.io's own rule).
+        ws.sock.settimeout(self.ping_interval)
+
+        def heartbeat() -> None:
+            if (
+                time.monotonic() - last_recv[0]
+                > self.ping_interval + self.ack_timeout
+            ):
+                raise ConnectionError("client heartbeat lost")
+            ws.send(EIO_PING, OP_TEXT)
 
         def emit(event: str, data, ack_id: int | None = None) -> None:
             pkt = EIO_MESSAGE + SIO_EVENT
@@ -168,6 +187,7 @@ class SocketIOStreamServer:
             msg = ws.recv()
             if msg is None:
                 raise ConnectionError("client closed")
+            last_recv[0] = time.monotonic()
             text = msg[1].decode() if isinstance(msg[1], bytes) else msg[1]
             if not text:
                 raise ValueError("empty engine.io packet")
@@ -176,14 +196,23 @@ class SocketIOStreamServer:
         def await_client_ack(ack_id: int) -> dict:
             """Block (bounded) until the client's ACK for ``ack_id`` —
             the emitWithAck 120 s contract; anything else interleaving
-            (pongs, cancel events) is handled in place."""
-            ws.sock.settimeout(self.ack_timeout)
+            (pongs, cancel events) is handled in place. Recv waits stay
+            at ping_interval so the server keeps heartbeating while it
+            waits out a slow acker."""
+            deadline = time.monotonic() + self.ack_timeout
             try:
                 while True:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        raise AckTimeout("client ack timeout")
+                    ws.sock.settimeout(min(self.ping_interval, remaining))
                     try:
                         etype, body = recv_packet()
                     except socket.timeout:
-                        raise AckTimeout("client ack timeout") from None
+                        if time.monotonic() >= deadline:
+                            raise AckTimeout("client ack timeout") from None
+                        heartbeat()
+                        continue
                     if etype == EIO_PING:
                         ws.send(EIO_PONG + body, OP_TEXT)
                         continue
@@ -200,11 +229,15 @@ class SocketIOStreamServer:
                                 send_ack(got_id, [{"status": "OK"}])
                             raise ConnectionError("stream cancelled")
             finally:
-                ws.sock.settimeout(None)
+                ws.sock.settimeout(self.ping_interval)
 
         # socket.io connect on the default namespace
         while True:
-            etype, body = recv_packet()
+            try:
+                etype, body = recv_packet()
+            except socket.timeout:
+                heartbeat()
+                continue
             if etype == EIO_PING:
                 ws.send(EIO_PONG + body, OP_TEXT)
                 continue
@@ -218,7 +251,11 @@ class SocketIOStreamServer:
 
         # request loop: one stream request at a time per connection
         while True:
-            etype, body = recv_packet()
+            try:
+                etype, body = recv_packet()
+            except socket.timeout:
+                heartbeat()
+                continue
             if etype == EIO_PING:
                 ws.send(EIO_PONG + body, OP_TEXT)
                 continue

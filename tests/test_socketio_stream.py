@@ -7,7 +7,7 @@ done-gate (the connecting-client option)."""
 
 from __future__ import annotations
 
-import json
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -131,5 +131,66 @@ def test_non_acking_client_forcefully_disconnected(spark):
         with pytest.raises(ConnectionError):
             while True:
                 c.next_message(ack=False)
+    finally:
+        srv.close()
+
+
+def test_server_heartbeats_engineio_pings(spark):
+    """Engine.IO v4's heartbeat runs SERVER -> client: the server must
+    ping every pingInterval, because a stock socket.io client closes
+    the transport itself when no ping arrives within
+    pingInterval+pingTimeout (~145 s at the advertised defaults) — an
+    answer-only server silently loses every idle/live-tail session."""
+    from hyperion_history_api_spark.sources.ship_ws import OP_TEXT
+
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ping_interval=0.1, ack_timeout=5.0)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        pings = 0
+        deadline = time.monotonic() + 4.0
+        while pings < 2 and time.monotonic() < deadline:
+            t, body = c._recv()
+            if t == "2":  # engine.io PING
+                c.ws.send("3" + body, OP_TEXT)
+                pings += 1
+        assert pings >= 2, "server never heartbeated an idle session"
+        # a pong-answering client stays connected and fully served
+        resp = c.emit_with_ack("cancel_stream_request", {"reqUUID": "x"})
+        assert resp == {"status": "OK"}
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_silent_peer_dropped_after_ping_timeout(spark):
+    """engine.io's converse rule: a peer that never answers pings is
+    dropped once it has been silent past pingInterval+pingTimeout —
+    otherwise dead stream clients pin connection slots forever."""
+    from hyperion_history_api_spark.sources.ship_ws import (
+        OP_TEXT,
+        WebSocketClient,
+    )
+
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ping_interval=0.05, ack_timeout=0.2)
+    try:
+        ws = WebSocketClient(
+            "127.0.0.1", srv.port,
+            path="/socket.io/?EIO=4&transport=websocket",
+        )
+        assert ws.recv() is not None  # engine.io OPEN
+        ws.send("40", OP_TEXT)  # socket.io connect, then go silent
+        dropped = False
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            try:
+                if ws.recv() is None:
+                    dropped = True
+                    break
+            except (ConnectionError, OSError):
+                dropped = True
+                break
+        assert dropped, "silent peer was never disconnected"
     finally:
         srv.close()
