@@ -194,7 +194,7 @@ def get_table_state(api, params: dict) -> dict:
         )
     )
     rows = _rows(page)
-    next_key = rows[-1]["_key"] if len(rows) == limit else None
+    next_key = rows[-1]["_key"] if rows and len(rows) == limit else None
     for r in rows:
         del r["_key"]
     return {"block": block, "rows": rows, "next_key": next_key}
@@ -404,7 +404,7 @@ def hyp_get_table_state(api, params: dict) -> dict:
     if params.get("after_key"):
         page = page.where(F.col("_key") > params["after_key"])
     rows = _rows(page.orderBy(F.col("_key").asc()).limit(limit))
-    next_key = rows[-1]["_key"] if len(rows) == limit else None
+    next_key = rows[-1]["_key"] if rows and len(rows) == limit else None
     for r in rows:
         del r["_key"]
     return {

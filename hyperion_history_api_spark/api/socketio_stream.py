@@ -37,12 +37,16 @@ from __future__ import annotations
 
 import json
 import socket
-import threading
 import time
 import uuid
 
-from ..sources.ship_ws import OP_TEXT, WebSocketConnection, server_handshake
-from .ws_stream import AckTimeout
+from ..sources.ship_ws import OP_TEXT, WebSocketConnection
+from .ws_stream import (
+    HANDSHAKE_TIMEOUT,
+    AckTimeout,
+    CappedWsServer,
+    normalize_params,
+)
 
 #: engine.io packet types
 EIO_OPEN, EIO_CLOSE, EIO_PING, EIO_PONG, EIO_MESSAGE = "0", "1", "2", "3", "4"
@@ -56,7 +60,9 @@ def _parse_sio(payload: str) -> tuple[str, int | None, list]:
     Hyperion's manager binds the root namespace."""
     sio_type, rest = payload[0], payload[1:]
     if rest.startswith("/"):  # namespace prefix "/ns," (unused here)
-        rest = rest.split(",", 1)[1]
+        _, sep, rest = rest.partition(",")
+        if not sep:
+            rest = ""  # namespace-only packet (e.g. "40/ns"): no body
     digits = ""
     while rest and rest[0].isdigit():
         digits += rest[0]
@@ -65,10 +71,13 @@ def _parse_sio(payload: str) -> tuple[str, int | None, list]:
     return sio_type, (int(digits) if digits else None), args
 
 
-class SocketIOStreamServer:
+class SocketIOStreamServer(CappedWsServer):
     """Accepts Socket.IO (EIO=4, websocket transport) subscribers and
     serves the reference's stream session over
-    :class:`~.http_server.HyperionAPI`."""
+    :class:`~.http_server.HyperionAPI`. Accept-loop, connection cap,
+    and pre-handshake timeout come from :class:`CappedWsServer` —
+    shared with the plain-WS surface so both reject and guard
+    identically."""
 
     def __init__(
         self,
@@ -80,61 +89,24 @@ class SocketIOStreamServer:
         ping_interval: float = 25.0,
         chain: str = "spark",
         max_connections: int = 64,
+        handshake_timeout: float = HANDSHAKE_TIMEOUT,
     ) -> None:
         self.api = api
         self.ack_timeout = ack_timeout
         self.ping_interval = ping_interval
         self.chain = chain
-        self.max_connections = max_connections
-        self.sock = socket.create_server((host, port))
-        self.port = self.sock.getsockname()[1]
-        self._stop = threading.Event()
-        self._active = 0
-        self._active_lock = threading.Lock()
-        self.thread = threading.Thread(target=self._accept_loop, daemon=True)
-        self.thread.start()
+        super().__init__(host, port, max_connections, handshake_timeout)
 
-    def close(self) -> None:
-        self._stop.set()
-        try:
-            self.sock.close()
-        except OSError:
-            pass
-
-    def _accept_loop(self) -> None:
-        while not self._stop.is_set():
-            try:
-                conn, _ = self.sock.accept()
-            except OSError:
-                return
-            with self._active_lock:
-                if self._active >= self.max_connections:
-                    try:
-                        conn.close()
-                    except OSError:
-                        pass
-                    continue
-                self._active += 1
-            threading.Thread(
-                target=self._serve_one, args=(conn,), daemon=True
-            ).start()
+    def _reject_frame(self) -> str:
+        # socket.io CONNECT_ERROR on the default namespace — what a
+        # stock client surfaces as connect_error instead of an
+        # unexplained transport drop
+        return (
+            EIO_MESSAGE + "4" + json.dumps({"message": "too many connections"})
+        )
 
     # -- per-connection session --------------------------------------------
-    def _serve_one(self, conn: socket.socket) -> None:
-        try:
-            ws = server_handshake(conn)
-            self._session(ws)
-        except (AckTimeout, ConnectionError, OSError, ValueError):
-            pass  # forceful disconnect path
-        finally:
-            with self._active_lock:
-                self._active -= 1
-            try:
-                conn.close()
-            except OSError:
-                pass
-
-    def _session(self, ws: WebSocketConnection) -> None:
+    def _session(self, ws: WebSocketConnection, conn_id: int) -> None:
         sid = uuid.uuid4().hex
         ws.send(
             EIO_OPEN
@@ -151,6 +123,7 @@ class SocketIOStreamServer:
         )
         next_ack = [0]  # server-side emitWithAck id counter
         last_recv = [time.monotonic()]
+        last_ping = [time.monotonic()]
         # Engine.IO v4 heartbeat direction: the SERVER pings, the client
         # pongs — a stock socket.io client closes the transport if no
         # ping arrives within pingInterval+pingTimeout, so a server that
@@ -168,6 +141,17 @@ class SocketIOStreamServer:
             ):
                 raise ConnectionError("client heartbeat lost")
             ws.send(EIO_PING, OP_TEXT)
+            last_ping[0] = time.monotonic()
+
+        def maybe_ping() -> None:
+            """Keep heartbeating through BUSY stretches: a fast-acking
+            client or a long Spark scan means recv never times out, so
+            the timeout-path heartbeat alone starves — and a stock
+            client that measures pings (not data) self-disconnects at
+            pingInterval+pingTimeout mid-replay. Called from the send
+            loops, which all run on this session thread."""
+            if time.monotonic() - last_ping[0] >= self.ping_interval:
+                heartbeat()
 
         def emit(event: str, data, ack_id: int | None = None) -> None:
             pkt = EIO_MESSAGE + SIO_EVENT
@@ -275,7 +259,7 @@ class SocketIOStreamServer:
                 continue
             kind = "action" if event.startswith("action") else "delta"
             req_uuid = uuid.uuid4().hex
-            params = {str(k): str(v) for k, v in dict(data).items()}
+            params = normalize_params(dict(data))
             params.pop("ignore_live", None)
             if kind == "delta":
                 params["stream"] = "deltas"
@@ -306,6 +290,7 @@ class SocketIOStreamServer:
                 nonlocal last_block
                 if not batch:
                     return
+                maybe_ping()
                 next_ack[0] += 1
                 emit(
                     "message",
@@ -331,6 +316,7 @@ class SocketIOStreamServer:
                 batch.clear()
 
             for row in rows:
+                maybe_ping()  # rows may arrive slowly from a long scan
                 batch.append(row)
                 if len(batch) >= batch_size:
                     flush()

@@ -50,33 +50,52 @@ class AckTimeout(ConnectionError):
     """Client failed to ack within the window (functions.ts:292-301)."""
 
 
-class WsStreamServer:
-    """Accepts WebSocket subscribers and serves credit-gated replay +
-    live tail over :class:`~.http_server.HyperionAPI`."""
+#: a peer gets this long to complete the ws upgrade and send its
+#: opening message — without it a socket that connects and never
+#: speaks pins a capped slot (or a reject thread) forever, turning
+#: the connection cap into a denial of service instead of a defense
+HANDSHAKE_TIMEOUT = 10.0
+
+
+def normalize_params(data: dict) -> dict:
+    """Request params off the wire: keys to str, scalar values to str
+    (the query-param form every parser downstream expects), but
+    structured values (the ``filters`` list of {field,value,operator})
+    passed through untouched — ``str()`` on a Python list produces
+    single-quoted pseudo-JSON that ``stream_rows`` can never parse,
+    which would reject every filtered subscription."""
+    return {
+        str(k): v if isinstance(v, (list, dict)) else str(v)
+        for k, v in data.items()
+    }
+
+
+class CappedWsServer:
+    """Accept-loop scaffolding shared by the plain-WS and Socket.IO
+    stream surfaces: thread-per-connection with a hard cap, one
+    explanatory frame to over-cap clients, and a pre-handshake read
+    timeout on EVERY accepted socket. Subclasses implement
+    ``_session(ws, conn_id)`` (and may override ``_reject_frame`` for
+    their wire format); the session owns the socket timeout once the
+    handshake succeeds."""
 
     def __init__(
         self,
-        api,
-        host: str = "127.0.0.1",
-        port: int = 0,
-        *,
-        ack_timeout: float = 120.0,
-        max_connections: int = 64,
+        host: str,
+        port: int,
+        max_connections: int,
+        handshake_timeout: float = HANDSHAKE_TIMEOUT,
     ) -> None:
-        self.api = api
-        self.ack_timeout = ack_timeout
         self.max_connections = max_connections
+        self.handshake_timeout = handshake_timeout
         self.sock = socket.create_server((host, port))
         self.port = self.sock.getsockname()[1]
         self._stop = threading.Event()
         self._active = 0
         self._active_lock = threading.Lock()
-        # observability for tests: highest batch seq sent per conn id
-        self.sent_batches: dict[int, int] = {}
         self.thread = threading.Thread(target=self._accept_loop, daemon=True)
         self.thread.start()
 
-    # -- lifecycle -------------------------------------------------------
     def close(self) -> None:
         self._stop.set()
         try:
@@ -92,6 +111,7 @@ class WsStreamServer:
             except OSError:
                 return
             n += 1
+            conn.settimeout(self.handshake_timeout)
             # connection cap mirroring the reference's serving-side
             # limits: a saturated server tells the client why (one
             # error frame after the handshake) instead of growing an
@@ -107,37 +127,26 @@ class WsStreamServer:
                 target=self._serve_one, args=(conn, n), daemon=True
             ).start()
 
+    def _reject_frame(self) -> str:
+        return json.dumps({"type": "error", "error": "too many connections"})
+
     def _reject_one(self, conn: socket.socket) -> None:
         try:
             ws = server_handshake(conn)
-            ws.send(
-                json.dumps(
-                    {"type": "error", "error": "too many connections"}
-                ),
-                OP_TEXT,
-            )
+            ws.send(self._reject_frame(), OP_TEXT)
             ws.close()
         except (ConnectionError, OSError, ValueError):
-            pass
+            pass  # socket.timeout is an OSError: silent peers land here
         finally:
             try:
                 conn.close()
             except OSError:
                 pass
 
-    # -- per-connection protocol ------------------------------------------
     def _serve_one(self, conn: socket.socket, conn_id: int) -> None:
         try:
             ws = server_handshake(conn)
-            msg = ws.recv()
-            if msg is None:
-                return
-            params = json.loads(msg[1])
-            params = {str(k): str(v) for k, v in params.items()}
-            batch_size = int(params.pop("batch_size", 50))
-            window = max(1, int(params.pop("window", 4)))
-            rows = self.api.stream_rows(params)
-            self._pump(ws, rows, batch_size, window, conn_id)
+            self._session(ws, conn_id)
         except (AckTimeout, ConnectionError, OSError, ValueError):
             pass  # forceful disconnect path: drop the connection
         finally:
@@ -147,6 +156,45 @@ class WsStreamServer:
                 conn.close()
             except OSError:
                 pass
+
+    def _session(self, ws: WebSocketConnection, conn_id: int) -> None:
+        raise NotImplementedError
+
+
+class WsStreamServer(CappedWsServer):
+    """Accepts WebSocket subscribers and serves credit-gated replay +
+    live tail over :class:`~.http_server.HyperionAPI`."""
+
+    def __init__(
+        self,
+        api,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        *,
+        ack_timeout: float = 120.0,
+        max_connections: int = 64,
+        handshake_timeout: float = HANDSHAKE_TIMEOUT,
+    ) -> None:
+        self.api = api
+        self.ack_timeout = ack_timeout
+        # observability for tests: highest batch seq sent per conn id
+        self.sent_batches: dict[int, int] = {}
+        super().__init__(host, port, max_connections, handshake_timeout)
+
+    # -- per-connection protocol ------------------------------------------
+    def _session(self, ws: WebSocketConnection, conn_id: int) -> None:
+        # the HANDSHAKE_TIMEOUT also bounds the opening request frame
+        # (the reference disconnects idle openers the same way); the
+        # pump then manages its own ack deadlines
+        msg = ws.recv()
+        if msg is None:
+            return
+        ws.sock.settimeout(None)
+        params = normalize_params(json.loads(msg[1]))
+        batch_size = int(params.pop("batch_size", 50))
+        window = max(1, int(params.pop("window", 4)))
+        rows = self.api.stream_rows(params)
+        self._pump(ws, rows, batch_size, window, conn_id)
 
     def _await_ack(self, ws: WebSocketConnection) -> int:
         """Block (bounded) for one ack frame; returns the acked seq."""

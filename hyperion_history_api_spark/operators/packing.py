@@ -58,7 +58,10 @@ def running_total(
     )
     local = Window.partitionBy("_chunk").orderBy(order_col)
     d = d.withColumn("_local_cum", F.sum("_w").over(local))
-    # N-row side: total per chunk (= max of the inclusive running sum)
+    # N-row side: total per chunk (= the LAST row's inclusive running
+    # sum — max_by on order, not max: plain max(_local_cum) is only the
+    # total when every weight is non-negative, and this operator's
+    # contract allows any numeric weight, e.g. signed deltas)
     # -> exclusive cumulative offset. Deriving totals from the WINDOWED
     # frame, not the pre-window frame, makes this subtree share the
     # identical Exchange(hash(_chunk)) with the main side, so
@@ -67,7 +70,9 @@ def running_total(
     # (partial-agg child) and re-computes the weight over the whole
     # corpus. The single-partition window below runs over
     # n_partitions rows.
-    totals = d.groupBy("_chunk").agg(F.max("_local_cum").alias("_ptotal"))
+    totals = d.groupBy("_chunk").agg(
+        F.max_by("_local_cum", F.col(order_col)).alias("_ptotal")
+    )
     off_w = Window.orderBy("_chunk").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -61,8 +61,9 @@ def grouped_running_total(
     )
     local = Window.partitionBy("_chunk", *group_cols).orderBy(order_col)
     d = d.withColumn("_local_cum", F.sum("_w").over(local))
-    # (chunk x group) totals (= max of the inclusive running sum per
-    # cell) -> exclusive per-group offsets; this side is n_partitions x
+    # (chunk x group) totals (= the LAST row's inclusive running sum
+    # per cell — max_by on order, not max, so signed weights stay
+    # correct) -> exclusive per-group offsets; this side is n_partitions x
     # |groups| rows — broadcast-sized by construction. Totals come from
     # the WINDOWED frame so this subtree shares the identical
     # Exchange(hash(_chunk, groups)) with the main side and
@@ -70,7 +71,7 @@ def grouped_running_total(
     # pre-window groupBy plans a different partial-agg exchange and
     # re-computes the weight corpus-wide).
     totals = d.groupBy("_chunk", *group_cols).agg(
-        F.max("_local_cum").alias("_ptotal")
+        F.max_by("_local_cum", F.col(order_col)).alias("_ptotal")
     )
     off_w = (
         Window.partitionBy(*group_cols)

@@ -141,30 +141,49 @@ class WebSocketConnection:
             self.closed = True
 
     # -- receive -------------------------------------------------------
-    def _read_exact(self, n: int) -> bytes:
+    def _fill(self, n: int) -> None:
+        """Buffer at least ``n`` bytes WITHOUT consuming them. A
+        ``socket.timeout`` mid-fill leaves ``_buf`` intact, so the
+        next call resumes at the same frame boundary — load-bearing
+        for the heartbeat loops (api/socketio_stream.py) that treat a
+        recv timeout as a routine ping tick: a consuming reader would
+        re-parse mid-frame bytes as a fresh header after a timeout
+        that split a frame across TCP segments, desyncing the
+        connection permanently."""
         while len(self._buf) < n:
             chunk = self.sock.recv(65536)
             if not chunk:
                 raise ConnectionError("socket closed mid-frame")
             self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
-        return out
 
     def _read_frame(self) -> tuple[int, bool, bytes]:
-        b0, b1 = self._read_exact(2)
+        self._fill(2)
+        b0, b1 = self._buf[0], self._buf[1]
         fin, opcode = bool(b0 & 0x80), b0 & 0x0F
         masked, n = bool(b1 & 0x80), b1 & 0x7F
+        hdr = 2
         if n == 126:
-            (n,) = struct.unpack(">H", self._read_exact(2))
+            self._fill(hdr + 2)
+            (n,) = struct.unpack_from(">H", self._buf, hdr)
+            hdr += 2
         elif n == 127:
-            (n,) = struct.unpack(">Q", self._read_exact(8))
-        key = self._read_exact(4) if masked else None
-        payload = self._read_exact(n)
+            self._fill(hdr + 8)
+            (n,) = struct.unpack_from(">Q", self._buf, hdr)
+            hdr += 8
+        if masked:
+            self._fill(hdr + 4)
+            key = self._buf[hdr : hdr + 4]
+            hdr += 4
+        else:
+            key = None
+        self._fill(hdr + n)  # only NOW is the whole frame buffered
+        payload = self._buf[hdr : hdr + n]
+        self._buf = self._buf[hdr + n :]
         if key:
             payload = bytes(
                 b ^ key[i % 4] for i, b in enumerate(payload)
             )
-        return opcode, fin, payload
+        return opcode, fin, bytes(payload)
 
     def recv(self) -> tuple[int, bytes] | None:
         """Next complete MESSAGE (continuation frames reassembled;

@@ -524,3 +524,15 @@ def test_hyperion_model_created_accounts_and_creator(server, spark):
         base, "/v2/history/get_creator?model=hyperion&account=nosuchacct"
     )
     assert missing["creator"] is None
+
+
+def test_get_table_state_limit_zero_is_not_an_error(server):
+    """limit=0 is allowed by the validator and must return an empty
+    page, not crash on rows[-1] (which surfaced as an opaque 500)."""
+    base, _ = server
+    for q in (
+        "/v2/history/get_table_state?block=800&limit=0",
+        "/v2/history/get_table_state?model=hyperion&block=1500&limit=0",
+    ):
+        body = _get(base, q)
+        assert body["rows"] == [] and body["next_key"] is None

@@ -46,3 +46,19 @@ def test_pack_ids_contiguous_and_monotone(spark, weighted):
     # every pack holds the doc whose first token starts inside it
     total = sum((i * 37) % 19 + 1 for i in range(1, 301))
     assert pids[-1] == (total - ((300 * 37) % 19 + 1)) // 64
+
+
+def test_running_total_signed_weights(spark):
+    """The chunk total is the LAST row's inclusive cum (max_by), not
+    max(): with signed weights the max of a prefix sum overshoots the
+    total and every later chunk's offsets inflate silently."""
+    rows = [(i, ((i * 37) % 19) - 9) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    got = {
+        r["id"]: r["_cum"]
+        for r in running_total(df, "id", F.col("w"), 8).collect()
+    }
+    cum = 0
+    for i, w in rows:
+        cum += w
+        assert got[i] == cum

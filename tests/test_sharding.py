@@ -93,3 +93,23 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
             seen[obj["doc_id"]] = obj["text"]
     want = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert seen == want  # every doc, byte-identical text, exactly once
+
+
+def test_grouped_running_total_signed_weights(spark):
+    """Same sign-safety as the ungrouped form: per-cell totals must be
+    the last inclusive cum (max_by on order), not max()."""
+    rows = [
+        (i, ["a", "b", "c"][i % 3], ((i * 37) % 19) - 9)
+        for i in range(1, 301)
+    ]
+    df = spark.createDataFrame(rows, "id: long, g: string, w: long")
+    got = {
+        (r["g"], r["id"]): r["_cum"]
+        for r in grouped_running_total(
+            df, ["g"], "id", F.col("w"), 8
+        ).collect()
+    }
+    cums: dict[str, int] = {}
+    for i, g, w in rows:
+        cums[g] = cums.get(g, 0) + w
+        assert got[(g, i)] == cums[g]

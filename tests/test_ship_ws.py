@@ -386,3 +386,34 @@ def test_parallel_backfill_ranges(spark, tmp_path):
     assert spark.read.parquet(out).count() == 60
     for srv in servers:
         srv.sock.close()
+
+
+def test_frame_read_survives_mid_frame_timeout():
+    """Timeout-reentrant framing: the stream-serving heartbeat loops
+    treat socket.timeout as a routine ping tick and call recv() again,
+    so a timeout that lands MID-FRAME (peer's frame split across TCP
+    segments) must leave the parser at the same frame boundary — a
+    consuming reader would re-parse payload bytes as a fresh header
+    and desync the connection permanently."""
+    from hyperion_history_api_spark.sources.ship_ws import (
+        OP_TEXT,
+        WebSocketConnection,
+        encode_frame,
+    )
+
+    a, b = socket.socketpair()
+    try:
+        conn = WebSocketConnection(a, is_client=False)
+        a.settimeout(0.2)
+        frame = encode_frame(OP_TEXT, b"hello-world", mask=True)
+        b.sendall(frame[:5])  # header + part of the mask key only
+        with pytest.raises(TimeoutError):
+            conn.recv()
+        b.sendall(frame[5:])  # the rest arrives after the timeout
+        assert conn.recv() == (OP_TEXT, b"hello-world")
+        # and the NEXT frame parses cleanly too (no residue)
+        b.sendall(encode_frame(OP_TEXT, b"again", mask=True))
+        assert conn.recv() == (OP_TEXT, b"again")
+    finally:
+        a.close()
+        b.close()

@@ -194,3 +194,63 @@ def test_silent_peer_dropped_after_ping_timeout(spark):
         assert dropped, "silent peer was never disconnected"
     finally:
         srv.close()
+
+
+def test_raw_list_filters_and_field_exactness(sio, spark):
+    """A stock client emits filters as a JSON ARRAY (StreamActionsRequest
+    .filters) — the layer must pass it through to the compiler, not
+    Python-stringify it into unparseable pseudo-JSON."""
+    c = SocketIOClient("127.0.0.1", sio.port)
+    resp = c.emit_with_ack(
+        "action_stream_request",
+        {
+            "account": 1,
+            "start_from": 1,
+            "read_until": 2000,
+            "filters": [{"field": "value", "operator": "gt", "value": 100}],
+            "batch_size": 50,
+        },
+    )
+    assert resp["status"] == "OK", resp
+    rows = []
+    while True:
+        m = c.next_message()
+        if m.get("type") == "history_end":
+            break
+        rows.extend(m["messages"])
+    c.close()
+    ev = load_tables(spark, SF_DIR)["events"]
+    want = [
+        r["event_id"]
+        for r in ev.where(
+            (F.col("user_id") == 1)
+            & F.col("event_id").between(1, 2000)
+            & (F.col("value") > 100)
+        )
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert [d["event_id"] for d in rows] == want and want
+
+
+def test_over_cap_client_gets_connect_error_packet(spark):
+    """Over the cap, a stock client should see a socket.io
+    CONNECT_ERROR (surfaced as connect_error) — not an unexplained
+    TCP close."""
+    from hyperion_history_api_spark.sources.ship_ws import WebSocketClient
+
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=30.0, max_connections=0)
+    try:
+        ws = WebSocketClient(
+            "127.0.0.1", srv.port,
+            path="/socket.io/?EIO=4&transport=websocket",
+        )
+        msg = ws.recv()
+        assert msg is not None
+        text = msg[1].decode() if isinstance(msg[1], bytes) else msg[1]
+        assert text.startswith("44")  # EIO message + SIO connect_error
+        assert "too many connections" in text
+        ws.close()
+    finally:
+        srv.close()

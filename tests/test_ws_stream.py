@@ -225,3 +225,73 @@ def test_connection_cap_rejects_then_recovers(spark):
         ws3.close()
     finally:
         srv.close()
+
+
+def test_raw_list_filters_accepted(spark):
+    """filters sent as a real JSON array (what a structured client
+    sends) must reach the compiler intact — str() on a Python list
+    produces single-quoted pseudo-JSON that rejects the request."""
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    srv = WsStreamServer(api, ack_timeout=30.0)
+    try:
+        ws = _subscribe(
+            srv.port,
+            {
+                "account": 1,
+                "start_from": 1,
+                "read_until": 2000,
+                "filters": [
+                    {"field": "value", "operator": "gt", "value": 100}
+                ],
+                "batch_size": 50,
+                "window": 4,
+            },
+        )
+        rows, _ = _frames_until_end(ws)
+        ws.close()
+        ev = load_tables(spark, SF_DIR)["events"]
+        want = [
+            r["event_id"]
+            for r in ev.where(
+                (F.col("user_id") == 1)
+                & F.col("event_id").between(1, 2000)
+                & (F.col("value") > 100)
+            )
+            .orderBy("event_id")
+            .collect()
+        ]
+        assert [d["event_id"] for d in rows] == want and want
+    finally:
+        srv.close()
+
+
+def test_silent_socket_cannot_pin_a_capped_slot(spark):
+    """Pre-handshake timeout (CappedWsServer): a peer that connects
+    and never speaks is dropped at handshake_timeout — without it, 64
+    silent TCP connects hold every slot forever and the cap becomes a
+    denial of service."""
+    import socket as _socket
+
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    srv = WsStreamServer(
+        api, ack_timeout=30.0, max_connections=1, handshake_timeout=0.3
+    )
+    try:
+        mute = _socket.create_connection(("127.0.0.1", srv.port))
+        _time.sleep(1.0)  # > handshake_timeout: the slot must be free
+        ws = _subscribe(
+            srv.port,
+            {
+                "account": 7,
+                "start_from": 1,
+                "read_until": 500,
+                "batch_size": 50,
+                "window": 8,
+            },
+        )
+        rows, _ = _frames_until_end(ws)
+        assert rows  # served through the single slot
+        ws.close()
+        mute.close()
+    finally:
+        srv.close()
