@@ -503,3 +503,75 @@ def test_ws_stream_behavioral_contracts(spark, api_over_manifest):
         assert all(d["payer"] == d["event_id"] for d in rows)
     finally:
         srv.close()
+
+
+def test_socketio_stream_behavioral_contracts(api_over_manifest):
+    """The same APITestSuite stream contracts over the Socket.IO wire
+    (the transport a STOCK Hyperion client actually speaks): ack'd
+    history batches are disjoint + complete in order, involvement
+    holds, a raw-list field filter is exact, and the deltas kind
+    routes — so the compatibility layer serves the identical rows the
+    plain-WS and SSE surfaces do."""
+    from hyperion_history_api_spark.api.socketio_stream import (
+        SocketIOClient,
+        SocketIOStreamServer,
+    )
+
+    _, api = api_over_manifest
+    srv = SocketIOStreamServer(api, ack_timeout=30.0)
+    hi = N_TRANSFERS + N_CUSTOM
+
+    def drain(c):
+        rows, batches = [], 0
+        while True:
+            m = c.next_message()
+            if m.get("type") == "history_end":
+                return rows, batches, m
+            batches += 1
+            rows.extend(m["messages"])
+
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        # involvement + completeness + disjoint ack'd batches
+        resp = c.emit_with_ack(
+            "action_stream_request",
+            {"account": 2, "start_from": 1, "read_until": hi,
+             "batch_size": 7},
+        )
+        assert resp["status"] == "OK"
+        rows, batches, end = drain(c)
+        want = [r[0] for r in manifest_rows() if r[1] == 2]
+        got = [d["event_id"] for d in rows]
+        assert got == want and want
+        assert len(set(got)) == len(got)
+        assert batches == -(-len(want) // 7)
+        assert end["message"]["lastBlock"] == max(want)
+
+        # field-filter exactness with a RAW-LIST filters param (the
+        # structured form a stock socket.io client emits)
+        resp = c.emit_with_ack(
+            "action_stream_request",
+            {"account": 1, "start_from": 1, "read_until": hi,
+             "filters": [
+                 {"field": "value", "operator": "gt", "value": 100}
+             ],
+             "batch_size": 50},
+        )
+        assert resp["status"] == "OK"
+        rows, _, _ = drain(c)
+        want = [r[0] for r in manifest_rows() if r[1] == 1 and r[3] > 100]
+        assert [d["event_id"] for d in rows] == want and want
+
+        # deltas subscription kind over the same connection
+        resp = c.emit_with_ack(
+            "delta_stream_request",
+            {"code": "custom_a", "start_from": 1, "read_until": hi,
+             "batch_size": 50},
+        )
+        assert resp["status"] == "OK"
+        rows, _, _ = drain(c)
+        want = [r[0] for r in manifest_rows() if r[2] == "custom_a"]
+        assert [d["event_id"] for d in rows] == want and want
+        c.close()
+    finally:
+        srv.close()
