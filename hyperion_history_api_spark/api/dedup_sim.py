@@ -1517,13 +1517,31 @@ def _refresh_state(
         from ..operators.similarity import (
             cell_population_drift,
             kmeans_assign,
-            kmeans_train,
             kmeans_warm_retrain,
         )
 
         dc = _drift_corpus(spark, sf_dir).persist()
         hist = dc.where(~F.col("is_batch"))
-        stale = kmeans_train(hist, k=_KM_K, iters=_KM_ITERS)
+        # init = history ids < k, PARTIAL when history misses some of
+        # 0..k-1 — that partial init is this row's documented contract
+        # (the oracle twin embeds it), so build it explicitly instead
+        # of going through kmeans_train, whose fallback now tops up to
+        # k seeds whenever the id range is sparse
+        init = {
+            int(r[0]): [float(x) for x in r[1]]
+            for r in hist.where(F.col("vec_id") < _KM_K)
+            .select("vec_id", "e")
+            .collect()
+        }
+        if len(init) < 2:
+            init = {
+                int(r[0]): [float(x) for x in r[1]]
+                for r in hist.orderBy("vec_id")
+                .limit(_KM_K)
+                .select("vec_id", "e")
+                .collect()
+            }
+        stale = kmeans_warm_retrain(hist, init, iters=_KM_ITERS)
         assigned = kmeans_assign(dc, stale).select(
             "vec_id", "is_batch", "cell"
         )

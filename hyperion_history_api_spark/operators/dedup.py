@@ -43,40 +43,6 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("__shingles", word_shingles(F.col(text_col), n))
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """num_hashes MinHash values: min over shingles of
-    xxhash64(seed_i | shingle). Array-of-longs column; one projection,
-    no explode, no UDF."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(f"mh{i}|"), s))
-            )
-            for i in range(num_hashes)
-        ]
-    )
-
-
-# The k MinHash permutations derive from ONE base hash per shingle:
-# h_i(s) = xxhash64(i, h(s)). Hashing each shingle STRING once and
-# re-hashing the 8-byte long per permutation is far cheaper than k
-# string hashes — higher-order array functions are interpreted (no
-# codegen) so the constant factor matters. (Arithmetic universal
-# hashing a_i*h+b_i would be cheaper still but overflows under ANSI
-# mode, the Spark 4 default.)
-#
-# Measured alternative (round 3, scripts/profile_minhash.py): explode
-# the shingle hashes and compute the 48 permuted mins as codegen'd
-# min() aggregates. Identical pairs, 3.7x SLOWER at sf0.1 (2.5s ->
-# 9.4s): the explode multiplies rows by shingle count and the wide
-# 48-agg shuffle costs more than 48 interpreted array walks over the
-# compact per-doc arrays. Kept the transform form.
-def _permuted_min(hashed: Column, i: int) -> Column:
-    return F.array_min(
-        F.transform(hashed, lambda h: F.xxhash64(F.lit(i).cast("long"), h))
-    )
-
-
 def _fingerprint(text: Column) -> Column:
     """Token-sequence fingerprint: md5 over the token list. Identical
     fingerprints imply identical shingle sets, signatures and Jaccard
@@ -185,7 +151,21 @@ def minhash_bands(
     string (same rationale as ``simhash64_from_hashes``): building it
     from nested Column objects costs hundreds of py4j round-trips —
     measured ~1.2s of driver time per query construction — while one
-    ``inline(array(...))`` parse is milliseconds."""
+    ``inline(array(...))`` parse is milliseconds.
+
+    Permutation scheme: the k MinHash permutations derive from ONE
+    base hash per shingle — h_i(s) = xxhash64(i, h(s)). Hashing each
+    shingle STRING once and re-hashing the 8-byte long per permutation
+    is far cheaper than k string hashes; higher-order array functions
+    are interpreted (no codegen) so the constant factor matters.
+    (Arithmetic universal hashing a_i*h+b_i would be cheaper still but
+    overflows under ANSI mode, the Spark 4 default.) Measured
+    alternative (round 3, scripts/profile_minhash.py): explode the
+    shingle hashes and compute the 48 permuted mins as codegen'd min()
+    aggregates — identical pairs, 3.7x SLOWER at sf0.1 (2.5s -> 9.4s):
+    the explode multiplies rows by shingle count and the wide 48-agg
+    shuffle costs more than 48 interpreted array walks over the
+    compact per-doc arrays."""
     rows = num_hashes // bands
 
     def pm(i: int) -> str:
@@ -594,10 +574,31 @@ def incremental_pairs_and_delta(
         .unionByName(known.withColumn("__b", F.lit(True)))
         .unionByName(new_members.withColumn("__b", F.lit(True)))
     )
-    ma = members_all.select(
+    # Replay idempotency for the PAIRS frame (the delta below has its
+    # own anti-join guard): on an at-least-once re-run every batch id
+    # is ALREADY in index.members, so the union above carries each
+    # replayed (id, rep) twice (__b False and True) and the expansion
+    # self-joins would emit every pair 3x (and resurrect history-
+    # history pairs). Deduping is O(touched groups), not O(history):
+    # duplicates can only exist for batch ids, whose groups are all in
+    # batch_reps, so the untouched remainder unions back unshuffled
+    # (batch_reps is batch-sized -> broadcast anti-join). A replayed
+    # batch then re-emits exactly its original pairs.
+    batch_reps = touched.unionByName(new_groups.select("__rep")).distinct()
+    touched_members = (
+        members_all.join(batch_reps, "__rep", "left_semi")
+        .groupBy("__rep", id_col)
+        .agg(F.max("__b").alias("__b"))
+    )
+    members_clean = touched_members.unionByName(
+        index.members.join(
+            F.broadcast(batch_reps), "__rep", "left_anti"
+        ).withColumn("__b", F.lit(False))
+    )
+    ma = members_clean.select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("__xa"), F.col("__b").alias("__ba")
     )
-    mb = members_all.select(
+    mb = members_clean.select(
         F.col("__rep").alias("id_b"), F.col(id_col).alias("__xb"), F.col("__b").alias("__bb")
     )
     cross = (
@@ -610,8 +611,7 @@ def incremental_pairs_and_delta(
             "jaccard",
         )
     )
-    batch_reps = touched.unionByName(new_groups.select("__rep")).distinct()
-    mg = members_all.join(batch_reps, "__rep", "left_semi")
+    mg = touched_members
     within = (
         mg.alias("u")
         .join(
@@ -780,18 +780,40 @@ def ngram_jaccard_pairs(
     )
     # Only a restricted probe set is safely broadcastable; the full
     # all-pairs form (debug/small-n only) keeps a partitioned join.
-    left = F.broadcast(sh.where(probe_pred)) if probe_pred is not None else sh
-    a, b = left.alias("a"), sh.alias("b")
+    if probe_pred is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(
+                    _jaccard(F.col("a.__shingles"), F.col("b.__shingles")), 4
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    # Probe-restricted: the join must be on != (not <) with the pair
+    # normalized afterwards — anchoring probes to the a-side of an
+    # a.id < b.id join silently drops every pair whose probe has the
+    # LARGER id (only a down-set probe predicate like id < 40 dodges
+    # it). dropDuplicates absorbs probe-probe pairs, which the
+    # symmetric join emits once per orientation.
+    a = F.broadcast(sh.where(probe_pred)).alias("a")
+    b = sh.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(_jaccard(F.col("a.__shingles"), F.col("b.__shingles")), 4).alias(
-                "jaccard"
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "id_b"
             ),
+            F.round(
+                _jaccard(F.col("a.__shingles"), F.col("b.__shingles")), 4
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -892,16 +914,19 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     *,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     max_bucket: int = 2000,
     hash_fn=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= k.
+    """Near-dup pairs by SimHash hamming distance <= k, k <= 3.
 
     Pigeonhole banding: split the 64-bit signature into 4 x 16-bit
-    chunks; any pair within hamming<=6 shares at least one exact chunk
-    when distance spreads over <=3 chunks (standard SimHash recall
-    argument) — join per chunk, verify exact popcount distance.
+    chunks; k differing bits can dirty at most k chunks, so with
+    k <= chunks-1 = 3 every qualifying pair shares at least one exact
+    chunk — join per chunk, verify exact popcount distance. k > 3 is
+    REJECTED (ValueError) rather than silently approximated: a pair at
+    distance 4-6 with one flipped bit per chunk matches no chunk and
+    would vanish from the output while the contract still promised it.
 
     Skew guard (round-1 verdict item 6): a hot chunk value (e.g. the
     all-zero chunks of near-empty documents) would put O(m^2) pairs in
@@ -915,6 +940,12 @@ def simhash_pairs(
     exactly once per chunk, no straggler.
     Cold buckets have g=1 and pay nothing but two constant key ints.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_pairs guarantees recall only for max_hamming <= 3 "
+            "with 4x16-bit chunks (pigeonhole needs k+1 chunks); "
+            f"got {max_hamming}"
+        )
     chunks = salted_chunks(
         simhash_chunks(df, text_col, id_col, hash_fn=hash_fn),
         id_col,

@@ -266,15 +266,25 @@ def temperature_mix(
         F.sum("__m").alias("__tot"),
         F.sum(F.pow(F.col("__m"), 1.0 / temperature)).alias("__z"),
     )
+    # zero-mass guard: a source whose every doc weighs 0 makes the
+    # rate expression 0/0 = NaN, and least(1.0, NaN) returns 1.0
+    # (Spark sorts NaN above every double) — i.e. the degenerate
+    # group would be kept in FULL when its m^(1/T) share is 0. Same
+    # least()-swallows-NaN hazard weighted_sample documents; rate is
+    # pinned to 0 explicitly.
     rates = mass.crossJoin(F.broadcast(tot)).select(
         group_col,
-        F.least(
-            F.lit(1.0),
-            F.lit(fraction)
-            * F.col("__tot")
-            * F.pow(F.col("__m"), 1.0 / temperature)
-            / (F.col("__z") * F.col("__m")),
-        ).alias("__rate"),
+        F.when(F.col("__m") <= 0, F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.lit(fraction)
+                * F.col("__tot")
+                * F.pow(F.col("__m"), 1.0 / temperature)
+                / (F.col("__z") * F.col("__m")),
+            )
+        )
+        .alias("__rate"),
     )
     u = F.conv(
         F.substring(

@@ -149,7 +149,16 @@ def write_training_shards(
     ``(source, shard)`` and return the shard manifest (source, shard,
     docs, shard_weight) — the index a dataloader (or a resume) reads
     instead of listing files. The JSON line is built JVM-side
-    (``to_json``); the write is a narrow partitionBy append."""
+    (``to_json``); the write is a narrow partitionBy append.
+
+    The assignment frame feeds TWO actions (the shard write and the
+    manifest aggregation), so it is persisted across them — without
+    the cache each action re-runs the whole prefix-sum DAG (corpus
+    scan, weight projection, chunked windows, broadcast offsets),
+    doubling the dominant cost of the output stage. The manifest is
+    O(shards) rows, so it is materialized eagerly and the cache
+    released before returning (a lazily returned frame would pin the
+    corpus-sized cache for the session's lifetime)."""
     assigned = shard_assignment(
         df,
         group_col=group_col,
@@ -157,25 +166,31 @@ def write_training_shards(
         weight=F.length(F.col(text_col)).cast("long"),
         budget=budget,
         n_partitions=n_partitions,
-    )
-    line = F.to_json(F.struct(F.col(order_col), F.col(text_col)))
-    (
-        assigned.select(
-            F.col(group_col), F.col("shard"), line.alias("value")
+    ).persist()
+    try:
+        line = F.to_json(F.struct(F.col(order_col), F.col(text_col)))
+        (
+            assigned.select(
+                F.col(group_col), F.col("shard"), line.alias("value")
+            )
+            .repartition(F.col(group_col), F.col("shard"))
+            .sortWithinPartitions(group_col, "shard", order_col)
+            .write.mode("overwrite")
+            .partitionBy(group_col, "shard")
+            .text(out_dir)
         )
-        .repartition(F.col(group_col), F.col("shard"))
-        .sortWithinPartitions(group_col, "shard", order_col)
-        .write.mode("overwrite")
-        .partitionBy(group_col, "shard")
-        .text(out_dir)
-    )
-    return (
-        assigned.groupBy(group_col, "shard")
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("_w").alias("shard_weight"),
-            F.min(order_col).alias("first_doc"),
-            F.max(order_col).alias("last_doc"),
+        manifest = (
+            assigned.groupBy(group_col, "shard")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("_w").alias("shard_weight"),
+                F.min(order_col).alias("first_doc"),
+                F.max(order_col).alias("last_doc"),
+            )
+            .orderBy(group_col, "shard")
         )
-        .orderBy(group_col, "shard")
-    )
+        rows = manifest.collect()
+        schema = manifest.schema
+    finally:
+        assigned.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)

@@ -31,7 +31,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity with a zero-norm guard: a zero vector scores
+    -Infinity ("similar to nothing") instead of NaN — Spark sorts NaN
+    ABOVE every real double, so an unguarded zero embedding (an empty
+    doc) would rank #1 in every top-k for every probe."""
+    denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(denom == 0, F.lit(float("-inf"))).otherwise(
+        dot(a, b) / denom
+    )
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -70,13 +77,26 @@ def brute_force_topk(
         )
     pids = [int(r["probe_id"]) for r in prows]
     P = np.array([r["pe"] for r in prows], dtype="float64")
-    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    # zero-norm guard (same convention as cosine()): a zero vector —
+    # probe or corpus side — scores -inf, never NaN (NaN sorts above
+    # every real double and would rank #1 in every top-k)
+    pn = np.linalg.norm(P, axis=1, keepdims=True)
+    pzero = (pn == 0).ravel()
+    pn[pn == 0] = 1.0
+    Pn = P / pn
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
     def cos_all(e: pd.Series) -> pd.Series:
         X = np.array(e.tolist(), dtype="float64")
-        C = (X @ Pn.T) / np.linalg.norm(X, axis=1, keepdims=True)
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        xzero = (xn == 0).ravel()
+        xn[xn == 0] = 1.0
+        C = (X @ Pn.T) / xn
+        if pzero.any():
+            C[:, pzero] = -np.inf
+        if xzero.any():
+            C[xzero, :] = -np.inf
         return pd.Series(list(C))
 
     scored = (
@@ -381,7 +401,12 @@ def kmeans_train(
     init_rows = (
         corpus.where(F.col(id_col) < k).select(id_col, vec_col).collect()
     )
-    if len(init_rows) < min(k, 2):
+    if len(init_rows) < k:
+        # ids sparse in [0, k): the cheap pushed-range init found fewer
+        # than k seeds, which would silently train an under-sized
+        # codebook (fewer, larger cells -> degraded IVF pruning and
+        # SemDeDup cell geometry). Fall back to the first k by id —
+        # still deterministic, one bounded top-k pass.
         init_rows = (
             corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
         )
@@ -699,6 +724,15 @@ def pq_train(
         raise ValueError("empty codebook sample")
     X = np.array([list(r[0]) for r in rows], dtype="float64")
     d = X.shape[1]
+    if d % m != 0:
+        # fail at TRAIN time with the misconfiguration spelled out:
+        # otherwise encode silently drops the trailing d%m dims and
+        # the ADC UDF later dies on a numpy broadcast mismatch deep
+        # inside an executor, far from the bad (d, m) choice
+        raise ValueError(
+            f"PQ requires dim % m == 0 (got dim={d}, m={m}); "
+            f"choose m from the divisors of {d}"
+        )
     sub = d // m
     cb: list[list[list[float]]] = []
     for s in range(m):

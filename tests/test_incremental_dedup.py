@@ -231,3 +231,44 @@ def test_delta_hashes_checkpoint_is_eager(spark, monkeypatch):
     # eager shingle frame (materialized before any commit leg runs)
     assert calls == [False, True]
     assert pairs.count() >= 1  # the probe output still computes
+
+
+def test_replayed_batch_reemits_original_pairs_exactly(spark):
+    """At-least-once replay AFTER a successful index commit (the
+    foreachBatch crash window extend_dedup_index designs for): every
+    replayed id is already in index.members, so the membership union
+    carries each (id, rep) twice — without the touched-group dedup the
+    expansion legs emit every pair 3x and resurrect history-history
+    pairs. The replay must re-emit exactly the original frame:
+    duplicate-free, same pair set."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "totally different words here entirely now"),
+        (10, "alpha beta gamma delta epsilon zeta"),  # batch: dup of 1/2
+        (11, "totally different words here entirely now"),  # dup of 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+
+    index = build_dedup_index(hist, "text", "doc_id")
+    first = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_pairs(
+            index, batch, "text", "doc_id", threshold=0.5
+        ).collect()
+    )
+    assert first == [
+        (1, 10, 1.0),
+        (2, 10, 1.0),
+        (3, 11, 1.0),
+    ]
+    committed = extend_dedup_index(index, batch, "text", "doc_id")
+    replay = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_pairs(
+            committed, batch, "text", "doc_id", threshold=0.5
+        ).collect()
+    )
+    assert replay == first  # no triplication, no history-history rows
