@@ -569,36 +569,28 @@ def incremental_pairs_and_delta(
     # Jaccard (identical token sequences => identical shingle sets);
     # within-group pairs are exact duplicates (Jaccard 1.0), generated
     # only inside groups that contain a batch member.
+    # Replay idempotency for the PAIRS frame (the delta below has its
+    # own anti-join guard): on an at-least-once re-run every batch id
+    # is ALREADY in index.members, so a plain union would carry each
+    # replayed (id, rep) twice (__b False and True) and the expansion
+    # self-joins would emit every pair 3x (and resurrect history-
+    # history pairs). Duplicates can only be the batch's own ids, so
+    # ONE broadcast anti-join on the stored-members scan (batch ids
+    # are batch-sized) dedupes at the source — no extra exchange, no
+    # second members scan. A replayed batch re-emits exactly its
+    # original pairs; on a normal batch the anti-join removes nothing.
     members_all = (
-        index.members.withColumn("__b", F.lit(False))
+        index.members.join(
+            F.broadcast(ann.select(id_col)), id_col, "left_anti"
+        )
+        .withColumn("__b", F.lit(False))
         .unionByName(known.withColumn("__b", F.lit(True)))
         .unionByName(new_members.withColumn("__b", F.lit(True)))
     )
-    # Replay idempotency for the PAIRS frame (the delta below has its
-    # own anti-join guard): on an at-least-once re-run every batch id
-    # is ALREADY in index.members, so the union above carries each
-    # replayed (id, rep) twice (__b False and True) and the expansion
-    # self-joins would emit every pair 3x (and resurrect history-
-    # history pairs). Deduping is O(touched groups), not O(history):
-    # duplicates can only exist for batch ids, whose groups are all in
-    # batch_reps, so the untouched remainder unions back unshuffled
-    # (batch_reps is batch-sized -> broadcast anti-join). A replayed
-    # batch then re-emits exactly its original pairs.
-    batch_reps = touched.unionByName(new_groups.select("__rep")).distinct()
-    touched_members = (
-        members_all.join(batch_reps, "__rep", "left_semi")
-        .groupBy("__rep", id_col)
-        .agg(F.max("__b").alias("__b"))
-    )
-    members_clean = touched_members.unionByName(
-        index.members.join(
-            F.broadcast(batch_reps), "__rep", "left_anti"
-        ).withColumn("__b", F.lit(False))
-    )
-    ma = members_clean.select(
+    ma = members_all.select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("__xa"), F.col("__b").alias("__ba")
     )
-    mb = members_clean.select(
+    mb = members_all.select(
         F.col("__rep").alias("id_b"), F.col(id_col).alias("__xb"), F.col("__b").alias("__bb")
     )
     cross = (
@@ -611,7 +603,8 @@ def incremental_pairs_and_delta(
             "jaccard",
         )
     )
-    mg = touched_members
+    batch_reps = touched.unionByName(new_groups.select("__rep")).distinct()
+    mg = members_all.join(batch_reps, "__rep", "left_semi")
     within = (
         mg.alias("u")
         .join(
