@@ -164,7 +164,8 @@ def es_bulk_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'chain-state' AS target_index,
            CAST(user_id AS VARCHAR) || '-' || event_type AS _id,
            '{"update":{"_id":"' || CAST(user_id AS VARCHAR) || '-'
-             || event_type || '","retry_on_conflict":3}}' || chr(10)
+             || event_type
+             || '","_index":"chain-state","retry_on_conflict":3}}' || chr(10)
              || '{"script":{"id":"updateByBlock","params":{"block_num":'
              || CAST(CAST(floor(event_id / 5) AS BIGINT) + 1 AS VARCHAR)
              || ',"user_id":' || user_id

@@ -72,10 +72,16 @@ def es_bulk_format(
 
     op = ``index``  → ``{"index":{"_id","_index"}}`` + source
          (buildActionBulk / buildDeltaBulk);
-    op = ``update_script`` → ``{"update":{"_id","retry_on_conflict"}}``
-         + ``{"script":{"id":"updateByBlock","params":source},
-         "scripted_upsert":true,"upsert":{}}`` (makeScriptedOp);
-    op = ``delete`` → ``{"delete":{"_id"}}`` (makeDelOp).
+    op = ``update_script`` → ``{"update":{"_id","_index",
+         "retry_on_conflict"}}`` + ``{"script":{"id":"updateByBlock",
+         "params":source},"scripted_upsert":true,"upsert":{}}``
+         (makeScriptedOp);
+    op = ``delete`` → ``{"delete":{"_id","_index"}}`` (makeDelOp).
+
+    Every op kind carries ``_index``: the transport posts to the
+    GLOBAL ``/_bulk`` endpoint, where real Elasticsearch rejects any
+    action line without it (400 per item) — an update/delete without
+    ``_index`` only ever worked against a stub that guessed.
     """
     target = (
         F.concat(F.lit(index_name + "-"), router)
@@ -99,6 +105,7 @@ def es_bulk_format(
             F.struct(
                 F.struct(
                     _id.alias("_id"),
+                    target.alias("_index"),
                     F.lit(retry_on_conflict).alias("retry_on_conflict"),
                 ).alias("update")
             )
@@ -111,7 +118,11 @@ def es_bulk_format(
         ndjson = F.concat(meta, F.lit("\n"), body)
     elif op == "delete":
         ndjson = F.to_json(
-            F.struct(F.struct(_id.alias("_id")).alias("delete"))
+            F.struct(
+                F.struct(_id.alias("_id"), target.alias("_index")).alias(
+                    "delete"
+                )
+            )
         )
     else:
         raise ValueError(f"unknown bulk op {op!r}")
@@ -181,6 +192,7 @@ def post_bulk(
             # every op that carries it
             entries = list(pending)
             pending.clear()
+            total_ops = len(entries)
             retried = 0
             for attempt in range(max_retries + 1):
                 body = (
@@ -209,7 +221,11 @@ def post_bulk(
             yield pd.DataFrame(
                 [
                     {
-                        "ops": len(resp.get("items", [])),
+                        # ops = the ORIGINAL request size: the last
+                        # resp only covers the retried remainder, so
+                        # len(resp["items"]) under-counts any request
+                        # that partially failed once
+                        "ops": total_ops,
                         "retried": retried,
                         "took_ms": int(resp.get("took", 0)),
                     }

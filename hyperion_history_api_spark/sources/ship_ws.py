@@ -121,6 +121,8 @@ class WebSocketConnection:
         self.sock = sock
         self.is_client = is_client
         self._buf = b""
+        self._msg_parts: list[bytes] = []
+        self._msg_op: int | None = None
         self.closed = False
 
     # -- send ----------------------------------------------------------
@@ -187,9 +189,13 @@ class WebSocketConnection:
 
     def recv(self) -> tuple[int, bytes] | None:
         """Next complete MESSAGE (continuation frames reassembled;
-        pings answered transparently). None after close."""
-        parts: list[bytes] = []
-        first_op: int | None = None
+        pings answered transparently). None after close.
+
+        Reassembly state lives on the CONNECTION (not this call):
+        under the heartbeat loops a ``socket.timeout`` between the
+        frames of a fragmented message is a routine ping tick and the
+        caller recv()s again — call-local state would reset and hand
+        back the continuation tail alone, truncated and mistyped."""
         while True:
             opcode, fin, payload = self._read_frame()
             if opcode == OP_PING:
@@ -201,12 +207,14 @@ class WebSocketConnection:
                 self.close()  # echo the close handshake
                 return None
             if opcode in (OP_TEXT, OP_BINARY):
-                first_op = opcode
-                parts = [payload]
+                self._msg_op = opcode
+                self._msg_parts = [payload]
             elif opcode == OP_CONT:
-                parts.append(payload)
+                self._msg_parts.append(payload)
             if fin:
-                return first_op or OP_BINARY, b"".join(parts)
+                out = self._msg_op or OP_BINARY, b"".join(self._msg_parts)
+                self._msg_parts, self._msg_op = [], None
+                return out
 
 
 class WebSocketClient(WebSocketConnection):

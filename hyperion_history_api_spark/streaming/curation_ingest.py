@@ -130,30 +130,29 @@ def make_curation_sink(
     # build job round every micro-batch for the same constant set
     # (round-8: part of the per-wave fixed-overhead budget).
     # Guardrails (round-9 ADVICE): NOT IN under SQL three-valued logic
-    # silently drops null ids the anti-join used to keep, so the
-    # predicate is null-safe; and an eval set too large to embed as
-    # plan literals (it would bloat every batch plan) falls back to
-    # the broadcast anti-join path.
+    # silently drops null ids, so the predicate is made null-safe; and
+    # an eval set too large to embed as plan literals (it would bloat
+    # every batch plan) falls back to the broadcast anti-join path.
+    # Both paths share ONE semantic — null-id batch docs are KEPT: a
+    # left_anti join uses plain (non-null-safe) equality, so a null id
+    # never matches any eval row, even a null one; the isin predicate
+    # mirrors that exactly (a null eval id is dropped from the literal
+    # list — it can exclude nothing in either path). The stream==batch
+    # invariant depends on the two paths never diverging on nulls.
     _EVAL_ISIN_MAX = 10_000
     eval_id_list = [
-        r[0] for r in eval_docs.select(id_col).distinct().collect()
+        r[0]
+        for r in eval_docs.select(id_col).distinct().collect()
+        if r[0] is not None
     ]
-    _eval_has_null = any(v is None for v in eval_id_list)
-    eval_id_list = [v for v in eval_id_list if v is not None]
     _use_isin = len(eval_id_list) <= _EVAL_ISIN_MAX
 
     def _not_eval_filter(df: DataFrame) -> DataFrame:
-        if not eval_id_list and not _eval_has_null:
+        if not eval_id_list:
             return df
         if _use_isin:
             c = F.col(id_col)
-            pred = c.isNull() | ~c.isin(eval_id_list)
-            if _eval_has_null:
-                # the reference set contains a null id: match the
-                # anti-join's null-safe-equality semantics (null ids
-                # in the batch are then excluded too)
-                pred = c.isNotNull() & ~c.isin(eval_id_list)
-            return df.where(pred)
+            return df.where(c.isNull() | ~c.isin(eval_id_list))
         return df.join(
             F.broadcast(eval_docs.select(id_col).distinct()),
             on=id_col,

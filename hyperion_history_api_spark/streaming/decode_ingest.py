@@ -83,12 +83,18 @@ def run_decode_ingest(
                 .write.mode("overwrite")
                 .parquet(bl_path + "_next")
             )
-            # atomic-ish swap keeps the store readable mid-write
-            import shutil
+            # the repo's swap protocol (commitlog.replace_dir): old dir
+            # renamed ASIDE before the new renames in — the hand-rolled
+            # rmtree-then-rename form had a crash window that deleted
+            # every accumulated window before the replacement landed
+            # (restart would then silently re-ingest blacklisted
+            # contracts), and readers mid-swap saw FileNotFound
+            from ..commitlog import replace_dir
 
             if os.path.exists(bl_path):
-                shutil.rmtree(bl_path)
-            os.rename(bl_path + "_next", bl_path)
+                replace_dir(bl_path + "_next", bl_path)
+            else:
+                os.rename(bl_path + "_next", bl_path)
             # blacklist gate + append (per-batch subdir => idempotent)
             kept = apply_blacklist(
                 decoded.where(F.col("abi_blob").isNotNull()), all_windows

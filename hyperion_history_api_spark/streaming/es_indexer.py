@@ -115,6 +115,17 @@ def make_es_indexer_sink(
         if batch.isEmpty():
             return
         batch = batch.localCheckpoint(eager=True)  # one source scan
+        # Fail fast on a wrong-schema feed: parquet resolves columns
+        # by NAME, so pointing the stream at a raw SHIP spool
+        # (block_num/payload files) yields all-NULL declared columns —
+        # without this guard the sink would null-key the lake merge
+        # and the ES ops instead of erroring (one limit-1 probe).
+        if batch.where(F.col("event_id").isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "indexer feed has rows with NULL event_id — the spool "
+                "is not the decoded-event shape this sink ingests (a "
+                "raw SHIP block spool must be decoded first)"
+            )
         # 1. lake merge (natural-key dedup absorbs replays)
         lake_refresh.refresh_partitioned(spark, sf_dir, "actions", batch)
         # 2. action append ops for THIS batch's enrichment only
@@ -152,9 +163,12 @@ def run_indexer(
     available_now: bool = True,
     **sink_kwargs,
 ):
-    """Tail an event spool directory (the SHIP readers' landing zone,
-    ``sources/ship_ws.spool_range`` / ``streaming/ingest``) into the
-    indexer sink. Returns the started StreamingQuery."""
+    """Tail a DECODED-event spool directory (the normalized shape
+    ``streaming/ingest.decode_and_enrich`` lands — NOT the raw SHIP
+    block spool of ``sources/ship_ws.spool_range``, whose
+    block_num/payload files share no columns with this schema and
+    would read as all-NULL rows; the sink's null-key guard rejects
+    that) into the indexer sink. Returns the started StreamingQuery."""
     events = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, "

@@ -185,8 +185,16 @@ def compile_request(
     preds: list[Column] = []
     if req.contract and req.contract != "*":
         preds.append(F.col(schema.contract_col) == req.contract)
-    if req.action and req.action != "*" and schema.action_col:
-        preds.append(F.col(schema.action_col) == req.action)
+    if req.action and req.action != "*":
+        # no action column in this schema -> never-match, NOT skip:
+        # dropping the predicate would over-deliver every action type
+        # to a subscriber that asked for one (same convention as
+        # _resolve_field's missing-column gate)
+        preds.append(
+            F.col(schema.action_col) == req.action
+            if schema.action_col
+            else F.lit(False)
+        )
     if req.account:
         acc = F.col(schema.account_col)
         acc_t = dict(df.dtypes).get(schema.account_col, "")
@@ -194,8 +202,12 @@ def compile_request(
             preds.append(F.array_contains(acc, req.account))
         else:
             preds.append(acc.cast("string") == str(req.account))
-    if req.scope and schema.scope_col:
-        preds.append(F.col(schema.scope_col) == req.scope)
+    if req.scope:
+        preds.append(
+            F.col(schema.scope_col) == req.scope
+            if schema.scope_col
+            else F.lit(False)
+        )
     if req.start_from is not None:
         preds.append(F.col(schema.seq_col) >= F.lit(req.start_from))
     if req.read_until is not None and req.read_until != 0:

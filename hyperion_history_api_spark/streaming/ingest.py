@@ -127,9 +127,14 @@ def block_rollups(decoded: DataFrame, *, watermark: str = "10 minutes") -> DataF
     src = decoded
     if decoded.isStreaming:
         src = decoded.withWatermark("ts", watermark)
+    # NO rounding here: these rows are PARTIALS (a block straddling a
+    # micro-batch boundary emits one per batch), and round-then-sum
+    # drifts from the one-shot rollup (e.g. 0.00005 + 0.00005 rounds
+    # to 0.0001 each -> 0.0002 merged vs 0.0001 exact). Rounding
+    # happens once, in read_block_rollups' final combine.
     return src.groupBy("block_num").agg(
         F.count("*").alias("trx_count"),
-        F.round(F.sum("value"), 4).alias("total_usage"),
+        F.sum("value").alias("total_usage"),
         F.min("ts").alias("block_time"),
     )
 
@@ -357,20 +362,25 @@ def compact_log(spark: SparkSession, log_path: str) -> int:
     readers see either the old layout or the new, never a mix. A tail
     of small files otherwise dominates listing + task-scheduling cost
     long before 100 TB. Returns the number of compacted rows."""
-    import shutil
     import uuid
+
+    from ..commitlog import replace_dir
 
     df = spark.read.parquet(log_path)
     if "ingest_batch" in df.columns:
         df = df.drop("ingest_batch")
     parent = os.path.dirname(log_path.rstrip("/"))
     tmp = os.path.join(parent, f"compact-tmp-{uuid.uuid4().hex}")
-    backfill_write(df, tmp)
+    # The compacted set lands UNDER ingest_batch=-1 so the directory
+    # layout stays the sink's two-level scheme: a compacted root of
+    # bare block_part=* dirs plus one post-compaction micro-batch
+    # (ingest_batch=N/...) is a partition-discovery error
+    # ("Conflicting directory structures") that breaks every read of
+    # the log — compaction must stay transparent to an in-flight
+    # streaming query.
+    backfill_write(df, os.path.join(tmp, "ingest_batch=-1"))
     rows = spark.read.parquet(tmp).count()
-    old = os.path.join(parent, f"compact-old-{uuid.uuid4().hex}")
-    os.rename(log_path, old)
-    os.rename(tmp, log_path)
-    shutil.rmtree(old)
+    replace_dir(tmp, log_path)
     return rows
 
 

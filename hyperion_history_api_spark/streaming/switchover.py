@@ -35,6 +35,8 @@ def resolve_start_from(df: DataFrame, seq_col: str, start_from: int) -> int:
     if start_from >= 0:
         return start_from
     head = df.agg(F.max(seq_col)).first()[0]
+    if head is None:  # empty history: head-relative resolves to 0
+        return 0
     return max(int(head) + start_from, 0)
 
 

@@ -45,6 +45,14 @@ class _EsStub:
                 verb = next(iter(meta))
                 m = meta[verb]
                 _id = str(m["_id"])
+                if "_index" not in m:
+                    # real ES rejects any action line without _index on
+                    # the global /_bulk endpoint; the stub must too, or
+                    # it silently passes ops a real cluster would 400
+                    items.append({verb: {"_id": _id, "status": 400}})
+                    errors = True
+                    i += 2 if verb in ("index", "update") else 1
+                    continue
                 if self.fail_ids.get(_id, 0) > 0:
                     self.fail_ids[_id] -= 1
                     items.append({verb: {"_id": _id, "status": 429}})
@@ -59,9 +67,7 @@ class _EsStub:
                 elif verb == "update":
                     body = json.loads(lines[i + 1])
                     params = body["script"]["params"]
-                    key = next(
-                        (k for k in self.docs if k[1] == _id), ("state", _id)
-                    )
+                    key = (m["_index"], _id)
                     cur = self.docs.get(key, {})
                     # the updateByBlock stored script: newer block wins
                     if params.get("block_num", 0) >= cur.get("block_num", -1):
@@ -69,9 +75,7 @@ class _EsStub:
                     items.append({verb: {"_id": _id, "status": 200}})
                     i += 2
                 elif verb == "delete":
-                    self.docs = {
-                        k: v for k, v in self.docs.items() if k[1] != _id
-                    }
+                    self.docs.pop((m["_index"], _id), None)
                     items.append({verb: {"_id": _id, "status": 200}})
                     i += 1
                 else:  # pragma: no cover
@@ -146,7 +150,7 @@ def test_scripted_upsert_newer_block_wins_and_delete(spark, es):
     # the exact makeScriptedOp shape (elastic-routes.ts:23-28)
     sample = fmt.where(F.col("_id") == "2").first()["ndjson"].split("\n")
     assert json.loads(sample[0]) == {
-        "update": {"_id": "2", "retry_on_conflict": 3}
+        "update": {"_id": "2", "_index": "state", "retry_on_conflict": 3}
     }
     body = json.loads(sample[1])
     assert body["script"]["id"] == "updateByBlock"
@@ -174,6 +178,10 @@ def test_per_item_retry_after_transient_failures(spark, es):
         fmt.coalesce(1), url, backoff_sec=0.01
     ).collect()
     assert sum(r["retried"] for r in summary) == 3  # 2 + 1 retried sends
+    # ops reports the ORIGINAL request size, not the last (retry)
+    # response's item count — a partially-failed request used to
+    # under-count by everything that succeeded on the first attempt
+    assert sum(r["ops"] for r in summary) == ev.count()
     assert len([k for k in stub.docs if k[0] == "retrytest"]) == ev.count()
     # permanent failure -> the task raises (nackAll analog)
     stub.fail_ids = {"5": 99}

@@ -15,7 +15,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from hyperion_history_api_spark.sources import lake
-from hyperion_history_api_spark.streaming.es_indexer import run_indexer
+from hyperion_history_api_spark.streaming.es_indexer import (
+    make_es_indexer_sink,
+    run_indexer,
+)
 from hyperion_history_api_spark.tables import load_tables
 from tests.test_es_bulk import _EsStub
 
@@ -180,3 +183,19 @@ def test_crash_replay_converges(spark, tmp_path, iso_lake, es):
         key = f"{r['user_id']}-{r['event_type']}"
         assert key in state_docs, key
         assert state_docs[key]["block_num"] == r["event_id"] // 5 + 1
+
+
+def test_indexer_rejects_wrong_schema_feed(spark, tmp_path, es):
+    """Pointing the indexer at a raw SHIP block spool (block_num/
+    payload files — no shared columns) reads as all-NULL declared
+    columns; the sink must fail fast instead of null-keying the lake
+    merge and the ES ops."""
+    url, _ = es
+    sink = make_es_indexer_sink(spark, str(tmp_path / "lake"), url)
+    bad = spark.createDataFrame(
+        [(None, None, None, None, None, None)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with pytest.raises(ValueError, match="NULL event_id"):
+        sink(bad, 0)

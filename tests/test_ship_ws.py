@@ -417,3 +417,29 @@ def test_frame_read_survives_mid_frame_timeout():
     finally:
         a.close()
         b.close()
+
+
+def test_fragmented_message_survives_inter_frame_timeout():
+    """Reassembly state lives on the connection: a timeout BETWEEN the
+    frames of a fragmented message (heartbeat tick) must not reset the
+    partial message — call-local state handed back the continuation
+    tail alone, truncated and mistyped as binary."""
+    from hyperion_history_api_spark.sources.ship_ws import (
+        OP_CONT,
+        OP_TEXT,
+        WebSocketConnection,
+        encode_frame,
+    )
+
+    a, b = socket.socketpair()
+    try:
+        conn = WebSocketConnection(a, is_client=False)
+        a.settimeout(0.2)
+        b.sendall(encode_frame(OP_TEXT, b"hello-", mask=True, fin=False))
+        with pytest.raises(TimeoutError):
+            conn.recv()  # first fragment consumed, then the gap
+        b.sendall(encode_frame(OP_CONT, b"world", mask=True, fin=True))
+        assert conn.recv() == (OP_TEXT, b"hello-world")
+    finally:
+        a.close()
+        b.close()

@@ -410,10 +410,21 @@ def test_compact_log_preserves_rows_and_cuts_files(spark, tmp_path):
     n_before = _nfiles(log)
     rows = compact_log(spark, log)
     assert rows == len(before)
-    after = spark.read.parquet(log).collect()
+    after = spark.read.parquet(log).drop("ingest_batch").collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
     assert _nfiles(log) <= n_before
-    assert not [d for d in _os.listdir(log) if d.startswith("ingest_batch=")]
+    # the compacted set keeps the sink's two-level layout (under the
+    # ingest_batch=-1 sentinel): a bare block_part=* root plus one
+    # post-compaction micro-batch is a partition-discovery error that
+    # breaks every read of the log
+    assert [
+        d for d in _os.listdir(log) if d.startswith("ingest_batch=")
+    ] == ["ingest_batch=-1"]
+    from hyperion_history_api_spark.streaming.ingest import backfill_write
+
+    tail = spark.read.parquet(log).drop("ingest_batch").limit(5)
+    backfill_write(tail, _os.path.join(log, "ingest_batch=99"))
+    assert spark.read.parquet(log).count() == len(before) + 5
 
 
 def test_session_rollup_stream_matches_batch(spark, tmp_path):
@@ -623,3 +634,37 @@ def test_detect_missed_tws_guard_when_protobuf_missing(spark):
     )
     with pytest.raises(ImportError, match="protobuf.*detect_missed_stateful"):
         detect_missed_tws(stream)
+
+
+def test_resolve_start_from_empty_history(spark):
+    """T3 relative start_from against an empty table resolves to 0
+    (straight to live) instead of TypeError on int(None)."""
+    from hyperion_history_api_spark.streaming.switchover import (
+        resolve_start_from,
+    )
+
+    empty = spark.createDataFrame([], "event_id long")
+    assert resolve_start_from(empty, "event_id", -1000) == 0
+    assert resolve_start_from(empty, "event_id", 7) == 7
+
+
+def test_compile_request_missing_routing_column_never_matches(spark):
+    """A subscription that names an action (or scope) the schema has
+    no column for must match NOTHING — dropping the predicate
+    over-delivered every action type to the subscriber (same
+    convention as the missing-field filter gate)."""
+    from hyperion_history_api_spark.streaming.filters import (
+        StreamRequest,
+        StreamSchema,
+        compile_request,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "transfer", 5, 1)],
+        "event_id long, event_type string, user_id long, value long",
+    )
+    schema = StreamSchema(json_col=None)  # action_col/scope_col = None
+    req = StreamRequest(contract="*", action="transfer", account="")
+    assert df.where(compile_request(df, req, schema)).count() == 0
+    req2 = StreamRequest(contract="*", action="*", account="", scope="x")
+    assert df.where(compile_request(df, req2, schema)).count() == 0
