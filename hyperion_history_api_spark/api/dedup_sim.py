@@ -1,7 +1,9 @@
 """Registered dedup / similarity-search / language-ID queries —
 the beyond-reference training-data operators, each wired to the
-correctness gate (exact oracle where SQL-expressible, rows-only for
-the approximate/sketch paths whose exact twins bound them).
+correctness gate. EVERY row here ships a full DuckDB oracle (since
+round 9 the approximate/sketch paths carry exact SQL twins of their
+deterministic pipelines too), so all rows are hash-gated, none
+rows-only.
 """
 
 from __future__ import annotations

@@ -564,6 +564,28 @@ def incremental_pairs_and_delta(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Checkpoint (round-11) — COUNTED-GATE PATH ONLY: the verified
+    # pair set is SMALL (candidates over threshold, every pair
+    # batch-linked by construction) but its subtree is the whole
+    # probe DAG — it is referenced below both by the cross expansion
+    # and by the relevant-rep restriction, and without blocks
+    # Catalyst inlines the band probe + hash verify into every
+    # reference (measured r11: 2 bands scans + 2 hashes scans in one
+    # action). Blocks also give the expansion joins REAL stats, so
+    # the tiny side broadcasts instead of planning corpus-shaped
+    # sort-merge joins. LAZY on purpose: the members_rel eager
+    # checkpoint below is the guaranteed first action over this
+    # subtree and materializes it; the final pairs action then reads
+    # blocks — one job round saved vs eager (the ann-split/count
+    # pairing, same pattern). Under ``assume_small_batch`` the whole
+    # restructure is SKIPPED: a steady micro-batch's index is
+    # delta-commit-sized, re-scanning it four times inline is cheaper
+    # than two extra per-wave job rounds (measured r11: the curation
+    # wave regressed 2.7 -> 3.5 s with checkpoints; the stored-index
+    # registry row improved 4.2 -> 3.0 s with them).
+    use_cp = not assume_small_batch
+    if use_cp:
+        rep_pairs = rep_pairs.localCheckpoint(eager=False)
     # Expansion over exact-duplicate members, keeping only pairs with
     # a batch-side doc (`__b`): cross-group pairs inherit the reps'
     # Jaccard (identical token sequences => identical shingle sets);
@@ -579,18 +601,50 @@ def incremental_pairs_and_delta(
     # are batch-sized) dedupes at the source — no extra exchange, no
     # second members scan. A replayed batch re-emits exactly its
     # original pairs; on a normal batch the anti-join removes nothing.
-    members_all = (
-        index.members.join(
-            F.broadcast(ann.select(id_col)), id_col, "left_anti"
+    # Broadcast gated like the probe side: assume_small_batch=False
+    # feeds can replay bulk-sized spool files, and an ungated
+    # broadcast of the batch ids would then hit the same driver-memory
+    # hazard the probe gate exists for (~50 B per in-memory id row).
+    batch_ids = ann.select(id_col)
+    if ann_rows is None or ann_rows * 50 < 64 * 1024 * 1024:
+        batch_ids = F.broadcast(batch_ids)
+    # Round-11 restructure: the expansion references members FOUR
+    # times (ma, mb, and the within self-join's two sides), and the
+    # unrestricted members_all put a full stored-members scan + the
+    # anti-join under EVERY reference (measured: 4 members scans, 11
+    # sort-merge joins, 29 exchanges, zero reuse — the semi-join
+    # pushing through the union breaks subtree identity for
+    # ReuseExchange). Every member row the expansion can emit belongs
+    # to a rep in (batch_reps ∪ reps named by rep_pairs), which is
+    # batch-sized — so restrict the stored scan to those reps ONCE
+    # and checkpoint the (small) result; all four references then
+    # read materialized batch-sized blocks and plan broadcast joins.
+    batch_reps = touched.unionByName(new_groups.select("__rep")).distinct()
+    if use_cp:
+        rel_reps = (
+            batch_reps.unionByName(
+                rep_pairs.select(F.col("id_a").alias("__rep"))
+            )
+            .unionByName(rep_pairs.select(F.col("id_b").alias("__rep")))
+            .distinct()
         )
+        if ann_rows is None or ann_rows * 50 < 64 * 1024 * 1024:
+            rel_reps = F.broadcast(rel_reps)
+        stored_members = index.members.join(rel_reps, "__rep", "left_semi")
+    else:
+        stored_members = index.members
+    members_rel = (
+        stored_members.join(batch_ids, id_col, "left_anti")
         .withColumn("__b", F.lit(False))
         .unionByName(known.withColumn("__b", F.lit(True)))
         .unionByName(new_members.withColumn("__b", F.lit(True)))
     )
-    ma = members_all.select(
+    if use_cp:
+        members_rel = members_rel.localCheckpoint(eager=True)
+    ma = members_rel.select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("__xa"), F.col("__b").alias("__ba")
     )
-    mb = members_all.select(
+    mb = members_rel.select(
         F.col("__rep").alias("id_b"), F.col(id_col).alias("__xb"), F.col("__b").alias("__bb")
     )
     cross = (
@@ -603,8 +657,7 @@ def incremental_pairs_and_delta(
             "jaccard",
         )
     )
-    batch_reps = touched.unionByName(new_groups.select("__rep")).distinct()
-    mg = members_all.join(batch_reps, "__rep", "left_semi")
+    mg = members_rel.join(batch_reps, "__rep", "left_semi")
     within = (
         mg.alias("u")
         .join(

@@ -178,7 +178,11 @@ def ensure_parquet(
         except OSError:
             # a concurrent builder published first — keep theirs
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(str(dest))
+    # fingerprint-keyed: a republished lake dir (new manifest mtime)
+    # misses and re-reads; an unchanged one skips the JVM re-analysis
+    from ..tables import cached_read_parquet
+
+    return cached_read_parquet(spark, str(dest))
 
 
 def lake_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

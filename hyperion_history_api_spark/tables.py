@@ -92,8 +92,56 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     ]
 
 
-def _load_one(spark: SparkSession, path: str) -> DataFrame:
+def _path_fingerprint(path: str) -> tuple:
+    """Invalidation key for a parquet path: (size, mtime_ns) of the
+    file, or the sorted (name, size, mtime_ns) listing for a
+    directory — so a spool dir gaining a file, or any rewrite, misses
+    the cache. stat-only (no reads): one syscall per file."""
+    import os
+
+    if os.path.isdir(path):
+        # every entry, including partition SUBDIRS (a partitioned lake
+        # table is dirs-of-files; a subdir gaining a file bumps the
+        # subdir mtime), plus the dir's own mtime (os.rename republish)
+        st = os.stat(path)
+        out = [("", st.st_mtime_ns, 0)]
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            out.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(out)
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
+
+
+#: (appId, abspath) -> (fingerprint, DataFrame). An analyzed
+#: DataFrame is immutable (its file listing binds at creation), so a
+#: hit returns exactly what a fresh read would produce as long as the
+#: fingerprint matches; a changed file/dir re-reads. This exists for
+#: DRIVER overhead, not data: every registry row used to pay ~60 ms
+#: of JVM round-trips per table re-analyzed per call (14 reads =
+#: ~0.9 s on the dedup_incremental row). At cluster scale the catalog
+#: (metastore) plays this role; the cache is bounded and per-session.
+_READ_CACHE: dict[tuple, tuple] = {}
+_READ_CACHE_MAX = 256
+
+
+def cached_read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    fp = _path_fingerprint(path)
+    hit = _READ_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     df = spark.read.parquet(path)
+    if len(_READ_CACHE) >= _READ_CACHE_MAX:
+        _READ_CACHE.clear()
+    _READ_CACHE[key] = (fp, df)
+    return df
+
+
+def _load_one(spark: SparkSession, path: str) -> DataFrame:
+    df = cached_read_parquet(spark, path)
     for c in _ns_timestamp_cols(path):
         # integer div keeps full ns precision (double div would round)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -227,9 +227,14 @@ def test_delta_hashes_checkpoint_is_eager(spark, monkeypatch):
         index, docs.where(F.col("doc_id") >= 10), "text", "doc_id",
         threshold=0.5,
     )
-    # exactly two checkpoints: the lazy annotated split, then the
-    # eager shingle frame (materialized before any commit leg runs)
-    assert calls == [False, True]
+    # exactly four checkpoints: the lazy annotated split, the eager
+    # shingle frame (materialized before any commit leg runs), the
+    # LAZY verified rep-pair set (materialized by the next eager
+    # job), and the eager rep-restricted membership frame (round-11:
+    # both expansion inputs materialize as batch-sized blocks so the
+    # four expansion references stop re-deriving the probe DAG /
+    # members scan)
+    assert calls == [False, True, False, True]
     assert pairs.count() >= 1  # the probe output still computes
 
 

@@ -286,23 +286,50 @@ def test_incremental_dedup_no_cartesian_all_equi(spark):
 
 
 def test_incremental_dedup_probes_stored_index(spark):
-    """Round-4 fix (round-3 verdict item 1): the timed plan PROBES the
-    persisted index instead of rebuilding it — the history side is
-    four parquet scans (bands/hashes/members/registry), and every
-    shingle/signature transform in the plan belongs to the batch's
-    novel-rep leg. The banding Generate appears at most twice (the
+    """Round-4 fix (round-3 verdict item 1): the timed plans PROBE the
+    persisted index instead of rebuilding it. Since the round-11
+    restructure the probe runs as a checkpoint pipeline — annotated
+    split -> novel shingles -> verified rep pairs -> restricted
+    members — so the stored-index scans live in the CHECKPOINTED
+    subtrees, captured here by spying localCheckpoint; the final
+    expansion plan must be pure materialized-block joins (no parquet
+    scan at all). History must never be re-shingled: the banding
+    Generate appears at most twice across the whole pipeline (the
     novel reps' bands feed both the probe and target unions); an
     in-plan history rebuild would add a third from the full corpus."""
-    plan = _plan(_q("dedup_incremental", spark))
-    for frame in ("bands", "hashes", "members"):
-        assert f"dedup_idx_{frame}" in plan, f"missing stored {frame} scan"
-    # the registry scan runs inside the eager batch-split checkpoint
-    # (one O(batch) job at construction); the probe plan reads the
-    # materialized split back as an RDD scan — neither the batch
-    # source nor the registry appears in the probe DAG
-    assert "Scan ExistingRDD" in plan
-    assert "documents.parquet" not in plan
-    assert plan.count("Generate inline") <= 2
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager=eager)
+
+    try:
+        DataFrame.localCheckpoint = spy
+        final = _plan(_q("dedup_incremental", spark))
+    finally:
+        DataFrame.localCheckpoint = orig
+    assert len(captured) == 4  # ann, new_hashed, rep_pairs, members_rel
+    ann, new_hashed, rep_pairs, members_rel = captured
+    # the batch split scans the batch source + the stored registry
+    assert "documents.parquet" in ann and "dedup_idx_registry" in ann
+    # the verify leg probes the STORED band/hash frames; the member
+    # expansion reads the STORED members frame; none of them touch
+    # the corpus source
+    assert "dedup_idx_bands" in rep_pairs and "dedup_idx_hashes" in rep_pairs
+    assert "dedup_idx_members" in members_rel
+    for p in (new_hashed, rep_pairs, members_rel):
+        assert "documents.parquet" not in p
+    # ONE restricted members scan in the whole pipeline (the round-11
+    # point: the expansion's four references read its blocks)
+    assert members_rel.count("dedup_idx_members") == 1
+    # the final action joins materialized blocks only
+    assert "Scan ExistingRDD" in final
+    assert "FileScan" not in final and "documents.parquet" not in final
+    combined = "".join(captured) + final
+    assert combined.count("Generate inline") <= 2
 
 
 def test_quantized_topk_scans_stored_int8(spark):
