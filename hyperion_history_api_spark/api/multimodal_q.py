@@ -525,3 +525,58 @@ def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_mp4(samples, every_ms=500).orderBy(
         "media_id", "instant_ms"
     )
+
+
+@register(
+    "multimodal_mp4_pts",
+    """
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               list_transform(generate_series(1, 16),
+                   j -> CAST(concat('0x', substr(md5(text), 2*j - 1, 2))
+                             AS BIGINT)) AS db,
+               5 + doc_id % 8 AS n,
+               1000 * (1 + doc_id % 3) AS tsc,
+               1 + doc_id % 4 AS kint
+        FROM documents WHERE doc_id < 200
+    ), s AS (
+        SELECT media_id, n, tsc, kint, k,
+               tsc // 10 + db[(k % 16) + 1] AS dur,
+               (db[((k + 3) % 16) + 1] % 4) * (tsc // 20) AS coff,
+               (60 * (1 + media_id % 3)) * tsc // 600 AS edelay,
+               tsc // 20 AS mt,
+               (k % kint = 0) AS iskey
+        FROM d, unnest(generate_series(0, n - 1)) AS t(k)
+    ), c AS (
+        SELECT *,
+               COALESCE(sum(dur) OVER (PARTITION BY media_id ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumdur
+        FROM s
+    )
+    SELECT media_id, CAST(k AS INT) AS sample_idx,
+           CAST((1000 * cumdur) // tsc AS BIGINT) AS ts_ms,
+           CAST((1000 * (cumdur + coff + edelay - mt)) // tsc AS BIGINT)
+               AS pts_ms,
+           iskey AS is_keyframe
+    FROM c ORDER BY media_id, sample_idx
+    """,
+    "multimodal: MP4 presentation-time correctness (round-10 verdict "
+    "item 7) — ctts composition offsets (B-frame reorder) + a "
+    "two-entry edit list whose empty edit is in the MOVIE timescale "
+    "(mvhd 600 vs media 1000-3000), so pts = dt + ctts + "
+    "empty_delay*tsc//600 - media_time; ignoring ctts, elst, or the "
+    "timescale conversion each flips the hash",
+)
+def multimodal_mp4_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize B-frame-style MP4s (ctts + elst present) and check
+    the parsed presentation timeline sample by sample against the
+    closed-form oracle. ``ts_ms`` (decode) stays what the plain rows
+    check; ``pts_ms`` is the new surface."""
+    from ..sources.multimodal import parse_mp4_samples, synth_media_mp4
+
+    docs = _t(spark, sf_dir)["documents"].where(F.col("doc_id") < 200)
+    s = parse_mp4_samples(synth_media_mp4(docs, with_ctts=True))
+    return s.select(
+        "media_id", "sample_idx", "ts_ms", "pts_ms", "is_keyframe"
+    ).orderBy("media_id", "sample_idx")

@@ -1443,7 +1443,7 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
 # which frames, at which offsets, how many bytes — is real here.
 
 
-def synth_media_mp4(docs: DataFrame) -> DataFrame:
+def synth_media_mp4(docs: DataFrame, *, with_ctts: bool = False) -> DataFrame:
     """Deterministic REAL MP4 containers from the documents table:
     ftyp + mdat + moov with TWO traks (a 'vide' track whose sample
     tables derive from md5(text) and the doc id, plus a decoy 'soun'
@@ -1453,7 +1453,17 @@ def synth_media_mp4(docs: DataFrame) -> DataFrame:
     keyframe every 1+id%4 samples (stss), samples packed 3 per chunk
     (stsc/stco), mdat video payload starting at absolute offset 32.
     stts entries are run-length merged, so multi-entry walks are
-    exercised wherever the digest repeats a delta."""
+    exercised wherever the digest repeats a delta.
+
+    ``with_ctts`` (round-11): the video trak additionally carries a
+    B-frame-style composition-offset table (ctts, run-length merged,
+    offset (db[((k+3)%16)+1] % 4) * (tsc//20) ticks per sample) and a
+    two-entry edit list (edts/elst): an EMPTY edit of 60*(1+id%3)
+    MOVIE-timescale units (mvhd timescale is 600 in this mode, so the
+    movie->media conversion is load-bearing) followed by a normal
+    edit with media_time = tsc//20. Presentation time is then
+    pts = dt + ctts_off + empty_delay*tsc//600 - tsc//20 — wrong PTS
+    on B-frame video is exactly what ignoring ctts/elst produces."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -1473,6 +1483,7 @@ def synth_media_mp4(docs: DataFrame) -> DataFrame:
             keys: list[int],
             offsets: list[int],
             spc: int,
+            coffs: list[int] | None = None,
         ) -> bytes:
             # stts: run-length merged (sample_count, delta) entries
             runs: list[list[int]] = []
@@ -1509,9 +1520,32 @@ def synth_media_mp4(docs: DataFrame) -> DataFrame:
             stsd = full(
                 b"stsd", 0, _st.pack(">I", 1) + box(b"mp4v", b"\x00" * 16)
             )
-            return box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+            ctts = b""
+            if coffs is not None:
+                # run-length merged like stts (version 0, unsigned)
+                cruns: list[list[int]] = []
+                for o in coffs:
+                    if cruns and cruns[-1][1] == o:
+                        cruns[-1][0] += 1
+                    else:
+                        cruns.append([1, o])
+                ctts = full(
+                    b"ctts",
+                    0,
+                    _st.pack(">I", len(cruns))
+                    + b"".join(_st.pack(">II", c, o) for c, o in cruns),
+                )
+            return box(
+                b"stbl", stsd + stts + ctts + stss + stsc + stsz + stco
+            )
 
-        def trak_for(handler: bytes, tsc: int, dur: int, stbl: bytes) -> bytes:
+        def trak_for(
+            handler: bytes,
+            tsc: int,
+            dur: int,
+            stbl: bytes,
+            edts: bytes = b"",
+        ) -> bytes:
             tkhd = full(
                 b"tkhd", 0, _st.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 60
             )
@@ -1533,7 +1567,7 @@ def synth_media_mp4(docs: DataFrame) -> DataFrame:
                 )
                 + stbl,
             )
-            return box(b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf))
+            return box(b"trak", tkhd + edts + box(b"mdia", mdhd + hdlr + minf))
 
         def build(media_id: int, text: str) -> bytes:
             dg = _hl.md5(text.encode("utf-8")).digest()
@@ -1563,16 +1597,36 @@ def synth_media_mp4(docs: DataFrame) -> DataFrame:
                 : vid_total + sum(a_sizes)
             ]
             mdat = box(b"mdat", bytes(payload))
-            vstbl = stbl_for(durs, sizes, keys, offsets, 3)
+            coffs = (
+                [(db[(k + 3) % 16] % 4) * (tsc // 20) for k in range(n)]
+                if with_ctts
+                else None
+            )
+            edts = b""
+            movie_tsc = tsc
+            if with_ctts:
+                movie_tsc = 600
+                # empty edit (media_time=-1) in MOVIE units, then the
+                # presentation edit at media_time = tsc//20
+                elst = full(
+                    b"elst",
+                    0,
+                    _st.pack(">I", 2)
+                    + _st.pack(">IiHH", 60 * (1 + media_id % 3), -1, 1, 0)
+                    + _st.pack(">IiHH", 0, tsc // 20, 1, 0),
+                )
+                edts = box(b"edts", elst)
+            vstbl = stbl_for(durs, sizes, keys, offsets, 3, coffs)
             astbl = stbl_for([100, 100, 100], a_sizes, [1], a_offsets, 3)
             moov = box(
                 b"moov",
                 full(
                     b"mvhd",
                     0,
-                    _st.pack(">IIII", 0, 0, tsc, sum(durs)) + b"\x00" * 80,
+                    _st.pack(">IIII", 0, 0, movie_tsc, sum(durs))
+                    + b"\x00" * 80,
                 )
-                + trak_for(b"vide", tsc, sum(durs), vstbl)
+                + trak_for(b"vide", tsc, sum(durs), vstbl, edts)
                 + trak_for(b"soun", 600, 300, astbl),
             )
             return ftyp + mdat + moov
@@ -1594,8 +1648,9 @@ def synth_media_mp4(docs: DataFrame) -> DataFrame:
 
 
 MP4_SAMPLE_SCHEMA = (
-    "media_id long, sample_idx int, ts_ms long, dur_ticks long, "
-    "timescale long, size long, offset long, is_keyframe boolean"
+    "media_id long, sample_idx int, ts_ms long, pts_ms long, "
+    "dur_ticks long, timescale long, size long, offset long, "
+    "is_keyframe boolean"
 )
 
 
@@ -1607,7 +1662,17 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
     first trak or the audio trak produces different numbers for every
     file (the synthesizer plants a decoy 'soun' trak). Arrow-batched
     narrow map — sample TABLES are parsed, never sample bytes, which
-    is why this scales to video corpora without a codec."""
+    is why this scales to video corpora without a codec.
+
+    Presentation time (round-11): ``pts_ms`` applies the ctts
+    composition offsets (v0 unsigned / v1 signed) on top of the stts
+    decode time, then the edit-list shift — preceding EMPTY elst
+    edits (media_time == -1) add delay converted from the MOVIE
+    timescale (mvhd) to the media timescale, and the first non-empty
+    edit's media_time subtracts (ISO 14496-12 §8.6.1.3/§8.6.6; one
+    non-empty edit supported, the overwhelmingly common shape —
+    multi-segment playlist edits are out of scope and ignored past
+    the first). Files without ctts/elst get pts_ms == ts_ms."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _st
@@ -1634,7 +1699,35 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
                     return b, e
             return None
 
-        def parse_track(buf, tb, te):
+        def parse_elst(buf, tb, te, tsc, movie_tsc):
+            """Media-tick shift the edit list applies to composition
+            times: empty-edit delay (movie->media conversion) minus
+            the first non-empty edit's media_time."""
+            ed = child(buf, tb, te, b"edts")
+            if ed is None:
+                return 0
+            el = child(buf, ed[0], ed[1], b"elst")
+            if el is None:
+                return 0
+            ver = buf[el[0]]
+            p = el[0] + 4
+            n_ent = _st.unpack_from(">I", buf, p)[0]
+            p += 4
+            delay = 0
+            for _ in range(n_ent):
+                if ver == 1:
+                    seg, mt = _st.unpack_from(">Qq", buf, p)
+                    p += 20
+                else:
+                    seg, mt = _st.unpack_from(">Ii", buf, p)
+                    p += 12
+                if mt == -1:  # empty edit: presentation delay
+                    delay += (seg * tsc) // movie_tsc
+                else:
+                    return delay - mt
+            return delay
+
+        def parse_track(buf, tb, te, movie_tsc):
             md = child(buf, tb, te, b"mdia")
             if md is None:
                 return None
@@ -1649,6 +1742,7 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
                 if ver == 0
                 else _st.unpack_from(">I", buf, mh[0] + 20)[0]
             )
+            edit_shift = parse_elst(buf, tb, te, tsc, movie_tsc)
             mi = child(buf, md[0], md[1], b"minf")
             sb = child(buf, mi[0], mi[1], b"stbl")
             tables = {t: (b, e) for t, b, e in walk(buf, sb[0], sb[1])}
@@ -1672,6 +1766,20 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
                 if uniform
                 else list(_st.unpack_from(f">{cnt}I", buf, p + 8))
             )
+            # ctts -> per-sample composition offsets (v0 unsigned,
+            # v1 signed); absent => all zero
+            coffs = [0] * cnt
+            if b"ctts" in tables:
+                cb, _ce = tables[b"ctts"]
+                cver = buf[cb]
+                p = cb + 4
+                cn = _st.unpack_from(">I", buf, p)[0]
+                coffs = []
+                for i in range(cn):
+                    c, o = _st.unpack_from(
+                        ">Ii" if cver == 1 else ">II", buf, p + 4 + 8 * i
+                    )
+                    coffs.extend([o] * c)
             # stss -> 1-based keyframe numbers (absent => all sync)
             if b"stss" in tables:
                 p = full_body(b"stss")
@@ -1712,6 +1820,8 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
                         (
                             s,
                             (1000 * cum_t) // tsc,
+                            (1000 * (cum_t + coffs[s] + edit_shift))
+                            // tsc,
                             durs[s],
                             tsc,
                             sizes[s],
@@ -1726,9 +1836,16 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
 
         def parse(buf: bytes):
             mv = child(buf, 0, len(buf), b"moov")
+            movie_tsc = 0
+            mvh = child(buf, mv[0], mv[1], b"mvhd")
+            if mvh is not None:
+                mver = buf[mvh[0]]
+                movie_tsc = _st.unpack_from(
+                    ">I", buf, mvh[0] + (12 if mver == 0 else 20)
+                )[0]
             for t, b, e in walk(buf, mv[0], mv[1]):
                 if t == b"trak":
-                    got = parse_track(buf, b, e)
+                    got = parse_track(buf, b, e, movie_tsc or 1)
                     if got is not None:
                         return got
             return []
@@ -1739,19 +1856,23 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
                 for (
                     idx,
                     ts,
+                    pts,
                     dur,
                     tsc,
                     size,
                     off,
                     iskey,
                 ) in parse(bytes(payload)):
-                    rows.append((int(m), idx, ts, dur, tsc, size, off, iskey))
+                    rows.append(
+                        (int(m), idx, ts, pts, dur, tsc, size, off, iskey)
+                    )
             yield _pd.DataFrame(
                 rows,
                 columns=[
                     "media_id",
                     "sample_idx",
                     "ts_ms",
+                    "pts_ms",
                     "dur_ticks",
                     "timescale",
                     "size",

@@ -717,3 +717,92 @@ def test_mp4_parser_co64_uniform_stsz_no_stss(spark):
     assert [r["ts_ms"] for r in rows] == [
         (1000 * t) // tsc for t in (0, 100, 200, 300, 350)
     ]
+
+
+def test_mp4_parser_ctts_v1_signed_elst_v1(spark):
+    """Presentation-time branches the synthesizer never emits: ctts
+    VERSION 1 (signed 32-bit composition offsets, the real B-frame
+    form) and elst VERSION 1 (64-bit segment_duration / signed 64-bit
+    media_time) with an empty edit in a DIFFERENT movie timescale —
+    hand-built box tree, independently computed expectations."""
+    import struct
+
+    from hyperion_history_api_spark.sources.multimodal import (
+        parse_mp4_samples,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, payload, version=0):
+        return box(typ, struct.pack(">I", version << 24) + payload)
+
+    tsc = 1000  # media timescale
+    movie_tsc = 90_000  # movie timescale (mvhd)
+    # 4 samples of 100 ticks; decode times 0,100,200,300
+    stts = full(b"stts", struct.pack(">III", 1, 4, 100))
+    # ctts v1 signed: offsets +200, -100, -100, +200 (two runs merge
+    # nothing; the negative offsets REORDER presentation)
+    ctts = full(
+        b"ctts",
+        struct.pack(">I", 4)
+        + struct.pack(">Ii", 1, 200)
+        + struct.pack(">Ii", 2, -100)
+        + struct.pack(">Ii", 1, 200),
+        version=1,
+    )
+    stsz = full(b"stsz", struct.pack(">II", 10, 4))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 4, 1))
+    stco = full(b"stco", struct.pack(">II", 1, 64))
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"mp4v", b"\x00" * 16))
+    stbl = box(b"stbl", stsd + stts + ctts + stsz + stsc + stco)
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, tsc, 400, 0, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    minf = box(b"minf", stbl)
+    # elst v1: empty edit of 45000 movie ticks (= 0.5 s = 500 media
+    # ticks at tsc 1000), then media_time=100
+    elst = full(
+        b"elst",
+        struct.pack(">I", 2)
+        + struct.pack(">QqHH", 45_000, -1, 1, 0)
+        + struct.pack(">QqHH", 0, 100, 1, 0),
+        version=1,
+    )
+    trak = box(
+        b"trak", box(b"edts", elst) + box(b"mdia", mdhd + hdlr + minf)
+    )
+    mvhd = full(
+        b"mvhd", struct.pack(">IIII", 0, 0, movie_tsc, 400) + b"\x00" * 80
+    )
+    moov = box(b"moov", mvhd + trak)
+    payload = box(b"ftyp", b"isom") + moov
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        parse_mp4_samples(df).collect(), key=lambda r: r["sample_idx"]
+    )
+    assert len(rows) == 4
+    # decode timeline untouched by ctts/elst
+    assert [r["ts_ms"] for r in rows] == [0, 100, 200, 300]
+    # shift = empty_delay(500) - media_time(100) = +400 media ticks;
+    # pts_ticks = dt + ctts + 400 -> 600, 400, 500, 900
+    assert [r["pts_ms"] for r in rows] == [600, 400, 500, 900]
+
+
+def test_mp4_parser_no_ctts_pts_equals_dts(spark):
+    """Files without ctts/elst (the plain synthesizer output) must
+    report pts_ms == ts_ms for every sample — the round-11 column is
+    purely additive on the existing hash-gated surface."""
+    from hyperion_history_api_spark.sources.multimodal import (
+        parse_mp4_samples,
+        synth_media_mp4,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma"), (12, "delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    rows = parse_mp4_samples(synth_media_mp4(docs)).collect()
+    assert rows and all(r["pts_ms"] == r["ts_ms"] for r in rows)
