@@ -417,6 +417,32 @@ class HyperionAPI:
         # into mid-stream); read_until=0 is the reference's
         # "no end" convention (filters.py:compile_request skips the
         # bound the same way)
+        req, kind = self.parse_stream_request(params)
+        read_until = req.read_until if req.read_until else None
+        follow = params.get("follow") == "true"
+        poll_sec = float(params.get("poll_sec", "0.5"))
+        idle_timeout = float(params.get("idle_timeout", "30"))
+        mark_filtered = str(params.get("mark_filtered", "")).lower() in (
+            "true",
+            "1",
+        )
+        return self._stream_iter(
+            req,
+            read_until,
+            follow,
+            poll_sec,
+            idle_timeout,
+            kind=kind,
+            mark_filtered=mark_filtered,
+        )
+
+    @staticmethod
+    def parse_stream_request(params: dict):
+        """Parse/validate wire params into a (StreamRequest, kind)
+        pair — shared by the SSE/WS replay path and the Socket.IO
+        live-routing maps (which compile the SAME request against
+        arriving rows). Raises for bad params so handlers can answer
+        an error callback before committing a stream."""
         kind = params.get("stream", "actions")
         # the subscription's field-filter list (stream-requests.ts:1-6
         # + streamFunctions.ts:58-94 every/some semantics) — a JSON
@@ -479,16 +505,18 @@ class HyperionAPI:
             )
         else:
             raise ValueError(f"stream must be actions|deltas, not {kind!r}")
-        read_until = req.read_until if req.read_until else None
-        follow = params.get("follow") == "true"
-        poll_sec = float(params.get("poll_sec", "0.5"))
-        idle_timeout = float(params.get("idle_timeout", "30"))
-        return self._stream_iter(
-            req, read_until, follow, poll_sec, idle_timeout, kind=kind
-        )
+        return req, kind
 
     def _stream_iter(
-        self, req, read_until, follow, poll_sec, idle_timeout, *, kind="actions"
+        self,
+        req,
+        read_until,
+        follow,
+        poll_sec,
+        idle_timeout,
+        *,
+        kind="actions",
+        mark_filtered=False,
     ):
         import time as _time
 
@@ -521,6 +549,26 @@ class HyperionAPI:
                     "payer", F.get_json_object("props", "$.k").cast("long")
                 )
                 cols.append("payer")
+            if mark_filtered:
+                # the reference's scroll counts docs that matched the
+                # PRIMARY query (routing keys + block range) but were
+                # dropped by the on-demand field filters
+                # (functions.ts:226-247 filterCount) — so scan on the
+                # routing predicate and FLAG filter failures instead
+                # of hiding them; the consumer reports `filtered` and
+                # still advances lastTransmittedBlock over them
+                from dataclasses import replace as _replace
+
+                routing = compile_request(
+                    ev, _replace(req, filters=()), schema
+                )
+                full = compile_request(ev, req, schema)
+                return (
+                    ev.where(routing & (F.col("event_id") > after))
+                    .withColumn("_filtered", ~full)
+                    .orderBy("event_id")
+                    .select(*cols, "_filtered")
+                )
             return (
                 ev.where(
                     compile_request(ev, req, schema)
@@ -550,6 +598,89 @@ class HyperionAPI:
             elif _time.monotonic() >= deadline:
                 return
             _time.sleep(poll_sec)
+
+    # -- live-phase helpers (socketManager.ts relay analogs) ----------------
+    def head_block(self) -> int:
+        """Current head of the event log — the reference's
+        ``currentBlockNum`` (socketManager.ts:565-570 puts the real
+        head in every stream-request ack; clients use it for
+        gap-healing math). Fresh file listing per call so spool
+        appends are visible; the scan is a parquet-footer max."""
+        from ..tables import _load_one
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = _load_one(self.spark, f"{self.sf_dir}/events.parquet")
+        row = ev.agg(F.max("event_id").alias("h")).first()
+        return int(row["h"] or 0)
+
+    def live_tagged_rows(
+        self, requests: dict, after: int, kind: str = "actions"
+    ) -> tuple[list, int]:
+        """One poll of the live relay: rows past ``after`` tagged with
+        the reqUUIDs they match (the vectorized ws-router fan-out,
+        streaming/filters.py:route_to_subscribers — ONE codegen'd
+        pass over the new rows regardless of subscription count).
+
+        Returns ``(rows, new_cursor)`` where rows are
+        ``(row_dict, [req_uuids])`` in sequence order — non-matching
+        rows are scanned (they advance the cursor; the next poll must
+        not re-read them) but not returned — and ``new_cursor`` is
+        the highest sequence scanned (``after`` when idle).
+        ``requests`` maps reqUUID -> StreamRequest (from
+        :meth:`parse_stream_request`)."""
+        from ..streaming.filters import route_to_subscribers
+        from ..tables import _load_one
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = _load_one(self.spark, f"{self.sf_dir}/events.parquet")
+        cols = ["event_id", "user_id", "event_type", "ts", "value"]
+        if kind == "deltas":
+            ev = ev.withColumn(
+                "payer", F.get_json_object("props", "$.k").cast("long")
+            )
+            cols.append("payer")
+            schema = StreamSchema(
+                account_col="payer", scope_col="user_id", json_col=None
+            )
+        else:
+            schema = StreamSchema(json_col=None)
+        # strip each request's start_from/read_until for LIVE routing:
+        # the reference's relay matches arriving traces on routing keys
+        # + field filters only (ws-router.ts); the history bounds
+        # belong to the replay phase
+        from dataclasses import replace as _replace
+
+        live_reqs = {
+            u: _replace(r, start_from=None, read_until=None)
+            for u, r in requests.items()
+        }
+        tagged = (
+            route_to_subscribers(
+                ev.where(F.col("event_id") > after), live_reqs, schema
+            )
+            .orderBy("event_id")
+            .select(*cols, "matching_requests")
+        )
+        out = []
+        cursor = after
+        for row in tagged.toLocalIterator():
+            d = row.asDict()
+            targets = list(d.pop("matching_requests"))
+            d["ts"] = str(d["ts"])
+            cursor = max(cursor, int(d["event_id"]))
+            out.append((d, targets))
+        # non-matching rows don't come back from the routed scan, but
+        # the cursor must pass them anyway — one footer-only max()
+        # over the same pruned window (cheap: event_id > after prunes
+        # to the tail row groups)
+        tail = (
+            ev.where(F.col("event_id") > after)
+            .agg(F.max("event_id").alias("h"))
+            .first()
+        )
+        if tail["h"] is not None:
+            cursor = max(cursor, int(tail["h"]))
+        return out, cursor
 
 
 def make_server(

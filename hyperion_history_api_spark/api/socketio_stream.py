@@ -17,20 +17,38 @@ Wire contract reproduced (websocket transport, ``EIO=4``):
   ``handshake {chain, chain_id}`` (socketManager.ts:119); the client
   emits ``action_stream_request`` / ``delta_stream_request`` with an
   ack callback answered ``{status:"OK", reqUUID, currentBlockNum}``
-  (:162-175, 565-570); history replays as ``emitWithAck("message",
-  {reqUUID, type: "<kind>_trace", mode: "history", messages: [...],
-  filtered})`` — the server BLOCKS on each batch's client ack
-  ``{status: true}`` with the 120 s forceful-disconnect timeout
-  (helpers/functions.ts:258-305) — and finishes with
-  ``message {type:"history_end", reqUUID, mode:"history",
-  message:{lastBlock}}`` (:611-616); ``cancel_stream_request`` acks
-  ``{status:"OK"}``.
+  where currentBlockNum is the REAL head block (:565-570); history
+  replays as ``emitWithAck("message", {reqUUID, type:
+  "<kind>_trace", mode: "history", messages: [...], filtered})`` —
+  ``filtered`` counts rows the primary query matched but the
+  on-demand field filters dropped (functions.ts:226-270) and the
+  server BLOCKS on each batch's client ack ``{status: true}`` with
+  the 120 s forceful-disconnect timeout (functions.ts:258-305) —
+  and finishes with ``message {type:"history_end", reqUUID,
+  mode:"history", message:{lastBlock}}`` (:611-616).
+- Live phase (round-11): every request (unless ``ignore_live``)
+  ATTACHES to the per-connection routing maps before its ack
+  (socketManager.ts:413-419), and rows arriving past the attach-time
+  head are pushed as ``message {type:"<kind>_trace", mode:"live",
+  targets:[reqUUIDs...], message}`` — one emit per row naming every
+  matching subscription, exactly the relay fan-out of
+  routeActionTraceToClients/routeDeltaToClients (:409-495). No ack
+  on live messages, matching the reference.
+- Multiplexing (round-11): one connection holds N concurrent
+  subscriptions (the reqUUID-keyed maps of socketManager.ts:267-300);
+  concurrent history replays interleave at batch granularity
+  (round-robin, one in-flight ack at a time), and
+  ``cancel_stream_request {reqUUID}`` detaches ONE subscription —
+  mid-replay cancels included — leaving the rest streaming.
 
-Rows come from :meth:`..api.http_server.HyperionAPI.stream_rows` —
-the SAME oracle-checked predicate compiler the SSE and plain-WS
-surfaces serve, so this layer adds framing only. Scale shape matches
-``ws_stream.py``: one generator per connection, one bounded batch in
-memory, backpressure by blocking on the client ack.
+Rows come from :meth:`..api.http_server.HyperionAPI.stream_rows`
+(history, ``mark_filtered`` form) and
+:meth:`~.http_server.HyperionAPI.live_tagged_rows` (live — the
+vectorized route_to_subscribers fan-out: ONE codegen'd pass over new
+rows regardless of subscription count), so this layer adds framing
+only. Scale shape matches ``ws_stream.py``: one session thread per
+connection, one bounded batch in memory, backpressure by blocking on
+the client ack.
 """
 
 from __future__ import annotations
@@ -90,20 +108,38 @@ class SocketIOStreamServer(CappedWsServer):
         chain: str = "spark",
         max_connections: int = 64,
         handshake_timeout: float = HANDSHAKE_TIMEOUT,
+        live_poll_sec: float = 0.5,
     ) -> None:
         self.api = api
         self.ack_timeout = ack_timeout
         self.ping_interval = ping_interval
         self.chain = chain
+        self.live_poll_sec = live_poll_sec
         super().__init__(host, port, max_connections, handshake_timeout)
 
-    def _reject_frame(self) -> str:
-        # socket.io CONNECT_ERROR on the default namespace — what a
-        # stock client surfaces as connect_error instead of an
-        # unexplained transport drop
-        return (
-            EIO_MESSAGE + "4" + json.dumps({"message": "too many connections"})
-        )
+    def _reject_frames(self) -> list[str]:
+        # the Engine.IO OPEN handshake MUST precede any Socket.IO
+        # packet: a stock engine.io client that has not yet received
+        # "0{...}" treats the CONNECT_ERROR as a protocol error and
+        # surfaces a transport close instead of connect_error
+        return [
+            EIO_OPEN
+            + json.dumps(
+                {
+                    "sid": uuid.uuid4().hex,
+                    "upgrades": [],
+                    "pingInterval": int(self.ping_interval * 1000),
+                    "pingTimeout": int(self.ack_timeout * 1000),
+                    "maxPayload": 1_000_000,
+                }
+            ),
+            # socket.io CONNECT_ERROR on the default namespace — what
+            # a stock client surfaces as connect_error instead of an
+            # unexplained transport drop
+            EIO_MESSAGE
+            + "4"
+            + json.dumps({"message": "too many connections"}),
+        ]
 
     # -- per-connection session --------------------------------------------
     def _session(self, ws: WebSocketConnection, conn_id: int) -> None:
@@ -177,12 +213,19 @@ class SocketIOStreamServer(CappedWsServer):
                 raise ValueError("empty engine.io packet")
             return text[0], text[1:]
 
+        # client events that arrive while we are blocked on a batch
+        # ack — drained by the main loop, so a cancel or a NEW stream
+        # request mid-replay is served instead of dropped
+        pending: list[tuple[int | None, list]] = []
+
         def await_client_ack(ack_id: int) -> dict:
             """Block (bounded) until the client's ACK for ``ack_id`` —
-            the emitWithAck 120 s contract; anything else interleaving
-            (pongs, cancel events) is handled in place. Recv waits stay
-            at ping_interval so the server keeps heartbeating while it
-            waits out a slow acker."""
+            the emitWithAck 120 s contract; pongs are answered in
+            place and concurrent client EVENTS are buffered for the
+            main loop (multiplexing: a second subscription or a
+            cancel must not be lost to an in-flight batch). Recv
+            waits stay at ping_interval so the server keeps
+            heartbeating while it waits out a slow acker."""
             deadline = time.monotonic() + self.ack_timeout
             try:
                 while True:
@@ -200,18 +243,15 @@ class SocketIOStreamServer(CappedWsServer):
                     if etype == EIO_PING:
                         ws.send(EIO_PONG + body, OP_TEXT)
                         continue
+                    if etype == EIO_CLOSE:
+                        raise ConnectionError("client closed")
                     if etype != EIO_MESSAGE:
                         continue  # pongs / close echoes
                     sio_type, got_id, args = _parse_sio(body)
                     if sio_type == SIO_ACK and got_id == ack_id:
                         return args[0] if args else {}
-                    # a concurrent client event mid-replay: serve the
-                    # cancel contract, ignore the rest
                     if sio_type == SIO_EVENT and args:
-                        if args[0] == "cancel_stream_request":
-                            if got_id is not None:
-                                send_ack(got_id, [{"status": "OK"}])
-                            raise ConnectionError("stream cancelled")
+                        pending.append((got_id, args))
             finally:
                 ws.sock.settimeout(self.ping_interval)
 
@@ -233,45 +273,43 @@ class SocketIOStreamServer(CappedWsServer):
             {"chain": self.chain, "chain_id": uuid.uuid4().hex},
         )
 
-        # request loop: one stream request at a time per connection
-        while True:
-            try:
-                etype, body = recv_packet()
-            except socket.timeout:
-                heartbeat()
-                continue
-            if etype == EIO_PING:
-                ws.send(EIO_PONG + body, OP_TEXT)
-                continue
-            if etype == EIO_CLOSE:
-                return
-            if etype != EIO_MESSAGE:
-                continue
-            sio_type, ack_id, args = _parse_sio(body)
-            if sio_type != SIO_EVENT or not args:
-                continue
-            event, data = args[0], (args[1] if len(args) > 1 else {})
-            if event == "cancel_stream_request":
-                if ack_id is not None:
-                    send_ack(ack_id, [{"status": "OK"}])
-                continue
-            if event not in ("action_stream_request", "delta_stream_request"):
-                continue
+        # -- per-connection subscription state (reqUUID-keyed, the
+        # socketManager.ts:267-300 maps) --------------------------------
+        live_subs: dict[str, dict] = {}  # reqUUID -> {kind, req, head}
+        replays: list[dict] = []  # round-robin history pumps
+        live_cursor: dict[str, int] = {}  # kind -> last scanned seq
+        next_live_poll = [0.0]
+
+        def start_request(event: str, data: dict, ack_id: int | None):
             kind = "action" if event.startswith("action") else "delta"
             req_uuid = uuid.uuid4().hex
             params = normalize_params(dict(data))
-            params.pop("ignore_live", None)
+            ignore_live = str(params.pop("ignore_live", "")).lower() in (
+                "true",
+                "1",
+            )
             if kind == "delta":
                 params["stream"] = "deltas"
             batch_size = int(params.pop("batch_size", 50))
             try:
-                rows = self.api.stream_rows(params)
+                req, _k = self.api.parse_stream_request(params)
+                # the reference resolves the head BEFORE answering the
+                # callback (emitToRelay attaches currentBlockNum) and
+                # bounds the primary history scroll at it (:434-440)
+                head = self.api.head_block()
             except Exception as e:  # invalid request -> error callback
                 if ack_id is not None:
                     send_ack(
                         ack_id, [{"status": "ERROR", "error": str(e)}]
                     )
-                continue
+                return
+            if not ignore_live:
+                live_subs[req_uuid] = {
+                    "kind": kind,
+                    "req": req,
+                    "head": head,
+                }
+                live_cursor.setdefault(kind, head)
             if ack_id is not None:  # processStreamRequest's callback
                 send_ack(
                     ack_id,
@@ -279,57 +317,180 @@ class SocketIOStreamServer(CappedWsServer):
                         {
                             "status": "OK",
                             "reqUUID": req_uuid,
-                            "currentBlockNum": 0,
+                            "currentBlockNum": head,
                         }
                     ],
                 )
-            last_block = 0
-            batch: list[dict] = []
+            # history replay only when requested (socketManager.ts:432:
+            # `if (data.start_from && data.start_from !== 0)`)
+            start_from = req.start_from
+            if not start_from:
+                return
+            if not req.read_until and head > 0:
+                params["read_until"] = str(head)
+            params["mark_filtered"] = "true"
+            # reset the client's heartbeat timer right before the scan
+            # whose first pull may be long (a cold first batch past
+            # pingInterval+pingTimeout would otherwise self-disconnect
+            # a stock client before any row arrives)
+            heartbeat()
+            rows = self.api.stream_rows(params)
+            replays.append(
+                {
+                    "req_uuid": req_uuid,
+                    "kind": kind,
+                    "gen": iter(rows),
+                    "batch_size": batch_size,
+                    # zero-row replays report start_from-1
+                    # (functions.ts:308-312)
+                    "last_block": start_from - 1,
+                    "filtered": 0,
+                }
+            )
 
-            def flush() -> None:
-                nonlocal last_block
-                if not batch:
-                    return
-                maybe_ping()
+        def handle_event(ack_id: int | None, args: list) -> None:
+            event, data = args[0], (args[1] if len(args) > 1 else {})
+            if event == "cancel_stream_request":
+                rid = (data or {}).get("reqUUID")
+                live_subs.pop(rid, None)
+                replays[:] = [r for r in replays if r["req_uuid"] != rid]
+                if ack_id is not None:
+                    send_ack(ack_id, [{"status": "OK"}])
+                return
+            if event in ("action_stream_request", "delta_stream_request"):
+                start_request(event, data, ack_id)
+
+        def pump_one() -> None:
+            """One history batch from the front replay, then rotate —
+            concurrent replays interleave at batch granularity with
+            exactly one in-flight ack."""
+            r = replays[0]
+            batch: list[dict] = []
+            done = False
+            maybe_ping()
+            while len(batch) < r["batch_size"]:
+                try:
+                    row = next(r["gen"])
+                except StopIteration:
+                    done = True
+                    break
+                seq = int(row.get("block_num", row.get("event_id", 0)))
+                r["last_block"] = max(r["last_block"], seq)
+                if row.pop("_filtered", False):
+                    r["filtered"] += 1
+                    continue
+                batch.append(row)
+            if batch:
                 next_ack[0] += 1
                 emit(
                     "message",
                     {
-                        "reqUUID": req_uuid,
-                        "type": f"{kind}_trace",
+                        "reqUUID": r["req_uuid"],
+                        "type": f"{r['kind']}_trace",
                         "mode": "history",
                         "messages": batch,
-                        "filtered": 0,
+                        "filtered": r["filtered"],
                     },
                     ack_id=next_ack[0],
                 )
+                r["filtered"] = 0
                 resp = await_client_ack(next_ack[0])
                 if resp.get("status") is not True:
                     raise ConnectionError("client NACKed history batch")
-                last_block = max(
-                    last_block,
-                    max(
-                        int(m.get("block_num", m.get("event_id", 0)))
-                        for m in batch
-                    ),
-                )
-                batch.clear()
+            # the ack wait may have buffered a cancel for THIS replay
+            # — handle_event already removed it from the list; only
+            # finish/rotate a replay that is still registered
+            if r in replays:
+                replays.remove(r)
+                if done:
+                    emit(
+                        "message",
+                        {
+                            "type": "history_end",
+                            "reqUUID": r["req_uuid"],
+                            "mode": "history",
+                            "message": {"lastBlock": r["last_block"]},
+                        },
+                    )
+                else:
+                    replays.append(r)
 
-            for row in rows:
-                maybe_ping()  # rows may arrive slowly from a long scan
-                batch.append(row)
-                if len(batch) >= batch_size:
-                    flush()
-            flush()
-            emit(
-                "message",
-                {
-                    "type": "history_end",
-                    "reqUUID": req_uuid,
-                    "mode": "history",
-                    "message": {"lastBlock": last_block},
-                },
-            )
+        def poll_live() -> None:
+            """One relay tick: per kind, ONE routed scan of the rows
+            past the cursor, then one live-labeled emit per row naming
+            every matching reqUUID (routeActionTraceToClients'
+            fan-out shape). Rows at or before a subscription's
+            attach-time head are not delivered to it — the reference
+            only pushes traces that ARRIVE after attach."""
+            by_kind: dict[str, dict] = {}
+            for rid, s in live_subs.items():
+                by_kind.setdefault(s["kind"], {})[rid] = s["req"]
+            for kind, reqs in by_kind.items():
+                stream_kind = "deltas" if kind == "delta" else "actions"
+                rows, cursor = self.api.live_tagged_rows(
+                    reqs, live_cursor.get(kind, 0), stream_kind
+                )
+                for d, targets in rows:
+                    seq = int(d.get("event_id", 0))
+                    targets = [
+                        u
+                        for u in targets
+                        if u in live_subs and seq > live_subs[u]["head"]
+                    ]
+                    if not targets:
+                        continue
+                    maybe_ping()
+                    emit(
+                        "message",
+                        {
+                            "type": f"{kind}_trace",
+                            "mode": "live",
+                            "targets": targets,
+                            "message": d,
+                        },
+                    )
+                live_cursor[kind] = cursor
+
+        # -- main loop: drain events, pump replays, poll the relay ------
+        while True:
+            if pending:
+                handle_event(*pending.pop(0))
+                continue
+            # adaptive wait: don't stall replays/live polls on recv
+            if replays:
+                wait = 0.02
+            elif live_subs:
+                wait = max(
+                    0.02, min(self.ping_interval,
+                              next_live_poll[0] - time.monotonic())
+                )
+            else:
+                wait = self.ping_interval
+            ws.sock.settimeout(wait)
+            try:
+                etype, body = recv_packet()
+            except socket.timeout:
+                pass
+            else:
+                if etype == EIO_PING:
+                    ws.send(EIO_PONG + body, OP_TEXT)
+                elif etype == EIO_CLOSE:
+                    return
+                elif etype == EIO_MESSAGE:
+                    sio_type, ack_id, args = _parse_sio(body)
+                    if sio_type == SIO_EVENT and args:
+                        handle_event(ack_id, args)
+            maybe_ping()
+            if (
+                time.monotonic() - last_recv[0]
+                > self.ping_interval + self.ack_timeout
+            ):
+                raise ConnectionError("client heartbeat lost")
+            if replays:
+                pump_one()
+            if live_subs and time.monotonic() >= next_live_poll[0]:
+                poll_live()
+                next_live_poll[0] = time.monotonic() + self.live_poll_sec
 
 
 class SocketIOClient:
@@ -351,6 +512,7 @@ class SocketIOClient:
         self.ws.send(EIO_MESSAGE + SIO_CONNECT, OP_TEXT)
         self._ack_id = 0
         self.events: list[list] = []  # non-message events observed
+        self.messages: list[dict] = []  # acked messages not yet consumed
         # socket.io connect reply
         sio, _, args = self._expect_sio()
         assert sio == SIO_CONNECT
@@ -372,7 +534,31 @@ class SocketIOClient:
             if t == EIO_MESSAGE:
                 return _parse_sio(body)
 
+    def _ack(self, ack_id: int) -> None:
+        self.ws.send(
+            EIO_MESSAGE
+            + SIO_ACK
+            + str(ack_id)
+            + json.dumps([{"status": True}]),
+            OP_TEXT,
+        )
+
+    def _on_event(self, ack_id: int | None, args: list, ack: bool) -> None:
+        """What a stock client's registered handler does with a server
+        event: 'message' payloads are acked (emitWithAck batches block
+        the server on this) and queued; everything else is recorded."""
+        if args and args[0] == "message":
+            if ack_id is not None and ack:
+                self._ack(ack_id)
+            self.messages.append(args[1])
+        else:
+            self.events.append(args)
+
     def emit_with_ack(self, event: str, data) -> dict:
+        """emitWithAck; server events arriving before the ack are
+        handled (acked + queued) like the stock client's always-on
+        message handler — a multiplexed session can interleave batches
+        of an earlier subscription with a later request's ack."""
         self._ack_id += 1
         self.ws.send(
             EIO_MESSAGE
@@ -386,24 +572,21 @@ class SocketIOClient:
             if sio == SIO_ACK and ack_id == self._ack_id:
                 return args[0] if args else {}
             if sio == SIO_EVENT:
-                self.events.append(args)
+                self._on_event(ack_id, args, True)
 
     def next_message(self, *, ack: bool = True) -> dict:
-        """Next ``message`` event; acks server emitWithAck batches with
-        ``{status: true}`` when ``ack`` (the stock client behavior)."""
+        """Next ``message`` event (earliest queued first); acks server
+        emitWithAck batches with ``{status: true}`` when ``ack`` (the
+        stock client behavior)."""
+        if self.messages:
+            return self.messages.pop(0)
         while True:
             sio, ack_id, args = self._expect_sio()
             if sio != SIO_EVENT:
                 continue
             if args and args[0] == "message":
                 if ack_id is not None and ack:
-                    self.ws.send(
-                        EIO_MESSAGE
-                        + SIO_ACK
-                        + str(ack_id)
-                        + json.dumps([{"status": True}]),
-                        OP_TEXT,
-                    )
+                    self._ack(ack_id)
                 return args[1]
             self.events.append(args)
 

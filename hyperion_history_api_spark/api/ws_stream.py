@@ -130,10 +130,18 @@ class CappedWsServer:
     def _reject_frame(self) -> str:
         return json.dumps({"type": "error", "error": "too many connections"})
 
+    def _reject_frames(self) -> list[str]:
+        """Frames sent to an over-cap client, in order. Protocol
+        layers that require a preamble before an in-band error (e.g.
+        Socket.IO's CONNECT_ERROR is only interpretable after the
+        Engine.IO OPEN) override this instead of ``_reject_frame``."""
+        return [self._reject_frame()]
+
     def _reject_one(self, conn: socket.socket) -> None:
         try:
             ws = server_handshake(conn)
-            ws.send(self._reject_frame(), OP_TEXT)
+            for frame in self._reject_frames():
+                ws.send(frame, OP_TEXT)
             ws.close()
         except (ConnectionError, OSError, ValueError):
             pass  # socket.timeout is an OSError: silent peers land here

@@ -575,3 +575,105 @@ def test_socketio_stream_behavioral_contracts(api_over_manifest):
         c.close()
     finally:
         srv.close()
+
+
+def test_socketio_live_phase_contract_over_manifest(spark, tmp_path):
+    """Round-11: the APITestSuite behavioral contracts over the LIVE
+    phase of the Socket.IO session — history replays under
+    mode:'history' and ends with history_end at the attach-time head;
+    manifest rows appended AFTER the ack then arrive as mode:'live'
+    messages, exactly once, ascending, targets naming exactly the
+    involved subscription, with the field filter applied to the live
+    rows the same way the history compiler applies it."""
+    from hyperion_history_api_spark.api.socketio_stream import (
+        SocketIOClient,
+        SocketIOStreamServer,
+    )
+
+    lake = tmp_path / "mlive"
+    lake.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    evdir = lake / "events.parquet"
+    evdir.mkdir()
+
+    def write_part(name: str, offset: int = 0) -> None:
+        # pyarrow like the api_over_manifest fixture: the driver's
+        # testdata layout is TIMESTAMP(NANOS), which the loader shim
+        # expects; Spark's own writer would emit INT96 instead
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = manifest_rows(offset)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [
+                            (1_700_000_000 + r[0]) * 1_000_000_000
+                            for r in rows
+                        ],
+                        pa.timestamp("ns"),
+                    ),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array(
+                        [r[2] for r in rows], pa.string()
+                    ),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                    "props": pa.array([r[4] for r in rows], pa.string()),
+                }
+            ),
+            str(evdir / name),
+        )
+
+    write_part("part-000.parquet")
+    hi = N_TRANSFERS + N_CUSTOM
+
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=30.0, live_poll_sec=0.2)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        # subscribe account 2 with a value filter; history = manifest
+        resp = c.emit_with_ack(
+            "action_stream_request",
+            {"account": 2, "start_from": 1,
+             "filters": [
+                 {"field": "value", "operator": "gt", "value": 50}
+             ],
+             "batch_size": 50},
+        )
+        assert resp["status"] == "OK" and resp["currentBlockNum"] == hi
+        hist = []
+        while True:
+            m = c.next_message()
+            if m.get("type") == "history_end":
+                break
+            assert m["mode"] == "history"
+            hist.extend(m["messages"])
+        want_hist = [
+            r[0] for r in manifest_rows() if r[1] == 2 and r[3] > 50
+        ]
+        assert [d["event_id"] for d in hist] == want_hist and want_hist
+        # a SECOND manifest epoch lands after history_end
+        write_part("part-001.parquet", offset=hi)
+        want_live = [
+            r[0]
+            for r in manifest_rows(offset=hi)
+            if r[1] == 2 and r[3] > 50
+        ]
+        live = []
+        while len(live) < len(want_live):
+            m = c.next_message()
+            assert m["mode"] == "live" and m["type"] == "action_trace"
+            assert m["targets"] == [resp["reqUUID"]]
+            live.append(m["message"])
+        c.close()
+        got = [d["event_id"] for d in live]
+        assert got == want_live  # involvement + filter + order + once
+        assert all(d["user_id"] == 2 for d in live)
+    finally:
+        srv.close()

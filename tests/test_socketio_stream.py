@@ -234,9 +234,13 @@ def test_raw_list_filters_and_field_exactness(sio, spark):
 
 
 def test_over_cap_client_gets_connect_error_packet(spark):
-    """Over the cap, a stock client should see a socket.io
-    CONNECT_ERROR (surfaced as connect_error) — not an unexplained
-    TCP close."""
+    """Over the cap, a stock client should see the Engine.IO OPEN
+    handshake FIRST and then a socket.io CONNECT_ERROR (surfaced as
+    connect_error) — a CONNECT_ERROR before OPEN is a protocol error
+    to a stock engine.io client (transport close, no reason), and a
+    bare TCP close explains nothing."""
+    import json as _json
+
     from hyperion_history_api_spark.sources.ship_ws import WebSocketClient
 
     api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
@@ -249,8 +253,209 @@ def test_over_cap_client_gets_connect_error_packet(spark):
         msg = ws.recv()
         assert msg is not None
         text = msg[1].decode() if isinstance(msg[1], bytes) else msg[1]
+        assert text.startswith("0")  # engine.io OPEN first
+        assert "sid" in _json.loads(text[1:])
+        msg = ws.recv()
+        assert msg is not None
+        text = msg[1].decode() if isinstance(msg[1], bytes) else msg[1]
         assert text.startswith("44")  # EIO message + SIO connect_error
         assert "too many connections" in text
         ws.close()
     finally:
         srv.close()
+
+
+def _mutable_lake(tmp_path):
+    """sf0.001 copy whose events table is a DIRECTORY, so the test can
+    append spool files mid-session (the live-relay arrival shape)."""
+    import shutil
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    evdir = lake / "events.parquet"
+    evdir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", evdir / "part-000.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    return lake, evdir
+
+
+def test_live_phase_after_history_end(spark, tmp_path):
+    """Round-10 verdict item 1 done-gate: rows appended mid-session
+    arrive AFTER history_end as mode:'live' messages exactly once,
+    targets naming the subscription; the request ack carries the REAL
+    head block (socketManager.ts:565-570, 584-616); cancelling one of
+    two live subscriptions leaves the other streaming."""
+    lake, evdir = _mutable_lake(tmp_path)
+    ev = load_tables(spark, str(lake))["events"]
+    head = ev.agg(F.max("event_id")).first()[0]
+
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=30.0, live_poll_sec=0.2)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        # sub A: account 7, history bound DEFAULTS to the head
+        ra = c.emit_with_ack(
+            "action_stream_request",
+            {"account": 7, "start_from": 1, "batch_size": 50},
+        )
+        assert ra["status"] == "OK"
+        assert ra["currentBlockNum"] == head  # REAL head, not 0
+        # sub B: account 8, no history at all (start_from omitted ->
+        # live-only, the socketManager.ts:432 contract)
+        rb = c.emit_with_ack("action_stream_request", {"account": 8})
+        assert rb["status"] == "OK" and rb["currentBlockNum"] == head
+        # drain A's history (B emits none)
+        hist = []
+        while True:
+            m = c.next_message()
+            if m.get("type") == "history_end":
+                assert m["reqUUID"] == ra["reqUUID"]
+                break
+            assert m["mode"] == "history" and m["reqUUID"] == ra["reqUUID"]
+            hist.extend(m["messages"])
+        want = [
+            r["event_id"]
+            for r in ev.where(
+                (F.col("user_id") == 7)
+                & F.col("event_id").between(1, head)
+            ).orderBy("event_id").collect()
+        ]
+        assert [d["event_id"] for d in hist] == want and want
+        # cancel B, then append arrivals matching both 7 and 8
+        assert c.emit_with_ack(
+            "cancel_stream_request", {"reqUUID": rb["reqUUID"]}
+        ) == {"status": "OK"}
+        future = spark.createDataFrame(
+            [
+                (head + 1, 7, "click", 1.5),
+                (head + 2, 8, "view", 2.5),
+                (head + 3, 7, "view", 3.5),
+            ],
+            "event_id long, user_id long, event_type string, value double",
+        ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+        future.coalesce(1).write.mode("append").parquet(str(evdir))
+        live = []
+        while len(live) < 2:
+            m = c.next_message()
+            assert m["mode"] == "live" and m["type"] == "action_trace"
+            live.append(m)
+        c.close()
+        # exactly account 7's arrivals, exactly once, targets = [A];
+        # the cancelled B never appears
+        assert [m["message"]["event_id"] for m in live] == [
+            head + 1,
+            head + 3,
+        ]
+        assert all(m["targets"] == [ra["reqUUID"]] for m in live)
+    finally:
+        srv.close()
+
+
+def test_multiplexed_replays_interleave_and_cancel(sio, spark):
+    """Round-10 verdict item 2 done-gate: two concurrent
+    subscriptions on ONE socket with disjoint filters receive
+    correctly-routed interleaved history batches; cancelling one
+    mid-replay stops exactly it (no further batches after the cancel
+    ack, no history_end) while the other runs to completion."""
+    import socket as _socket
+
+    c = SocketIOClient("127.0.0.1", sio.port)
+    # A: every account, many small batches -> long replay
+    ra = c.emit_with_ack(
+        "action_stream_request",
+        {"start_from": 1, "read_until": 2000, "batch_size": 5},
+    )
+    assert ra["status"] == "OK"
+    # B: account 8 only, subscribed while A is mid-replay
+    rb = c.emit_with_ack(
+        "action_stream_request",
+        {"account": 8, "start_from": 1, "read_until": 2000,
+         "batch_size": 5},
+    )
+    assert rb["status"] == "OK" and rb["reqUUID"] != ra["reqUUID"]
+    seen_a, rows_b, b_done = 0, [], False
+    order: list[str] = []
+    while not b_done:
+        m = c.next_message()
+        if m.get("type") == "history_end":
+            if m["reqUUID"] == rb["reqUUID"]:
+                b_done = True
+            continue
+        order.append("A" if m["reqUUID"] == ra["reqUUID"] else "B")
+        if m["reqUUID"] == ra["reqUUID"]:
+            seen_a += 1
+        else:
+            assert all(
+                d["user_id"] == 8 for d in m["messages"]
+            ), "B received a row routed to A's filter"
+            rows_b.extend(m["messages"])
+    # the pumps round-robin: A batches appear BETWEEN B batches
+    assert seen_a > 0 and "ABA" in "".join(order).replace("AA", "A")
+    ev = load_tables(spark, SF_DIR)["events"]
+    want_b = [
+        r["event_id"]
+        for r in ev.where(
+            (F.col("user_id") == 8) & F.col("event_id").between(1, 2000)
+        ).orderBy("event_id").collect()
+    ]
+    assert [d["event_id"] for d in rows_b] == want_b and want_b
+    # cancel A mid-replay: after the cancel ack, the wire carries no
+    # further A batches and never an A history_end
+    assert c.emit_with_ack(
+        "cancel_stream_request", {"reqUUID": ra["reqUUID"]}
+    ) == {"status": "OK"}
+    tail = list(c.messages)  # batches acked before the cancel landed
+    c.ws.sock.settimeout(1.5)
+    try:
+        while True:
+            tail.append(c.next_message())
+    except (_socket.timeout, TimeoutError):
+        pass
+    assert not [
+        m for m in tail if m.get("type") == "history_end"
+        and m.get("reqUUID") == ra["reqUUID"]
+    ], "cancelled replay still emitted history_end"
+    c.close()
+
+
+def test_history_batches_carry_real_filtered_counts(sio, spark):
+    """functions.ts:226-270: `filtered` per batch counts rows the
+    PRIMARY query matched but the on-demand field filters dropped —
+    not the hardcoded 0 the round-10 ack shipped."""
+    c = SocketIOClient("127.0.0.1", sio.port)
+    resp = c.emit_with_ack(
+        "action_stream_request",
+        {
+            "account": 1,
+            "start_from": 1,
+            "read_until": 2000,
+            "filters": [{"field": "value", "operator": "gt", "value": 100}],
+            "batch_size": 1000,
+        },
+    )
+    assert resp["status"] == "OK"
+    total_filtered, rows = 0, []
+    while True:
+        m = c.next_message()
+        if m.get("type") == "history_end":
+            break
+        total_filtered += m["filtered"]
+        rows.extend(m["messages"])
+    c.close()
+    ev = load_tables(spark, SF_DIR)["events"]
+    routed = ev.where(
+        (F.col("user_id") == 1) & F.col("event_id").between(1, 2000)
+    )
+    want_pass = routed.where(F.col("value") > 100).count()
+    want_filtered = routed.count() - want_pass
+    assert len(rows) == want_pass and want_pass
+    assert total_filtered == want_filtered and want_filtered > 0
+    # lastBlock advances over FILTERED rows too (the reference tracks
+    # lastTransmittedBlock across every scanned doc)
+    assert m["message"]["lastBlock"] == routed.agg(
+        F.max("event_id")
+    ).first()[0]
