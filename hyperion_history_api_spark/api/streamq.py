@@ -448,3 +448,121 @@ def stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("win_start", "event_type")
         .limit(2000)
     )
+
+
+def _socketio_session(spark: SparkSession, sf_dir: str):
+    """Run one filtered action subscription over the REAL Socket.IO
+    wire (server + spec-level client in-process, ephemeral port) and
+    return (messages, batch_frames, request_ack). Registry rows built
+    on this hash-gate the full stack a stock client exercises —
+    Engine.IO framing, the ack'd emitWithAck batch flow, filtered
+    counts, history_end — not just the row plan underneath
+    (socketManager.ts:540-620; functions.ts:226-317)."""
+    from .http_server import HyperionAPI
+    from .serving_cache import ResponseCache
+    from .socketio_stream import SocketIOClient, SocketIOStreamServer
+
+    api = HyperionAPI(spark, sf_dir, cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=60.0)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        ack = c.emit_with_ack(
+            "action_stream_request",
+            {
+                "account": 1,
+                "start_from": 1,
+                "read_until": 2000,
+                "filters": [
+                    {"field": "value", "operator": "gt", "value": 100}
+                ],
+                "batch_size": 100,
+            },
+        )
+        if ack.get("status") != "OK":  # pragma: no cover - surfaced
+            raise RuntimeError(f"subscription rejected: {ack}")
+        frames, rows = [], []
+        while True:
+            m = c.next_message()
+            if m.get("type") == "history_end":
+                frames.append(m)
+                break
+            frames.append(m)
+            rows.extend(m["messages"])
+        c.close()
+        return rows, frames, ack
+    finally:
+        srv.close()
+
+
+@register(
+    "socketio_replay_rows",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE user_id = 1 AND event_id BETWEEN 1 AND 2000 AND value > 100
+    ORDER BY event_id
+    """,
+    "serving: the Socket.IO stream surface END TO END — rows received "
+    "by a spec-level client over the real wire (Engine.IO framing, "
+    "ack'd emitWithAck batches) equal the predicate compiler's output",
+)
+def socketio_replay_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The received replay itself: every row that crossed the wire,
+    in order — a framing bug (dropped batch, double-send on a
+    re-ack, row lost to the filtered counter) flips the hash."""
+    rows, _frames, _ack = _socketio_session(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                int(d["event_id"]),
+                int(d["user_id"]),
+                str(d["event_type"]),
+                round(float(d["value"]), 4),
+            )
+            for d in rows
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    ).orderBy("event_id")
+
+
+@register(
+    "socketio_replay_summary",
+    """
+    SELECT CAST((SELECT max(event_id) FROM events) AS BIGINT)
+               AS current_block_num,
+           CAST(ceil((count(*) FILTER (WHERE value > 100)) / 100.0)
+               AS BIGINT) AS n_batches,
+           CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE NOT value > 100) AS BIGINT)
+               AS total_filtered,
+           CAST(max(event_id) AS BIGINT) AS last_block
+    FROM events
+    WHERE user_id = 1 AND event_id BETWEEN 1 AND 2000
+    """,
+    "serving: Socket.IO session bookkeeping over the real wire — the "
+    "ack's REAL currentBlockNum (head), batch count under the ack "
+    "window, per-batch filtered totals (rows the primary query "
+    "matched but field filters dropped), and history_end's lastBlock "
+    "advancing over filtered rows (socketManager.ts:565-570; "
+    "functions.ts:226-317)",
+)
+def socketio_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of wire-protocol bookkeeping: a placeholder ack field,
+    a lost batch, a filtered row silently hidden, or a lastBlock that
+    ignores filtered rows each flips the hash."""
+    _rows, frames, ack = _socketio_session(spark, sf_dir)
+    batches = [f for f in frames if f.get("type") != "history_end"]
+    end = frames[-1]
+    return spark.createDataFrame(
+        [
+            (
+                int(ack["currentBlockNum"]),
+                len(batches),
+                sum(len(f["messages"]) for f in batches),
+                sum(int(f["filtered"]) for f in batches),
+                int(end["message"]["lastBlock"]),
+            )
+        ],
+        "current_block_num long, n_batches long, n_rows long, "
+        "total_filtered long, last_block long",
+    )
