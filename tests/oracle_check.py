@@ -116,7 +116,33 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     return errs
 
 
-def run_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+#: results marker for an oracle that exceeded --oracle-timeout: the
+#: SPARK side is fine; the DuckDB brute-force twin (quadratic pair
+#: joins, recursive CTEs) is infeasible at this scale factor. Counted
+#: separately from pass/fail — the row stays hash-gated at sf0.01.
+ORACLE_TIMEOUT = "ORACLE_TIMEOUT"
+
+
+def _execute_oracle(
+    con: duckdb.DuckDBPyConnection, sql: str, timeout: float | None
+) -> pd.DataFrame:
+    if not timeout:
+        return con.execute(sql).df()
+    import threading
+
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        timer.cancel()
+
+
+def run_all(
+    sf_dir: str,
+    only: list[str] | None = None,
+    oracle_timeout: float | None = None,
+) -> dict[str, list[str]]:
     from hyperion_history_api_spark import registry
     from hyperion_history_api_spark.session import get_spark
 
@@ -132,8 +158,15 @@ def run_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
                 n = sdf.count()
                 results[name] = [] if n >= 0 else ["negative count?"]
                 continue
-            odf = con.execute(spec.oracle).df()
+            odf = _execute_oracle(con, spec.oracle, oracle_timeout)
             results[name] = compare(sdf, odf)
+        except duckdb.InterruptException:
+            # the Spark side still has to be runnable and non-empty-
+            # schema'd; only the oracle twin is infeasible here
+            results[name] = [
+                f"{ORACLE_TIMEOUT}: DuckDB oracle exceeded "
+                f"{oracle_timeout}s at {sf_dir} (spark rows={sdf.count()})"
+            ]
         except Exception as e:  # noqa: BLE001
             results[name] = [f"EXCEPTION: {type(e).__name__}: {e}"]
     return results
@@ -148,16 +181,33 @@ if __name__ == "__main__":
     json_out = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
     )
+    otimeout = next(
+        (
+            float(a.split("=", 1)[1])
+            for a in sys.argv[1:]
+            if a.startswith("--oracle-timeout=")
+        ),
+        None,
+    )
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     only = argv[1].split(",") if len(argv) > 1 else None
-    res = run_all(sf, only)
-    failed = {k: v for k, v in res.items() if v}
+    res = run_all(sf, only, oracle_timeout=otimeout)
+
+    def _is_timeout(v: list[str]) -> bool:
+        return bool(v) and v[0].startswith(ORACLE_TIMEOUT)
+
+    failed = {k: v for k, v in res.items() if v and not _is_timeout(v)}
+    skipped = {k for k, v in res.items() if _is_timeout(v)}
     for k in sorted(res):
-        status = "FAIL" if res[k] else "ok"
+        status = (
+            "SKIP" if k in skipped else "FAIL" if res[k] else "ok"
+        )
         print(f"{status:4} {k}")
         for e in res[k]:
             print(f"      {e}")
-    print(f"\n{len(res) - len(failed)}/{len(res)} passed")
+    passed = len(res) - len(failed) - len(skipped)
+    tail = f" ({len(skipped)} oracle-timeout)" if skipped else ""
+    print(f"\n{passed}/{len(res) - len(skipped)} passed{tail}")
     if json_out:
         from hyperion_history_api_spark import registry
 
@@ -166,8 +216,12 @@ if __name__ == "__main__":
             json.dump(
                 {
                     k: {
-                        "pass": not res[k],
-                        "check": "hash" if specs[k].oracle else "rows_only",
+                        "pass": None if k in skipped else not res[k],
+                        "check": "oracle_timeout_at_this_sf"
+                        if k in skipped
+                        else "hash"
+                        if specs[k].oracle
+                        else "rows_only",
                         "errors": res[k],
                     }
                     for k in sorted(res)
