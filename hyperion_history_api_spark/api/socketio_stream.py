@@ -265,6 +265,8 @@ class SocketIOStreamServer(CappedWsServer):
             if etype == EIO_PING:
                 ws.send(EIO_PONG + body, OP_TEXT)
                 continue
+            if etype == EIO_CLOSE:
+                return  # client left before the socket.io connect
             if etype == EIO_MESSAGE and body and body[0] == SIO_CONNECT:
                 break
         ws.send(EIO_MESSAGE + SIO_CONNECT + json.dumps({"sid": sid}), OP_TEXT)
@@ -280,18 +282,21 @@ class SocketIOStreamServer(CappedWsServer):
         live_cursor: dict[str, int] = {}  # kind -> last scanned seq
         next_live_poll = [0.0]
 
-        def start_request(event: str, data: dict, ack_id: int | None):
+        def start_request(event: str, data, ack_id: int | None):
             kind = "action" if event.startswith("action") else "delta"
             req_uuid = uuid.uuid4().hex
-            params = normalize_params(dict(data))
-            ignore_live = str(params.pop("ignore_live", "")).lower() in (
-                "true",
-                "1",
-            )
-            if kind == "delta":
-                params["stream"] = "deltas"
-            batch_size = int(params.pop("batch_size", 50))
             try:
+                # inside the try: a non-dict payload or junk
+                # batch_size is an invalid REQUEST (callback ERROR,
+                # socketManager.ts validateRequest), not a reason to
+                # drop the whole connection
+                params = normalize_params(dict(data))
+                ignore_live = str(
+                    params.pop("ignore_live", "")
+                ).lower() in ("true", "1")
+                if kind == "delta":
+                    params["stream"] = "deltas"
+                batch_size = int(params.pop("batch_size", 50))
                 req, _k = self.api.parse_stream_request(params)
                 # the reference resolves the head BEFORE answering the
                 # callback (emitToRelay attaches currentBlockNum) and

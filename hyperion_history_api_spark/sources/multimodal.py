@@ -1780,6 +1780,11 @@ def parse_mp4_samples(df: DataFrame) -> DataFrame:
                         ">Ii" if cver == 1 else ">II", buf, p + 4 + 8 * i
                     )
                     coffs.extend([o] * c)
+                if len(coffs) < cnt:
+                    # a ctts covering fewer samples than stsz (some
+                    # muxers truncate the tail run): remaining samples
+                    # take offset 0 rather than crashing the parse
+                    coffs.extend([0] * (cnt - len(coffs)))
             # stss -> 1-based keyframe numbers (absent => all sync)
             if b"stss" in tables:
                 p = full_body(b"stss")

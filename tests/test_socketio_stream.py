@@ -459,3 +459,28 @@ def test_history_batches_carry_real_filtered_counts(sio, spark):
     assert m["message"]["lastBlock"] == routed.agg(
         F.max("event_id")
     ).first()[0]
+
+
+def test_junk_request_payload_answers_error_not_disconnect(sio):
+    """A stream request whose payload is not even an object (or whose
+    batch_size is junk) is an invalid REQUEST — the callback answers
+    status ERROR and the session keeps serving (validateRequest's
+    contract), instead of the exception tearing the connection down."""
+    c = SocketIOClient("127.0.0.1", sio.port)
+    bad = c.emit_with_ack("action_stream_request", "not-an-object")
+    assert bad["status"] == "ERROR" and bad["error"]
+    bad = c.emit_with_ack(
+        "action_stream_request", {"start_from": 1, "batch_size": "junk"}
+    )
+    assert bad["status"] == "ERROR"
+    # same connection still serves a valid subscription end to end
+    ok = c.emit_with_ack(
+        "action_stream_request",
+        {"account": 7, "start_from": 1, "read_until": 2000,
+         "batch_size": 50},
+    )
+    assert ok["status"] == "OK"
+    while True:
+        if c.next_message().get("type") == "history_end":
+            break
+    c.close()
