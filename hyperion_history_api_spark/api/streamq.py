@@ -11,7 +11,7 @@ plan, so the oracle checks the semantics that the stream executes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, _t
@@ -209,8 +209,13 @@ def repair_missing_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prints, in two shuffles total regardless of range width.
 
     Scale: the heavy aggregation is per-block (high cardinality, even
-    keys); the single-partition window runs only on the mismatch set,
-    which is bounded by the number of damaged blocks, not history size.
+    keys); the island rank over the mismatch set uses the DISTRIBUTED
+    prefix sum (operators/packing.py running_total, weight 1 —
+    rank(block_num) == row_number in block order because block_num is
+    distinct after the groupBy), so there is no single-partition
+    window anywhere: a mass-damage repair (reindex-scale mismatch
+    sets) stays parallel instead of funnelling through one task.
+    Round-11: this removed the repo's last global-ordering window.
     """
     ev = _t(spark, sf_dir)["events"]
     trx = F.floor(F.col("event_id") / 3).cast("long")
@@ -233,9 +238,11 @@ def repair_missing_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("expected_trx") - F.col("indexed_trx")).alias("missing"),
         )
     )
-    grp = F.col("block_num") - F.row_number().over(Window.orderBy("block_num"))
+    from ..operators.packing import running_total
+
+    ranked = running_total(per_block, "block_num", F.lit(1))
     return (
-        per_block.withColumn("grp", grp)
+        ranked.withColumn("grp", F.col("block_num") - F.col("_cum"))
         .groupBy("grp")
         .agg(
             F.min("block_num").alias("range_start"),
