@@ -483,6 +483,9 @@ def _socketio_session(spark: SparkSession, sf_dir: str):
                     {"field": "value", "operator": "gt", "value": 100}
                 ],
                 "batch_size": 100,
+                # bounded-history row: skip the live attach so the
+                # registry run doesn't spin relay polls while draining
+                "ignore_live": True,
             },
         )
         if ack.get("status") != "OK":  # pragma: no cover - surfaced
@@ -573,3 +576,66 @@ def socketio_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "current_block_num long, n_batches long, n_rows long, "
         "total_filtered long, last_block long",
     )
+
+
+@register(
+    "socketio_replay_deltas",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS payer
+    FROM events
+    WHERE event_type = 'signup' AND event_id BETWEEN 1 AND 2000
+    ORDER BY event_id
+    """,
+    "serving: the DELTA subscription kind over the real Socket.IO "
+    "wire — code routing + the payer column promoted from the JSON "
+    "payload (StreamDeltasRequest, stream-requests.ts:25-49), "
+    "delta_trace framing end to end",
+)
+def socketio_replay_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second subscription kind through the full wire stack: a
+    wrong delta column mapping (payer not promoted, code routed to
+    the wrong column) or delta framing bug flips the hash."""
+    from .http_server import HyperionAPI
+    from .serving_cache import ResponseCache
+    from .socketio_stream import SocketIOClient, SocketIOStreamServer
+
+    api = HyperionAPI(spark, sf_dir, cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=60.0)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        ack = c.emit_with_ack(
+            "delta_stream_request",
+            {
+                "code": "signup",
+                "start_from": 1,
+                "read_until": 2000,
+                "batch_size": 200,
+                "ignore_live": True,
+            },
+        )
+        if ack.get("status") != "OK":  # pragma: no cover - surfaced
+            raise RuntimeError(f"subscription rejected: {ack}")
+        rows = []
+        while True:
+            m = c.next_message()
+            if m.get("type") == "history_end":
+                break
+            if m.get("type") != "delta_trace":  # live interleavings
+                continue
+            rows.extend(m["messages"])
+        c.close()
+    finally:
+        srv.close()
+    return spark.createDataFrame(
+        [
+            (
+                int(d["event_id"]),
+                int(d["user_id"]),
+                str(d["event_type"]),
+                None if d.get("payer") is None else int(d["payer"]),
+            )
+            for d in rows
+        ],
+        "event_id long, user_id long, event_type string, payer long",
+    ).orderBy("event_id")

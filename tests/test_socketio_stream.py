@@ -484,3 +484,53 @@ def test_junk_request_payload_answers_error_not_disconnect(sio):
         if c.next_message().get("type") == "history_end":
             break
     c.close()
+
+
+def test_live_phase_mixed_kinds_one_socket(spark, tmp_path):
+    """One socket holding an ACTION and a DELTA live subscription at
+    once (the per-kind cursor + per-kind routed scan): appended rows
+    arrive as separate action_trace and delta_trace live messages,
+    each targeting only its own subscription, exactly once."""
+    lake, evdir = _mutable_lake(tmp_path)
+    ev = load_tables(spark, str(lake))["events"]
+    head = ev.agg(F.max("event_id")).first()[0]
+
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=30.0, live_poll_sec=0.2)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        ra = c.emit_with_ack(
+            "action_stream_request", {"account": 7}  # live-only
+        )
+        rd = c.emit_with_ack(
+            "delta_stream_request", {"code": "click"}  # live-only
+        )
+        assert ra["status"] == "OK" and rd["status"] == "OK"
+        # one arrival matches BOTH (user 7 click), one matches only
+        # the delta sub (user 8 click), one matches only the action
+        # sub (user 7 view)
+        future = spark.createDataFrame(
+            [
+                (head + 1, 7, "click", 1.5),
+                (head + 2, 8, "click", 2.5),
+                (head + 3, 7, "view", 3.5),
+            ],
+            "event_id long, user_id long, event_type string, value double",
+        ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+        future.coalesce(1).write.mode("append").parquet(str(evdir))
+        got = []
+        while len(got) < 4:
+            m = c.next_message()
+            assert m["mode"] == "live"
+            got.append((m["type"], m["message"]["event_id"], tuple(m["targets"])))
+        c.close()
+        assert sorted(got) == sorted(
+            [
+                ("action_trace", head + 1, (ra["reqUUID"],)),
+                ("delta_trace", head + 1, (rd["reqUUID"],)),
+                ("delta_trace", head + 2, (rd["reqUUID"],)),
+                ("action_trace", head + 3, (ra["reqUUID"],)),
+            ]
+        )
+    finally:
+        srv.close()
