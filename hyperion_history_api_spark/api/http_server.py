@@ -527,12 +527,19 @@ class HyperionAPI:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if kind == "deltas":
             # delta rows route on (code, scope, payer): payer is the
-            # promoted JSON field, scope the account dimension
+            # promoted JSON field, scope the account dimension;
+            # json_col keeps payload-field filters reachable
+            # (checkMetaFilter resolves data.* paths the same way)
             schema = StreamSchema(
-                account_col="payer", scope_col="user_id", json_col=None
+                account_col="payer", scope_col="user_id", json_col="props"
             )
         else:
-            schema = StreamSchema(json_col=None)
+            # json_col="props" (round-11): a stock client's filter on a
+            # PAYLOAD field must resolve through the JSON fallback like
+            # the registered T1 rows do — with json_col=None it
+            # compiled to never-match on the wire while the engine
+            # supported it (checkMetaFilter data.* parity)
+            schema = StreamSchema(json_col="props")
         last = (req.start_from or 0) - 1
         deadline = _time.monotonic() + idle_timeout
 
@@ -640,10 +647,11 @@ class HyperionAPI:
             )
             cols.append("payer")
             schema = StreamSchema(
-                account_col="payer", scope_col="user_id", json_col=None
+                account_col="payer", scope_col="user_id", json_col="props"
             )
         else:
-            schema = StreamSchema(json_col=None)
+            # same json_col rationale as the replay path above
+            schema = StreamSchema(json_col="props")
         # strip each request's start_from/read_until for LIVE routing:
         # the reference's relay matches arriving traces on routing keys
         # + field filters only (ws-router.ts); the history bounds

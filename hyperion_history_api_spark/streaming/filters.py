@@ -125,13 +125,49 @@ def compile_filter(
         raise ValueError(f"unknown operator {flt.operator!r}")
     col, is_json, gate = _resolve_field(df, flt.field, json_fallback_col, action_col)
     value: Column = F.lit(flt.value)
+    # Type-mismatch discipline (round-11, found by the routing property
+    # test): filter values come off the WIRE, so a string value against
+    # a numeric column (or vice versa, or a malformed payload string
+    # under the JSON/asset casts) must follow checkMetaFilter's loose-
+    # comparison semantics — coerce-to-number, NaN never matches — not
+    # ANSI cast semantics, where `double_col == 'click'` THROWS at
+    # runtime and kills the whole subscription scan mid-stream. All
+    # coercions below are try_cast (NULL on malformed -> the coalesce
+    # False at the bottom), and a numeric column vs an unparseable
+    # string value compiles to never-match (ne: matches wherever the
+    # field exists, JS `7 != 'click'` being true).
+    ne_on_mismatch: Column | None = None
+    num_val = isinstance(flt.value, (int, float)) and not isinstance(
+        flt.value, bool
+    )
+    dtype = dict(df.dtypes).get(flt.field, "")
+    col_numeric = dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or dtype.startswith("decimal")
     if flt.asset:
         # "<amount> <symbol>": numeric compare gated on symbol equality
+        # (F.get, not getItem: ANSI array indexing THROWS on a field
+        # value with no space — a malformed quantity must be a
+        # non-match, not a scan-killer)
         parts = F.split(col, " ")
-        symbol_ok = parts.getItem(1) == F.lit(flt.asset)
-        col = F.when(symbol_ok, parts.getItem(0).cast("double")).otherwise(F.lit(None))
-    elif is_json and isinstance(flt.value, (int, float)) and not isinstance(flt.value, bool):
-        col = col.cast("double")
+        symbol_ok = F.get(parts, 1) == F.lit(flt.asset)
+        col = F.when(symbol_ok, F.get(parts, 0).try_cast("double")).otherwise(
+            F.lit(None)
+        )
+    elif is_json and num_val:
+        col = col.try_cast("double")
+        value = F.lit(float(flt.value))
+    elif col_numeric and isinstance(flt.value, str):
+        try:
+            value = F.lit(float(flt.value))
+        except ValueError:
+            ne_on_mismatch = col.isNotNull()
+            col, value = F.lit(None).cast("double"), F.lit(None)
+    elif dtype == "string" and num_val:
+        ne_on_mismatch = (
+            col.isNotNull() & col.try_cast("double").isNull()
+        ) | (col.try_cast("double") != F.lit(float(flt.value)))
+        col = col.try_cast("double")
         value = F.lit(float(flt.value))
     op = flt.operator
     if op == "eq":
@@ -152,6 +188,8 @@ def compile_filter(
         pred = col.cast("string").startswith(str(flt.value))
     else:  # ends_with
         pred = col.cast("string").endswith(str(flt.value))
+    if ne_on_mismatch is not None and op == "ne":
+        pred = ne_on_mismatch
     # NULL field => no match (reference: missing field fails a truthy value)
     pred = F.coalesce(pred, F.lit(False))
     if gate is not None:

@@ -210,3 +210,210 @@ def test_mongo_compiler_matches_reference(spark, num_cond, use_str_field):
         if _py_eval_mongo(num_cond, v):
             want.append(k)
     assert got == want
+
+
+# ------------------------------------------- live-routing fan-out
+
+_ROUTE_ETYPES = ["click", "view", "purchase"]
+
+
+def _route_rows():
+    row = st.tuples(
+        st.integers(0, 5),              # user_id
+        st.sampled_from(_ROUTE_ETYPES),  # event_type
+        st.integers(0, 200),            # value
+        st.one_of(st.none(), st.integers(0, 100)),  # props.k (or absent)
+    )
+    return st.lists(row, min_size=1, max_size=12)
+
+
+def _route_requests():
+    flt = st.tuples(
+        st.sampled_from(["value", "k", "event_type", "nonexistent"]),
+        st.sampled_from(
+            ["eq", "ne", "gt", "gte", "lt", "lte",
+             "contains", "starts_with"]
+        ),
+        st.one_of(st.integers(0, 200), st.sampled_from(_ROUTE_ETYPES)),
+    )
+    req = st.tuples(
+        st.sampled_from(["*"] + _ROUTE_ETYPES),      # contract
+        st.sampled_from(["", "1", "3", "9"]),        # account
+        st.sampled_from(["and", "or"]),              # filter_op
+        st.lists(flt, min_size=0, max_size=2),
+    )
+    return st.lists(req, min_size=1, max_size=3)
+
+
+def _py_filter(field, op, val, row):
+    """checkMetaFilter reference (common_functions.ts:301-331) over
+    the serving schema: direct column else JSON payload fallback;
+    missing/NULL field never matches; numeric JSON coercion mirrors
+    compile_filter's is_json cast."""
+    user_id, etype, value, k = row
+    direct = {"event_type": etype, "value": float(value),
+              "user_id": user_id}
+    if field in direct:
+        x = direct[field]
+    elif field == "k":
+        x = None if k is None else (
+            float(k) if isinstance(val, (int, float)) else str(k)
+        )
+    else:
+        x = None
+    if x is None:
+        return False
+    v = float(val) if isinstance(val, (int, float)) and not isinstance(
+        x, str
+    ) else val
+    try:
+        if op == "eq":
+            return x == v
+        if op == "ne":
+            return x != v
+        if op == "gt":
+            return x > v
+        if op == "gte":
+            return x >= v
+        if op == "lt":
+            return x < v
+        if op == "lte":
+            return x <= v
+        if op == "contains":
+            return str(val) in str(_canon_num(x))
+        if op == "starts_with":
+            return str(_canon_num(x)).startswith(str(val))
+    except TypeError:
+        return False
+    raise AssertionError(op)
+
+
+def _canon_num(x):
+    """Spark's cast(double AS string) renders 7.0, not 7 — mirror it."""
+    return x
+
+
+def _py_route(req, row):
+    contract, account, fop, filters = req
+    user_id, etype, value, k = row
+    if contract != "*" and etype != contract:
+        return False
+    if account and str(user_id) != account:
+        return False
+    if filters:
+        results = [_py_filter(f, o, v, row) for f, o, v in filters]
+        return any(results) if fop == "or" else all(results)
+    return True
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_route_rows(), reqs=_route_requests())
+def test_route_to_subscribers_matches_python(spark, rows, reqs):
+    """The vectorized live-relay fan-out (route_to_subscribers over
+    the serving schema, one codegen'd pass) tags every row with
+    exactly the subscriptions a row-at-a-time reference evaluator of
+    the checkMetaFilter semantics selects."""
+    import json as _json
+
+    from hyperion_history_api_spark.streaming.filters import (
+        RequestFilter,
+        StreamRequest,
+        StreamSchema,
+        route_to_subscribers,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                u,
+                e,
+                float(v),
+                _json.dumps({} if k is None else {"k": k}),
+            )
+            for i, (u, e, v, k) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string",
+    )
+    requests = {
+        f"r{j}": StreamRequest(
+            contract=c,
+            account=a,
+            filter_op=fop,
+            filters=tuple(
+                RequestFilter(field=f, value=v, operator=o)
+                for f, o, v in filters
+            ),
+        )
+        for j, (c, a, fop, filters) in enumerate(reqs)
+    }
+    got = {
+        r["event_id"]: sorted(r["matching_requests"])
+        for r in route_to_subscribers(
+            df, requests, StreamSchema(json_col="props")
+        ).collect()
+    }
+    want = {}
+    for i, row in enumerate(rows):
+        tags = sorted(
+            uid for uid, (c, a, fop, f) in zip(requests, reqs)
+            if _py_route((c, a, fop, f), row)
+        )
+        if tags:
+            want[i] = tags
+    assert got == want
+
+
+def test_filter_type_mismatch_never_throws(spark):
+    """Pinned regressions for the wire type-mismatch discipline (the
+    routing property test found `double_col == 'click'` THROWING under
+    ANSI casts and killing the subscription scan): string-vs-numeric
+    mismatches follow checkMetaFilter's loose semantics — NaN never
+    matches, `ne` matches wherever the field exists — and malformed
+    payload strings under the JSON/asset numeric coercions are NULL,
+    not runtime errors."""
+    import json as _json
+
+    from hyperion_history_api_spark.streaming.filters import (
+        RequestFilter,
+        StreamRequest,
+        compile_request,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 3, "click", 7.0, _json.dumps({"k": "abc"})),
+            (2, 3, "100", 150.0, _json.dumps({"k": 60})),
+        ],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string",
+    )
+
+    def ids(*filters, op="and"):
+        req = StreamRequest(filter_op=op, filters=tuple(filters))
+        return sorted(
+            r["event_id"]
+            for r in df.where(compile_request(df, req)).collect()
+        )
+
+    # numeric column vs unparseable string: eq/gt never match, ne
+    # matches every row with the field present (JS 7 != 'click')
+    assert ids(RequestFilter("value", "click", "eq")) == []
+    assert ids(RequestFilter("value", "click", "gt")) == []
+    assert ids(RequestFilter("value", "click", "ne")) == [1, 2]
+    # numeric column vs NUMERIC STRING: coerced compare (JS 7 > '5')
+    assert ids(RequestFilter("value", "100", "gt")) == [2]
+    # string column vs number: coerce-to-number, NaN never eq-matches
+    # but ne-matches ('click' != 50; '100' == 100)
+    assert ids(RequestFilter("event_type", 100, "eq")) == [2]
+    assert ids(RequestFilter("event_type", 50, "ne")) == [1, 2]
+    assert ids(RequestFilter("event_type", 100, "ne")) == [1]
+    # malformed JSON payload under the numeric coercion: NULL, no match
+    assert ids(RequestFilter("k", 50, "gte")) == [2]
+    # malformed asset amount: NULL, no match, no throw
+    assert ids(RequestFilter("event_type", 10, "gte", asset="EOS")) == []

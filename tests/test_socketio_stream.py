@@ -534,3 +534,39 @@ def test_live_phase_mixed_kinds_one_socket(spark, tmp_path):
         )
     finally:
         srv.close()
+
+
+def test_wire_filter_on_json_payload_field(sio, spark):
+    """checkMetaFilter resolves payload (data.*) paths — a wire filter
+    naming a JSON field must go through the props fallback like the
+    registered T1 rows, not compile to never-match (round-11 fix:
+    the serving schemas passed json_col=None)."""
+    c = SocketIOClient("127.0.0.1", sio.port)
+    resp = c.emit_with_ack(
+        "action_stream_request",
+        {
+            "account": 1,
+            "start_from": 1,
+            "read_until": 2000,
+            "filters": [{"field": "k", "operator": "gte", "value": 50}],
+            "batch_size": 100,
+        },
+    )
+    assert resp["status"] == "OK"
+    rows = []
+    while True:
+        m = c.next_message()
+        if m.get("type") == "history_end":
+            break
+        rows.extend(m["messages"])
+    c.close()
+    ev = load_tables(spark, SF_DIR)["events"]
+    want = [
+        r["event_id"]
+        for r in ev.where(
+            (F.col("user_id") == 1)
+            & F.col("event_id").between(1, 2000)
+            & (F.get_json_object("props", "$.k").cast("double") >= 50)
+        ).orderBy("event_id").collect()
+    ]
+    assert [d["event_id"] for d in rows] == want and want
