@@ -27,13 +27,15 @@ Wire contract reproduced (websocket transport, ``EIO=4``):
   and finishes with ``message {type:"history_end", reqUUID,
   mode:"history", message:{lastBlock}}`` (:611-616).
 - Live phase (round-11): every request (unless ``ignore_live``)
-  ATTACHES to the per-connection routing maps before its ack
-  (socketManager.ts:413-419), and rows arriving past the attach-time
-  head are pushed as ``message {type:"<kind>_trace", mode:"live",
-  targets:[reqUUIDs...], message}`` — one emit per row naming every
-  matching subscription, exactly the relay fan-out of
-  routeActionTraceToClients/routeDeltaToClients (:409-495). No ack
-  on live messages, matching the reference.
+  ATTACHES to the SERVER-wide :class:`LiveRelay` before its ack
+  (socketManager.ts:413-419 shared maps + the indexer relay), and
+  rows arriving past the attach-time head are pushed as ``message
+  {type:"<kind>_trace", mode:"live", targets:[reqUUIDs...],
+  message}`` — one emit per row naming every matching subscription,
+  exactly the fan-out of routeActionTraceToClients/
+  routeDeltaToClients (:409-495). ONE routed scan per tick serves
+  every connection (not per-connection polling); no ack on live
+  messages, matching the reference.
 - Multiplexing (round-11): one connection holds N concurrent
   subscriptions (the reqUUID-keyed maps of socketManager.ts:267-300);
   concurrent history replays interleave at batch granularity
@@ -55,8 +57,10 @@ from __future__ import annotations
 
 import json
 import socket
+import threading
 import time
 import uuid
+from collections import deque
 
 from ..sources.ship_ws import OP_TEXT, WebSocketConnection
 from .ws_stream import (
@@ -65,6 +69,127 @@ from .ws_stream import (
     CappedWsServer,
     normalize_params,
 )
+
+
+class LiveRelay:
+    """ONE live poller per server — the reference's relay shape
+    (socketManager.ts attaches every socket's requests to shared maps
+    and a single indexer relay pushes each trace once, :409-495).
+    Per-connection polling would run 2 Spark jobs per tick per
+    connection; here one routed scan per kind per tick serves every
+    connection's live subscriptions regardless of count (the
+    route_to_subscribers pass is already vectorized over requests).
+
+    Sessions register (conn_id, reqUUID, kind, req, attach-head) and
+    drain their queue from their own thread — the relay thread never
+    touches a socket (ws.send is not locked). A queue past
+    ``max_queue`` marks the connection overflowed; its next drain
+    raises and the session drops the slow consumer instead of
+    buffering unboundedly.
+
+    Attach races mirror the reference: a subscription registered while
+    a tick is mid-route can miss rows scanned in that tick (at most
+    one poll interval), exactly as a socket attaching mid-trace-fanout
+    misses the in-flight trace."""
+
+    def __init__(self, api, poll_sec: float, max_queue: int = 50_000) -> None:
+        self.api = api
+        self.poll_sec = poll_sec
+        self.max_queue = max_queue
+        self._lock = threading.Lock()
+        self._subs: dict[str, dict] = {}  # reqUUID -> conn/kind/req/head
+        self._queues: dict[int, deque] = {}
+        self._overflow: set[int] = set()
+        self._cursor: dict[str, int] = {}
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.last_error: Exception | None = None
+
+    def close(self) -> None:
+        self._stop.set()
+
+    def register(
+        self, conn_id: int, req_uuid: str, kind: str, req, head: int
+    ) -> None:
+        with self._lock:
+            self._queues.setdefault(conn_id, deque())
+            self._subs[req_uuid] = {
+                "conn": conn_id,
+                "kind": kind,
+                "req": req,
+                "head": head,
+            }
+            self._cursor.setdefault(kind, head)
+            if self._thread is None:
+                self._thread = threading.Thread(
+                    target=self._run, daemon=True
+                )
+                self._thread.start()
+
+    def unregister(self, req_uuid: str) -> None:
+        with self._lock:
+            self._subs.pop(req_uuid, None)
+
+    def unregister_conn(self, conn_id: int) -> None:
+        with self._lock:
+            self._subs = {
+                u: s for u, s in self._subs.items() if s["conn"] != conn_id
+            }
+            self._queues.pop(conn_id, None)
+            self._overflow.discard(conn_id)
+
+    def drain(self, conn_id: int) -> list[tuple[str, dict, list[str]]]:
+        """All queued (kind, row, reqUUIDs) for a connection; raises
+        on overflow so the session drops the slow consumer."""
+        if conn_id in self._overflow:
+            raise ConnectionError("live queue overflow (slow consumer)")
+        q = self._queues.get(conn_id)
+        out: list = []
+        while q:
+            try:
+                out.append(q.popleft())
+            except IndexError:
+                break
+        return out
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll_sec):
+            with self._lock:
+                snapshot = {u: dict(s) for u, s in self._subs.items()}
+                cursors = dict(self._cursor)
+            if not snapshot:
+                continue
+            by_kind: dict[str, dict] = {}
+            for u, s in snapshot.items():
+                by_kind.setdefault(s["kind"], {})[u] = s["req"]
+            for kind, reqs in by_kind.items():
+                stream_kind = "deltas" if kind == "delta" else "actions"
+                try:
+                    rows, cur = self.api.live_tagged_rows(
+                        reqs, cursors.get(kind, 0), stream_kind
+                    )
+                except Exception as e:  # lake mid-swap: retry next tick
+                    self.last_error = e
+                    continue
+                with self._lock:
+                    for d, targets in rows:
+                        seq = int(d.get("event_id", 0))
+                        per_conn: dict[int, list[str]] = {}
+                        for u in targets:
+                            s = self._subs.get(u)
+                            if s is not None and seq > s["head"]:
+                                per_conn.setdefault(s["conn"], []).append(u)
+                        for cid, uuids in per_conn.items():
+                            q = self._queues.get(cid)
+                            if q is None:
+                                continue
+                            if len(q) >= self.max_queue:
+                                self._overflow.add(cid)
+                            else:
+                                q.append((kind, d, uuids))
+                    self._cursor[kind] = max(
+                        cur, self._cursor.get(kind, 0)
+                    )
 
 #: engine.io packet types
 EIO_OPEN, EIO_CLOSE, EIO_PING, EIO_PONG, EIO_MESSAGE = "0", "1", "2", "3", "4"
@@ -115,7 +240,12 @@ class SocketIOStreamServer(CappedWsServer):
         self.ping_interval = ping_interval
         self.chain = chain
         self.live_poll_sec = live_poll_sec
+        self.relay = LiveRelay(api, live_poll_sec)
         super().__init__(host, port, max_connections, handshake_timeout)
+
+    def close(self) -> None:
+        self.relay.close()
+        super().close()
 
     def _reject_frames(self) -> list[str]:
         # the Engine.IO OPEN handshake MUST precede any Socket.IO
@@ -276,11 +406,11 @@ class SocketIOStreamServer(CappedWsServer):
         )
 
         # -- per-connection subscription state (reqUUID-keyed, the
-        # socketManager.ts:267-300 maps) --------------------------------
-        live_subs: dict[str, dict] = {}  # reqUUID -> {kind, req, head}
+        # socketManager.ts:267-300 maps); live routing itself lives in
+        # the SERVER-wide relay (one routed scan per tick for every
+        # connection) — the session only registers/drains -------------
+        my_live: set[str] = set()  # this session's live reqUUIDs
         replays: list[dict] = []  # round-robin history pumps
-        live_cursor: dict[str, int] = {}  # kind -> last scanned seq
-        next_live_poll = [0.0]
 
         def start_request(event: str, data, ack_id: int | None):
             kind = "action" if event.startswith("action") else "delta"
@@ -309,12 +439,8 @@ class SocketIOStreamServer(CappedWsServer):
                     )
                 return
             if not ignore_live:
-                live_subs[req_uuid] = {
-                    "kind": kind,
-                    "req": req,
-                    "head": head,
-                }
-                live_cursor.setdefault(kind, head)
+                self.relay.register(conn_id, req_uuid, kind, req, head)
+                my_live.add(req_uuid)
             if ack_id is not None:  # processStreamRequest's callback
                 send_ack(
                     ack_id,
@@ -357,7 +483,9 @@ class SocketIOStreamServer(CappedWsServer):
             event, data = args[0], (args[1] if len(args) > 1 else {})
             if event == "cancel_stream_request":
                 rid = (data or {}).get("reqUUID")
-                live_subs.pop(rid, None)
+                if rid is not None:
+                    self.relay.unregister(rid)
+                    my_live.discard(rid)
                 replays[:] = [r for r in replays if r["req_uuid"] != rid]
                 if ack_id is not None:
                     send_ack(ack_id, [{"status": "OK"}])
@@ -420,82 +548,67 @@ class SocketIOStreamServer(CappedWsServer):
                 else:
                     replays.append(r)
 
-        def poll_live() -> None:
-            """One relay tick: per kind, ONE routed scan of the rows
-            past the cursor, then one live-labeled emit per row naming
+        def drain_live() -> None:
+            """Emit whatever the shared relay queued for this
+            connection: live-labeled messages with targets naming
             every matching reqUUID (routeActionTraceToClients'
-            fan-out shape). Rows at or before a subscription's
-            attach-time head are not delivered to it — the reference
-            only pushes traces that ARRIVE after attach."""
-            by_kind: dict[str, dict] = {}
-            for rid, s in live_subs.items():
-                by_kind.setdefault(s["kind"], {})[rid] = s["req"]
-            for kind, reqs in by_kind.items():
-                stream_kind = "deltas" if kind == "delta" else "actions"
-                rows, cursor = self.api.live_tagged_rows(
-                    reqs, live_cursor.get(kind, 0), stream_kind
+            fan-out shape; the relay already applied the attach-head
+            filter). Raises on queue overflow — the slow-consumer
+            drop."""
+            for kind, d, targets in self.relay.drain(conn_id):
+                targets = [u for u in targets if u in my_live]
+                if not targets:
+                    continue  # cancelled between routing and drain
+                maybe_ping()
+                emit(
+                    "message",
+                    {
+                        "type": f"{kind}_trace",
+                        "mode": "live",
+                        "targets": targets,
+                        "message": d,
+                    },
                 )
-                for d, targets in rows:
-                    seq = int(d.get("event_id", 0))
-                    targets = [
-                        u
-                        for u in targets
-                        if u in live_subs and seq > live_subs[u]["head"]
-                    ]
-                    if not targets:
-                        continue
-                    maybe_ping()
-                    emit(
-                        "message",
-                        {
-                            "type": f"{kind}_trace",
-                            "mode": "live",
-                            "targets": targets,
-                            "message": d,
-                        },
-                    )
-                live_cursor[kind] = cursor
 
-        # -- main loop: drain events, pump replays, poll the relay ------
-        while True:
-            if pending:
-                handle_event(*pending.pop(0))
-                continue
-            # adaptive wait: don't stall replays/live polls on recv
-            if replays:
-                wait = 0.02
-            elif live_subs:
-                wait = max(
-                    0.02, min(self.ping_interval,
-                              next_live_poll[0] - time.monotonic())
-                )
-            else:
-                wait = self.ping_interval
-            ws.sock.settimeout(wait)
-            try:
-                etype, body = recv_packet()
-            except socket.timeout:
-                pass
-            else:
-                if etype == EIO_PING:
-                    ws.send(EIO_PONG + body, OP_TEXT)
-                elif etype == EIO_CLOSE:
-                    return
-                elif etype == EIO_MESSAGE:
-                    sio_type, ack_id, args = _parse_sio(body)
-                    if sio_type == SIO_EVENT and args:
-                        handle_event(ack_id, args)
-            maybe_ping()
-            if (
-                time.monotonic() - last_recv[0]
-                > self.ping_interval + self.ack_timeout
-            ):
-                raise ConnectionError("client heartbeat lost")
-            if replays:
-                pump_one()
-            if live_subs and time.monotonic() >= next_live_poll[0]:
-                poll_live()
-                next_live_poll[0] = time.monotonic() + self.live_poll_sec
+        # -- main loop: drain events, pump replays, drain the relay -----
+        try:
+            while True:
+                if pending:
+                    handle_event(*pending.pop(0))
+                    continue
+                # adaptive wait: don't stall replays/live drains on recv
+                if replays:
+                    wait = 0.02
+                elif my_live:
+                    wait = min(self.ping_interval, self.live_poll_sec / 2)
+                else:
+                    wait = self.ping_interval
+                ws.sock.settimeout(wait)
+                try:
+                    etype, body = recv_packet()
+                except socket.timeout:
+                    pass
+                else:
+                    if etype == EIO_PING:
+                        ws.send(EIO_PONG + body, OP_TEXT)
+                    elif etype == EIO_CLOSE:
+                        return
+                    elif etype == EIO_MESSAGE:
+                        sio_type, ack_id, args = _parse_sio(body)
+                        if sio_type == SIO_EVENT and args:
+                            handle_event(ack_id, args)
+                maybe_ping()
+                if (
+                    time.monotonic() - last_recv[0]
+                    > self.ping_interval + self.ack_timeout
+                ):
+                    raise ConnectionError("client heartbeat lost")
+                if replays:
+                    pump_one()
+                if my_live:
+                    drain_live()
+        finally:
+            self.relay.unregister_conn(conn_id)
 
 
 class SocketIOClient:

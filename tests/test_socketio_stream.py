@@ -570,3 +570,47 @@ def test_wire_filter_on_json_payload_field(sio, spark):
         ).orderBy("event_id").collect()
     ]
     assert [d["event_id"] for d in rows] == want and want
+
+
+def test_live_relay_shared_across_connections(spark, tmp_path):
+    """Round-11 scale shape: live routing runs in ONE server-wide
+    relay (the socketManager relay pattern) — one routed scan per
+    tick serves every connection, instead of 2 Spark jobs per tick
+    per connection. Two separate sockets with different live filters
+    each receive exactly their own arrivals, and the server holds a
+    single relay poller."""
+    import threading as _threading
+
+    lake, evdir = _mutable_lake(tmp_path)
+    ev = load_tables(spark, str(lake))["events"]
+    head = ev.agg(F.max("event_id")).first()[0]
+
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=30.0, live_poll_sec=0.2)
+    try:
+        c1 = SocketIOClient("127.0.0.1", srv.port)
+        c2 = SocketIOClient("127.0.0.1", srv.port)
+        r1 = c1.emit_with_ack("action_stream_request", {"account": 7})
+        r2 = c2.emit_with_ack("action_stream_request", {"account": 8})
+        assert r1["status"] == "OK" and r2["status"] == "OK"
+        # exactly one poller thread regardless of connection count
+        assert isinstance(srv.relay._thread, _threading.Thread)
+        future = spark.createDataFrame(
+            [
+                (head + 1, 7, "click", 1.5),
+                (head + 2, 8, "view", 2.5),
+            ],
+            "event_id long, user_id long, event_type string, value double",
+        ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+        future.coalesce(1).write.mode("append").parquet(str(evdir))
+        m1 = c1.next_message()
+        m2 = c2.next_message()
+        c1.close()
+        c2.close()
+        assert m1["mode"] == "live" and m1["message"]["event_id"] == head + 1
+        assert m1["targets"] == [r1["reqUUID"]]
+        assert m2["mode"] == "live" and m2["message"]["event_id"] == head + 2
+        assert m2["targets"] == [r2["reqUUID"]]
+        assert srv.relay.last_error is None
+    finally:
+        srv.close()
