@@ -71,11 +71,19 @@ def get_actions_with_envelope(
     *,
     seq_field: str,
     simple: bool = False,
+    lib: int | None = None,
     **query_kw,
 ) -> dict:
     """Full serving-boundary response: run the page query + metadata
     and assemble the reference's envelope dict. ``simple`` selects the
-    ``simple_actions`` projection name (get_actions.ts:104-120)."""
+    ``simple_actions`` projection name (get_actions.ts:104-120).
+
+    ``lib`` is the last-irreversible watermark to stamp into the
+    envelope — the reference defaults ``lib: 0`` and only resolves the
+    real value when the request asks (``query.checkLib``,
+    get_actions.ts:71-80); when set, simple rows also carry the
+    per-action ``irreversible`` flag (``block_num < lib``,
+    get_actions.ts:118)."""
     t0 = time.perf_counter()
     # seq_field must reach the page query's predicate compiler too —
     # without it a numeric after/before bound (v2 get_actions
@@ -83,6 +91,10 @@ def get_actions_with_envelope(
     # round-9 manifest e2e suite, pagination contract)
     page = apply_query(log, params, seq_field=seq_field, **query_kw)
     actions = [r.asDict(recursive=True) for r in page.collect()]
+    if simple and lib:
+        for a in actions:
+            if seq_field in a:
+                a["irreversible"] = a[seq_field] < lib
     meta = envelope_scalars(
         log,
         params,
@@ -96,7 +108,7 @@ def get_actions_with_envelope(
     return {
         "query_time_ms": round((time.perf_counter() - t0) * 1000, 1),
         "cached": bool(meta.cached),
-        "lib": 0,
+        "lib": int(lib or 0),
         "total": {"value": meta.total, "relation": meta.relation},
         ("simple_actions" if simple else "actions"): actions,
         "last_indexed_block": meta.last_indexed_block,

@@ -792,7 +792,13 @@ def v1_get_actions(api, params: dict) -> dict:
         }
         for i, r in enumerate(rows)
     ]
-    return {"actions": actions, "last_irreversible_block": 0}
+    # v1 stamps the real LIB unconditionally (get_actions.ts:301 takes
+    # it from get_info() on every request) — the ingest watermark is
+    # the engine's chain-info analog
+    return {
+        "actions": actions,
+        "last_irreversible_block": api.lib_block(),
+    }
 
 
 def v1_get_transaction(api, params: dict) -> dict:

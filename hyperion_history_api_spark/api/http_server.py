@@ -114,6 +114,9 @@ class HyperionAPI:
         # rate-limiter store)
         self.usage: dict[str, int] = {}
         self._usage_lock = threading.Lock()
+        # head_block() memo: (events-lake fingerprint -> head). A hit
+        # is stat-only — no Spark job per stream request/relay ack
+        self._head_cache: tuple | None = None
 
     def count_request(self, route: str) -> None:
         with self._usage_lock:
@@ -169,6 +172,13 @@ class HyperionAPI:
             qp,
             seq_field="event_id",
             simple=params.get("simple") == "true",
+            # reference: lib stays 0 unless the request opts in
+            # (query.checkLib -> get_info().last_irreversible_block_num,
+            # get_actions.ts:71-80); our chain-info analog is the
+            # ingest-maintained watermark
+            lib=self.lib_block()
+            if str(params.get("checkLib", "")).lower() in ("true", "1")
+            else None,
             default_sort_field="event_id",
             tiebreaker="event_id",
             numeric_fields=_EVENT_NUMERIC,
@@ -418,6 +428,8 @@ class HyperionAPI:
         # "no end" convention (filters.py:compile_request skips the
         # bound the same way)
         req, kind = self.parse_stream_request(params)
+        if (req.start_from or 0) < 0 or (req.read_until or 0) < 0:
+            req = self.resolve_relative_bounds(req, self.head_block())
         read_until = req.read_until if req.read_until else None
         follow = params.get("follow") == "true"
         poll_sec = float(params.get("poll_sec", "0.5"))
@@ -542,6 +554,14 @@ class HyperionAPI:
             schema = StreamSchema(json_col="props")
         last = (req.start_from or 0) - 1
         deadline = _time.monotonic() + idle_timeout
+        # control-event tail (fork_event / lib_update): follow-mode
+        # subscribers get the indexer's control broadcasts interleaved
+        # with rows, exactly the reference's io.emit forwarding
+        # (ws-router.ts:72-83). Start at the journal's current end —
+        # history replays don't re-announce old forks.
+        from ..streaming.control_log import tail_control
+
+        _, control_at = tail_control(self.sf_dir, 0)
 
         def batch(after: int):
             # fresh load of ONLY the events table per poll: new spool
@@ -586,7 +606,39 @@ class HyperionAPI:
             )
 
         while True:
+            if follow:
+                # control events FIRST: a fork must reach the client
+                # before the corrected rows from the post-fork rescan
+                events, control_at = tail_control(self.sf_dir, control_at)
+                if events:
+                    # control traffic is stream activity: an indexer
+                    # mid-fork must not be idle-timed-out before its
+                    # corrected rows land
+                    deadline = _time.monotonic() + idle_timeout
+                for ev in events:
+                    if ev.get("event") == "fork_event":
+                        fork = int(ev["data"].get("starting_block", 0))
+                        # rewind: replacement rows land BELOW the
+                        # cursor and must be re-delivered
+                        last = min(last, fork - 1)
+                    yield {
+                        "_control": ev.get("event"),
+                        "data": ev.get("data", {}),
+                    }
             got_any = False
+            # idle-poll short-circuit (round-12): the fingerprint-
+            # memoized head (pure os.stat on an unchanged lake) proves
+            # an empty window — a follow-mode subscriber on an idle
+            # lake costs ZERO Spark jobs per poll
+            if self.head_block() <= last:
+                if read_until is not None and last >= read_until:
+                    return
+                if not follow:
+                    return
+                if _time.monotonic() >= deadline:
+                    return
+                _time.sleep(poll_sec)
+                continue
             # toLocalIterator: one partition in flight — the driver
             # never holds the whole replay (same scroll discipline
             # as O7)
@@ -606,19 +658,60 @@ class HyperionAPI:
                 return
             _time.sleep(poll_sec)
 
+    def lib_block(self) -> int:
+        """The ingested last-irreversible watermark — the engine's
+        ``get_info().last_irreversible_block_num`` analog. The ingest
+        side maintains ``{lake}/_meta/lib.json`` from the SHIP
+        envelope's ``last_irreversible`` position
+        (sources/ship_envelope.py get_blocks_result_v0;
+        streaming/control_log.write_lib); reading it is one stat+read
+        of a ~60-byte file, no Spark job."""
+        from ..streaming.control_log import read_lib
+
+        return int(read_lib(self.sf_dir).get("block_num", 0))
+
+    @staticmethod
+    def resolve_relative_bounds(req, head: int):
+        """Negative ``start_from``/``read_until`` are HEAD-RELATIVE in
+        the reference (functions.ts addBlockRangeOpts: ``start_from <
+        0`` compiles to ``block_num >= head + start_from``; same for
+        ``read_until``) — a ``start_from: -1000`` replay means "the
+        last 1000 blocks", never "all of history from block 1"."""
+        from dataclasses import replace as _replace
+
+        changes: dict = {}
+        if req.start_from is not None and req.start_from < 0:
+            changes["start_from"] = head + req.start_from
+        if req.read_until is not None and req.read_until < 0:
+            changes["read_until"] = head + req.read_until
+        return _replace(req, **changes) if changes else req
+
     # -- live-phase helpers (socketManager.ts relay analogs) ----------------
     def head_block(self) -> int:
         """Current head of the event log — the reference's
         ``currentBlockNum`` (socketManager.ts:565-570 puts the real
         head in every stream-request ack; clients use it for
-        gap-healing math). Fresh file listing per call so spool
-        appends are visible; the scan is a parquet-footer max."""
-        from ..tables import _load_one
+        gap-healing math).
 
+        Memoized on the lake fingerprint (tables._path_fingerprint,
+        stat-only): the unmemoized version ran a max(event_id) Spark
+        job PER stream request — footer-cheap at this lake, but at
+        100× files it's per-request scan work for a value that only
+        changes when the spool gains a file. A fingerprint hit is
+        pure os.stat; a miss (new/rewritten file) re-scans."""
+        from ..tables import _load_one, _path_fingerprint
+
+        path = f"{self.sf_dir}/events.parquet"
+        fp = _path_fingerprint(path)
+        hit = self._head_cache
+        if hit is not None and hit[0] == fp:
+            return hit[1]
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = _load_one(self.spark, f"{self.sf_dir}/events.parquet")
+        ev = _load_one(self.spark, path)
         row = ev.agg(F.max("event_id").alias("h")).first()
-        return int(row["h"] or 0)
+        head = int(row["h"] or 0)
+        self._head_cache = (fp, head)
+        return head
 
     def live_tagged_rows(
         self, requests: dict, after: int, kind: str = "actions"
@@ -638,6 +731,15 @@ class HyperionAPI:
         from ..streaming.filters import route_to_subscribers
         from ..tables import _load_one
 
+        # Idle-tick short-circuit (round-12): the lake head is
+        # fingerprint-memoized (head_block — pure os.stat when no
+        # spool file landed), and event_id is the append cursor, so
+        # head <= after proves there is NOTHING to scan. An idle
+        # relay tick therefore runs ZERO Spark jobs — per-tick work
+        # is purely arrival-driven, at any connection count.
+        head = self.head_block()
+        if head <= after:
+            return [], after
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = _load_one(self.spark, f"{self.sf_dir}/events.parquet")
         cols = ["event_id", "user_id", "event_type", "ts", "value"]
@@ -662,32 +764,28 @@ class HyperionAPI:
             u: _replace(r, start_from=None, read_until=None)
             for u, r in requests.items()
         }
-        tagged = (
-            route_to_subscribers(
-                ev.where(F.col("event_id") > after), live_reqs, schema
-            )
-            .orderBy("event_id")
-            .select(*cols, "matching_requests")
-        )
+        # ONE routed scan, no orderBy: the exchange a Spark sort plans
+        # would add 2-3 AQE stage-jobs per tick; the window is BOUNDED
+        # (rows since the last poll; the relay drops slow consumers at
+        # 50k queued rows), so the driver sorts the collected batch
+        # instead — an arrival tick is exactly ONE Spark job (plus the
+        # head-max job on the tick where the new spool file first
+        # appears, amortized across kinds/ticks via the fingerprint
+        # memo). Non-matching rows don't come back from the routed
+        # scan, but the memoized head already bounds the cursor past
+        # them — no tail-max job, ever.
+        tagged = route_to_subscribers(
+            ev.where(F.col("event_id") > after), live_reqs, schema
+        ).select(*cols, "matching_requests")
         out = []
-        cursor = after
-        for row in tagged.toLocalIterator():
+        cursor = max(after, head)
+        for row in tagged.collect():
             d = row.asDict()
             targets = list(d.pop("matching_requests"))
             d["ts"] = str(d["ts"])
             cursor = max(cursor, int(d["event_id"]))
             out.append((d, targets))
-        # non-matching rows don't come back from the routed scan, but
-        # the cursor must pass them anyway — one footer-only max()
-        # over the same pruned window (cheap: event_id > after prunes
-        # to the tail row groups)
-        tail = (
-            ev.where(F.col("event_id") > after)
-            .agg(F.max("event_id").alias("h"))
-            .first()
-        )
-        if tail["h"] is not None:
-            cursor = max(cursor, int(tail["h"]))
+        out.sort(key=lambda dt: int(dt[0]["event_id"]))
         return out, cursor
 
 
@@ -757,7 +855,16 @@ def make_server(
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 for d in rows:
-                    frame = f"data: {json.dumps(d, default=str)}\n\n"
+                    if "_control" in d:
+                        # indexer control broadcast (fork_event /
+                        # lib_update) as a NAMED SSE event, so stock
+                        # EventSource listeners bind by event name
+                        frame = (
+                            f"event: {d['_control']}\n"
+                            f"data: {json.dumps(d['data'], default=str)}\n\n"
+                        )
+                    else:
+                        frame = f"data: {json.dumps(d, default=str)}\n\n"
                     self.wfile.write(frame.encode())
                 self.wfile.write(b"event: end\ndata: {}\n\n")
                 return

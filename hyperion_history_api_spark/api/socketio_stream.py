@@ -104,6 +104,12 @@ class LiveRelay:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.last_error: Exception | None = None
+        # control-journal tail cursor: start at the journal's current
+        # end — clients only see forks/LIB advances from NOW on (the
+        # reference's io.emit reaches connected sockets only)
+        from ..streaming.control_log import tail_control
+
+        _, self._control_offset = tail_control(api.sf_dir, 0)
 
     def close(self) -> None:
         self._stop.set()
@@ -120,7 +126,10 @@ class LiveRelay:
                 "head": head,
             }
             self._cursor.setdefault(kind, head)
-            if self._thread is None:
+            # (re)start the poller if it never started OR died — a
+            # crashed tick must not silently strand every live
+            # subscription server-wide
+            if self._thread is None or not self._thread.is_alive():
                 self._thread = threading.Thread(
                     target=self._run, daemon=True
                 )
@@ -154,42 +163,84 @@ class LiveRelay:
 
     def _run(self) -> None:
         while not self._stop.wait(self.poll_sec):
-            with self._lock:
-                snapshot = {u: dict(s) for u, s in self._subs.items()}
-                cursors = dict(self._cursor)
-            if not snapshot:
+            try:
+                self._tick()
+            except Exception as e:  # noqa: BLE001 — a bad tick must
+                # never kill the server-wide poller; record and retry
+                # next tick (register() also restarts a dead thread)
+                self.last_error = e
+
+    def _broadcast_control(self) -> None:
+        """Fan new fork_event / lib_update journal lines to EVERY
+        connection queue (the reference broadcasts both to all stream
+        clients: ws-router.ts:72-83, socketManager.ts:237-239). A fork
+        also REWINDS the kind cursors and attach heads below the fork
+        point, so the winning chain's replacement rows — whose
+        sequence numbers are at or below what we already served — are
+        re-scanned and re-delivered after the notice."""
+        from ..streaming.control_log import tail_control
+
+        events, self._control_offset = tail_control(
+            self.api.sf_dir, self._control_offset
+        )
+        if not events:
+            return
+        with self._lock:
+            for ev in events:
+                if ev.get("event") == "fork_event":
+                    fork = int(ev["data"].get("starting_block", 0))
+                    for kind in list(self._cursor):
+                        self._cursor[kind] = min(
+                            self._cursor[kind], fork - 1
+                        )
+                    for s in self._subs.values():
+                        s["head"] = min(s["head"], fork - 1)
+                for cid, q in self._queues.items():
+                    if len(q) >= self.max_queue:
+                        self._overflow.add(cid)
+                    else:
+                        q.append(("control", ev, []))
+
+    def _tick(self) -> None:
+        # control first: the fork notice must be queued ahead of the
+        # corrected rows the rewound scan below will produce
+        self._broadcast_control()
+        with self._lock:
+            snapshot = {u: dict(s) for u, s in self._subs.items()}
+            cursors = dict(self._cursor)
+        if not snapshot:
+            return
+        by_kind: dict[str, dict] = {}
+        for u, s in snapshot.items():
+            by_kind.setdefault(s["kind"], {})[u] = s["req"]
+        for kind, reqs in by_kind.items():
+            stream_kind = "deltas" if kind == "delta" else "actions"
+            try:
+                rows, cur = self.api.live_tagged_rows(
+                    reqs, cursors.get(kind, 0), stream_kind
+                )
+            except Exception as e:  # lake mid-swap: retry next tick
+                self.last_error = e
                 continue
-            by_kind: dict[str, dict] = {}
-            for u, s in snapshot.items():
-                by_kind.setdefault(s["kind"], {})[u] = s["req"]
-            for kind, reqs in by_kind.items():
-                stream_kind = "deltas" if kind == "delta" else "actions"
-                try:
-                    rows, cur = self.api.live_tagged_rows(
-                        reqs, cursors.get(kind, 0), stream_kind
-                    )
-                except Exception as e:  # lake mid-swap: retry next tick
-                    self.last_error = e
-                    continue
-                with self._lock:
-                    for d, targets in rows:
-                        seq = int(d.get("event_id", 0))
-                        per_conn: dict[int, list[str]] = {}
-                        for u in targets:
-                            s = self._subs.get(u)
-                            if s is not None and seq > s["head"]:
-                                per_conn.setdefault(s["conn"], []).append(u)
-                        for cid, uuids in per_conn.items():
-                            q = self._queues.get(cid)
-                            if q is None:
-                                continue
-                            if len(q) >= self.max_queue:
-                                self._overflow.add(cid)
-                            else:
-                                q.append((kind, d, uuids))
-                    self._cursor[kind] = max(
-                        cur, self._cursor.get(kind, 0)
-                    )
+            with self._lock:
+                for d, targets in rows:
+                    seq = int(d.get("event_id", 0))
+                    per_conn: dict[int, list[str]] = {}
+                    for u in targets:
+                        s = self._subs.get(u)
+                        if s is not None and seq > s["head"]:
+                            per_conn.setdefault(s["conn"], []).append(u)
+                    for cid, uuids in per_conn.items():
+                        q = self._queues.get(cid)
+                        if q is None:
+                            continue
+                        if len(q) >= self.max_queue:
+                            self._overflow.add(cid)
+                        else:
+                            q.append((kind, d, uuids))
+                self._cursor[kind] = max(
+                    cur, self._cursor.get(kind, 0)
+                )
 
 #: engine.io packet types
 EIO_OPEN, EIO_CLOSE, EIO_PING, EIO_PONG, EIO_MESSAGE = "0", "1", "2", "3", "4"
@@ -432,6 +483,15 @@ class SocketIOStreamServer(CappedWsServer):
                 # callback (emitToRelay attaches currentBlockNum) and
                 # bounds the primary history scroll at it (:434-440)
                 head = self.api.head_block()
+                # negative bounds are head-relative (addBlockRangeOpts:
+                # start_from -1000 = "last 1000 blocks"); resolve once
+                # against THIS head so the replay scan and the
+                # last_block ack math agree
+                req = self.api.resolve_relative_bounds(req, head)
+                if req.start_from is not None:
+                    params["start_from"] = str(req.start_from)
+                if req.read_until is not None:
+                    params["read_until"] = str(req.read_until)
             except Exception as e:  # invalid request -> error callback
                 if ack_id is not None:
                     send_ack(
@@ -556,6 +616,14 @@ class SocketIOStreamServer(CappedWsServer):
             filter). Raises on queue overflow — the slow-consumer
             drop."""
             for kind, d, targets in self.relay.drain(conn_id):
+                if kind == "control":
+                    # fork_event / lib_update broadcast: emitted as a
+                    # NAMED Socket.IO event to every client, exactly
+                    # appendIdAndEmit (ws-router.ts:66-83) — a stock
+                    # client binds socket.on('fork_event', ...)
+                    maybe_ping()
+                    emit(d.get("event", "control"), d.get("data", {}))
+                    continue
                 targets = [u for u in targets if u in my_live]
                 if not targets:
                     continue  # cancelled between routing and drain

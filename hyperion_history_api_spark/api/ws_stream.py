@@ -243,6 +243,19 @@ class WsStreamServer(CappedWsServer):
             batch.clear()
 
         for row in rows:
+            if "_control" in row:
+                # indexer control broadcast (fork_event / lib_update):
+                # flush queued rows first so the fork notice precedes
+                # any corrected rows, then send it unbatched — the
+                # reference io.emit()s control events out-of-band of
+                # the row batches (ws-router.ts:72-83)
+                if batch:
+                    send_batch()
+                ws.send(
+                    json.dumps({"type": row["_control"], **row["data"]}),
+                    OP_TEXT,
+                )
+                continue
             batch.append(row)
             if len(batch) >= batch_size:
                 send_batch()

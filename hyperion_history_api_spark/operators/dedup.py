@@ -372,7 +372,12 @@ def incremental_pairs(
     bands: int = 24,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Pairs-only form of :func:`incremental_pairs_and_delta`."""
+    """Pairs-only form of :func:`incremental_pairs_and_delta`.
+
+    ``eager_delta=False``: the delta frames are discarded, so there is
+    no concurrent consumer of the signature checkpoint — the pairs DAG
+    is the single action, and the lazy form saves one serialized job
+    round (round-12, the r11 verdict's small-batch constant item)."""
     return incremental_pairs_and_delta(
         index,
         new_docs,
@@ -382,6 +387,7 @@ def incremental_pairs(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        eager_delta=False,
     )[0]
 
 
@@ -396,6 +402,7 @@ def incremental_pairs_and_delta(
     bands: int = 24,
     threshold: float = 0.7,
     assume_small_batch: bool = False,
+    eager_delta: bool = True,
 ) -> tuple[DataFrame, DedupIndex]:
     """Per-batch near-dup detection against a persisted LSH index —
     the shape a 100-TB ingest pipeline actually runs: history is never
@@ -493,16 +500,23 @@ def incremental_pairs_and_delta(
     )
     new_members = novel.select(F.col(id_col), "__rep")
     new_reps = new_groups.select(F.col("__rep").alias(id_col), F.col(text_col))
-    # eager=True (round-7 ADVICE): the delta's hashes/bands legs are
-    # submitted CONCURRENTLY by commit_delta, and a lazy checkpoint
-    # only materializes under the FIRST action — concurrent first
-    # actions would each recompute the interpreted shingle pass.
-    # Skipping the checkpoint for small batches was MEASURED WORSE
-    # (round-8: 3.3 -> 5+ s/wave at sf0.1): the pairs DAG references
-    # this subtree ~6x (ha/hb, new_bands on both probe sides), so
-    # without blocks Catalyst inlines the shingle pass + its exchange
-    # into every reference — the one saved job round never beats six
-    # inlined shuffles, at any batch size.
+    # eager=True (round-7 ADVICE) when the caller commits the delta:
+    # its hashes/bands legs are submitted CONCURRENTLY by commit_delta,
+    # and a lazy checkpoint only materializes under the FIRST action —
+    # concurrent first actions would each recompute the interpreted
+    # shingle pass. Skipping the checkpoint for small batches was
+    # MEASURED WORSE (round-8: 3.3 -> 5+ s/wave at sf0.1): the pairs
+    # DAG references this subtree ~6x (ha/hb, new_bands on both probe
+    # sides), so without blocks Catalyst inlines the shingle pass +
+    # its exchange into every reference — the one saved job round
+    # never beats six inlined shuffles, at any batch size.
+    # eager_delta=False (round-12, pairs-only callers): with no
+    # concurrent delta consumer, the pairs DAG is the single action
+    # sequence and the next eager checkpoint (members_rel) is its
+    # guaranteed first job — LAZY here keeps the blocks (all six
+    # references still read materialized rows) while collapsing the
+    # signature pass into that job: one serialized round saved per
+    # call (measured sf0.1 registry row: 3.56 -> 3.0 s same-host).
     new_hashed = hashed_shingles(
         new_reps,
         text_col,
@@ -510,7 +524,7 @@ def incremental_pairs_and_delta(
         shingle_n=shingle_n,
         repartition=True,
         pin_partitions=False,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=eager_delta)
     new_bands = minhash_bands(
         new_hashed, id_col, num_hashes=num_hashes, bands=bands
     )
@@ -640,6 +654,11 @@ def incremental_pairs_and_delta(
         .unionByName(new_members.withColumn("__b", F.lit(True)))
     )
     if use_cp:
+        # stays EAGER even under eager_delta=False: making it lazy was
+        # measured WORSE (round-12: 3.0 -> 3.7 s sf0.1) — without this
+        # serialization point the final action's sibling stages race
+        # to materialize the upstream lazy checkpoints and recompute
+        # the probe subtree in parallel
         members_rel = members_rel.localCheckpoint(eager=True)
     ma = members_rel.select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("__xa"), F.col("__b").alias("__ba")

@@ -382,6 +382,7 @@ class ShipReader:
         *,
         rows_per_file: int = 512,
         file_prefix: str = "spool-",
+        control_dir: str | None = None,
     ) -> int:
         """Drain [start, end] into parquet spool files (block_num,
         block_id, payload binary) — the bridge into
@@ -398,7 +399,14 @@ class ShipReader:
         range reaches fork_num is atomically rewritten without its
         stale rows (deleted if nothing survives), so the finished
         spool holds exactly one row per block, all from the winning
-        chain."""
+        chain.
+
+        ``control_dir`` (the serving lake root) turns on the control
+        journal: every fork lands a ``fork_event`` line and every LIB
+        advance a ``lib_update`` line + watermark in
+        ``{control_dir}/_meta`` — exactly the two process.send events
+        the reference's state-reader emits (state-reader.ts:677,
+        953-958) and the ws-router broadcasts to stream clients."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -459,8 +467,32 @@ class ShipReader:
                 else:
                     os.remove(path)
 
+        last_num = 0  # last block appended (fork regression detector)
+        local_lib = 0
         for body in self.read_range(start, end, on_fork=on_fork):
             blk = body["this_block"]
+            if control_dir is not None:
+                if last_num and blk["block_num"] <= last_num:
+                    # the replacement block regressed the stream: blocks
+                    # [fork_num, last_num] were forked out; new_id is
+                    # the winning chain's first block (logForkEvent)
+                    from ..streaming.control_log import record_fork
+
+                    record_fork(
+                        control_dir,
+                        starting_block=blk["block_num"],
+                        ending_block=last_num,
+                        new_id=blk["block_id"],
+                    )
+                lib = body.get("last_irreversible")
+                if lib and lib.get("block_num", 0) > local_lib:
+                    from ..streaming.control_log import write_lib
+
+                    local_lib = lib["block_num"]
+                    write_lib(
+                        control_dir, local_lib, lib.get("block_id", "")
+                    )
+            last_num = blk["block_num"]
             payload = body.get("block") or b""
             if isinstance(payload, str):  # JSON envelope: base64 text
                 payload = base64.b64decode(payload)

@@ -108,6 +108,27 @@ def _resolve_field(
     return F.get_json_object(F.col(json_fallback_col), f"$.{path}"), True, gate
 
 
+def _field_dtype(df: DataFrame, dotted: str) -> str:
+    """Resolve the Spark dtype of a (possibly nested) dotted field by
+    walking ``df.schema`` — ``dict(df.dtypes)`` only sees top-level
+    columns, so a numeric struct field addressed as ``a.b`` would
+    otherwise slip past the wire type-mismatch discipline and compile
+    to an ANSI cast that throws mid-scan. Unknown paths return ``""``
+    (the JSON-fallback case, handled separately)."""
+    from pyspark.sql.types import StructType
+
+    cur = df.schema
+    parts = dotted.split(".")
+    for i, part in enumerate(parts):
+        if not isinstance(cur, StructType) or part not in cur.names:
+            return ""
+        field_type = cur[part].dataType
+        if i == len(parts) - 1:
+            return field_type.simpleString()
+        cur = field_type
+    return ""
+
+
 def compile_filter(
     df: DataFrame,
     flt: RequestFilter,
@@ -125,52 +146,77 @@ def compile_filter(
         raise ValueError(f"unknown operator {flt.operator!r}")
     col, is_json, gate = _resolve_field(df, flt.field, json_fallback_col, action_col)
     value: Column = F.lit(flt.value)
-    # Type-mismatch discipline (round-11, found by the routing property
-    # test): filter values come off the WIRE, so a string value against
-    # a numeric column (or vice versa, or a malformed payload string
-    # under the JSON/asset casts) must follow checkMetaFilter's loose-
-    # comparison semantics — coerce-to-number, NaN never matches — not
-    # ANSI cast semantics, where `double_col == 'click'` THROWS at
-    # runtime and kills the whole subscription scan mid-stream. All
-    # coercions below are try_cast (NULL on malformed -> the coalesce
-    # False at the bottom), and a numeric column vs an unparseable
-    # string value compiles to never-match (ne: matches wherever the
-    # field exists, JS `7 != 'click'` being true).
+    # Type-mismatch discipline (round-11, refined round-12 to match
+    # checkMetaFilter exactly): filter values come off the WIRE, so a
+    # string value against a numeric column (or vice versa, or a
+    # malformed payload string under the JSON/asset casts) must never
+    # compile to a bare ANSI cast — `double_col == 'click'` THROWS at
+    # runtime and kills the whole subscription scan mid-stream. Per-op
+    # semantics mirror the reference switch (common_functions.ts:
+    # 301-331): eq/ne are STRICT ===/!== (a number-vs-string mismatch
+    # is eq-false / ne-true wherever the field exists), relational ops
+    # use JS loose numeric coercion (NaN never matches), and the
+    # string ops run String(value) against the RAW field rendering,
+    # never a coerced one. All coercions are try_cast (NULL on
+    # malformed -> the coalesce False at the bottom).
+    op = flt.operator
+    relational = op in ("gt", "gte", "lt", "lte")
+    string_op = op in ("contains", "starts_with", "ends_with")
     ne_on_mismatch: Column | None = None
+    never_match = False
     num_val = isinstance(flt.value, (int, float)) and not isinstance(
         flt.value, bool
     )
-    dtype = dict(df.dtypes).get(flt.field, "")
+    dtype = _field_dtype(df, flt.field)
     col_numeric = dtype in (
         "tinyint", "smallint", "int", "bigint", "float", "double"
     ) or dtype.startswith("decimal")
+    str_col = col  # un-coerced, for contains/starts_with/ends_with
     if flt.asset:
         # "<amount> <symbol>": numeric compare gated on symbol equality
         # (F.get, not getItem: ANSI array indexing THROWS on a field
         # value with no space — a malformed quantity must be a
-        # non-match, not a scan-killer)
+        # non-match, not a scan-killer). The reference rewrites
+        # fieldValue = parseFloat(amount) BEFORE the operator switch
+        # (common_functions.ts:294-299), so this applies to every op.
         parts = F.split(col, " ")
         symbol_ok = F.get(parts, 1) == F.lit(flt.asset)
         col = F.when(symbol_ok, F.get(parts, 0).try_cast("double")).otherwise(
             F.lit(None)
         )
-    elif is_json and num_val:
+        str_col = col
+    elif is_json and num_val and not string_op:
+        # get_json_object loses the JSON number/string distinction, so
+        # eq/ne coerce here too (documented divergence: a JSON *string*
+        # "100" eq-matches 100 where the reference's parsed === would
+        # not — the payload type is unrecoverable from the extract)
         col = col.try_cast("double")
         value = F.lit(float(flt.value))
     elif col_numeric and isinstance(flt.value, str):
-        try:
-            value = F.lit(float(flt.value))
-        except ValueError:
-            ne_on_mismatch = col.isNotNull()
-            col, value = F.lit(None).cast("double"), F.lit(None)
+        if relational:
+            # JS loose relational: 7 > '5' coerces the string side
+            try:
+                value = F.lit(float(flt.value))
+            except ValueError:
+                never_match = True  # NaN comparisons are all false
+        elif op == "eq":
+            never_match = True  # strict ===: number === string is false
+        elif op == "ne":
+            ne_on_mismatch = col.isNotNull()  # strict !==: always true
     elif dtype == "string" and num_val:
-        ne_on_mismatch = (
-            col.isNotNull() & col.try_cast("double").isNull()
-        ) | (col.try_cast("double") != F.lit(float(flt.value)))
-        col = col.try_cast("double")
-        value = F.lit(float(flt.value))
-    op = flt.operator
-    if op == "eq":
+        if relational:
+            # JS loose relational: '5' > 3 coerces the string side
+            col = col.try_cast("double")
+            value = F.lit(float(flt.value))
+        elif op == "eq":
+            never_match = True
+        elif op == "ne":
+            ne_on_mismatch = col.isNotNull()
+    if never_match:
+        pred = F.lit(False)
+    elif ne_on_mismatch is not None:
+        pred = ne_on_mismatch
+    elif op == "eq":
         pred = col == value
     elif op == "ne":
         pred = col != value
@@ -183,13 +229,11 @@ def compile_filter(
     elif op == "lte":
         pred = col <= value
     elif op == "contains":
-        pred = col.cast("string").contains(F.lit(str(flt.value)))
+        pred = str_col.cast("string").contains(F.lit(str(flt.value)))
     elif op == "starts_with":
-        pred = col.cast("string").startswith(str(flt.value))
+        pred = str_col.cast("string").startswith(str(flt.value))
     else:  # ends_with
-        pred = col.cast("string").endswith(str(flt.value))
-    if ne_on_mismatch is not None and op == "ne":
-        pred = ne_on_mismatch
+        pred = str_col.cast("string").endswith(str(flt.value))
     # NULL field => no match (reference: missing field fails a truthy value)
     pred = F.coalesce(pred, F.lit(False))
     if gate is not None:

@@ -94,20 +94,25 @@ def _ns_timestamp_cols(path: str) -> list[str]:
 
 def _path_fingerprint(path: str) -> tuple:
     """Invalidation key for a parquet path: (size, mtime_ns) of the
-    file, or the sorted (name, size, mtime_ns) listing for a
-    directory — so a spool dir gaining a file, or any rewrite, misses
-    the cache. stat-only (no reads): one syscall per file."""
+    file, or the full recursive (relpath, size, mtime_ns) listing for
+    a directory — so a spool dir gaining a file, a partition subdir's
+    file being rewritten IN PLACE (same name, new bytes — which does
+    not bump the subdir's own mtime), or any rename republish misses
+    the cache. stat-only (no reads): one syscall per entry."""
     import os
 
     if os.path.isdir(path):
-        # every entry, including partition SUBDIRS (a partitioned lake
-        # table is dirs-of-files; a subdir gaining a file bumps the
-        # subdir mtime), plus the dir's own mtime (os.rename republish)
         st = os.stat(path)
         out = [("", st.st_mtime_ns, 0)]
-        for f in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, f))
-            out.append((f, st.st_mtime_ns, st.st_size))
+        # os.walk stats every file at every depth (a partitioned lake
+        # table is dirs-of-files; in-place rewrites only show up on
+        # the leaf file's own stat, never the parent dir's mtime)
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            rel = os.path.relpath(root, path)
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                out.append((os.path.join(rel, f), st.st_mtime_ns, st.st_size))
         return tuple(out)
     st = os.stat(path)
     return (st.st_size, st.st_mtime_ns)

@@ -376,3 +376,61 @@ def test_unexpected_exception_is_opaque_500(server):
         assert len(body["id"]) == 12
     finally:
         del api.get_tokens
+
+
+def test_negative_start_from_is_head_relative(server, spark):
+    """Reference addBlockRangeOpts (functions.ts): a negative
+    start_from/read_until is HEAD-relative — ``start_from: -5`` means
+    "the last 5 blocks", never a full replay from block 1 (which is
+    what ``event_id >= -5`` would have compiled to)."""
+    _, api = server
+    head = api.head_block()
+    rows = list(api.stream_rows({"start_from": "-5"}))
+    assert rows, "head-relative window must not be empty"
+    ids = [r["event_id"] for r in rows]
+    assert min(ids) >= head - 5
+    assert max(ids) == head
+    # both bounds resolve: -5..-2 relative = head-5..head-2 absolute
+    rows2 = list(
+        api.stream_rows({"start_from": "-5", "read_until": "-2"})
+    )
+    ids2 = [r["event_id"] for r in rows2]
+    assert ids2 and min(ids2) >= head - 5 and max(ids2) == head - 2
+
+
+def test_head_block_memoized_on_lake_fingerprint(
+    server, spark, monkeypatch
+):
+    """A head_block() call on an unchanged lake is stat-only — no
+    Spark scan per stream request (the relay ack path calls this for
+    every subscription; at a many-file lake a per-request
+    max(event_id) job is real work)."""
+    import hyperion_history_api_spark.tables as T
+
+    _, api = server
+    h1 = api.head_block()
+
+    def boom(*a, **k):  # a fingerprint hit must never reach the scan
+        raise AssertionError("Spark scan on fingerprint-hit head_block")
+
+    monkeypatch.setattr(T, "_load_one", boom)
+    assert api.head_block() == h1
+
+
+def test_head_block_rescans_on_lake_growth(spark, tmp_path):
+    """The memo invalidates when the spool gains a file — a stale head
+    would break the gap-healing math clients do with currentBlockNum."""
+    import shutil
+
+    lake = tmp_path / "lake"
+    evdir = lake / "events.parquet"
+    evdir.mkdir(parents=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", evdir / "part-000.parquet")
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    h1 = api.head_block()
+    future = spark.createDataFrame(
+        [(h1 + 7, 1, "click", 1.0)],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+    future.coalesce(1).write.mode("append").parquet(str(evdir))
+    assert api.head_block() == h1 + 7

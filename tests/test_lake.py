@@ -89,3 +89,41 @@ def test_stored_sort_is_index_sort(spark):
         .count()
     )
     assert viol == 0
+
+
+def test_cached_read_parquet_sees_inplace_partition_rewrite(spark, tmp_path):
+    """The read-cache fingerprint walks the FULL tree: rewriting a
+    file inside a partition subdirectory IN PLACE (same name, new
+    bytes) does not bump the subdir's mtime, so a shallow listing
+    would serve the stale DataFrame forever."""
+    import os
+    import time
+
+    from hyperion_history_api_spark.tables import cached_read_parquet
+
+    root = tmp_path / "t.parquet"
+    sub = root / "p=1"
+    sub.mkdir(parents=True)
+    spark.createDataFrame([(1,)], "a long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sub))
+    part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+    assert cached_read_parquet(spark, str(root)).count() == 1
+    # in-place rewrite: same file NAME inside the subdir, new contents
+    tmp_out = tmp_path / "stage"
+    spark.createDataFrame([(2,), (3,)], "a long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_out))
+    new_part = next(
+        p for p in os.listdir(tmp_out) if p.endswith(".parquet")
+    )
+    os.replace(tmp_out / new_part, sub / part)
+    # drop Hadoop LocalFileSystem's checksum sidecar — it describes the
+    # OLD bytes (a real lake writer republishes crc+data together)
+    crc = sub / f".{part}.crc"
+    if crc.exists():
+        os.remove(crc)
+    # os.replace updates the file's own mtime but NOT the parent dir's
+    # when the name already existed; nudge the clock-resolution edge
+    os.utime(sub / part, ns=(time.time_ns(), time.time_ns()))
+    assert cached_read_parquet(spark, str(root)).count() == 2

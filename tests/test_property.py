@@ -263,9 +263,22 @@ def _py_filter(field, op, val, row):
         x = None
     if x is None:
         return False
-    v = float(val) if isinstance(val, (int, float)) and not isinstance(
-        x, str
-    ) else val
+    mismatch = isinstance(x, str) != isinstance(val, str)
+    if op in ("gt", "gte", "lt", "lte") and mismatch:
+        # JS loose relational coercion: '5' > 3 / 7 > '5' compare
+        # numerically; NaN never matches
+        try:
+            x, v = float(x), float(val)
+        except (TypeError, ValueError):
+            return False
+    elif op == "eq" and mismatch:
+        return False  # strict ===
+    elif op == "ne" and mismatch:
+        return True  # strict !==
+    else:
+        v = float(val) if isinstance(val, (int, float)) and not isinstance(
+            x, str
+        ) else val
     try:
         if op == "eq":
             return x == v
@@ -406,13 +419,21 @@ def test_filter_type_mismatch_never_throws(spark):
     assert ids(RequestFilter("value", "click", "eq")) == []
     assert ids(RequestFilter("value", "click", "gt")) == []
     assert ids(RequestFilter("value", "click", "ne")) == [1, 2]
-    # numeric column vs NUMERIC STRING: coerced compare (JS 7 > '5')
+    # numeric column vs NUMERIC STRING: relational coerces (JS 7 > '5')
+    # but eq stays strict (JS 150 === '150' is false)
     assert ids(RequestFilter("value", "100", "gt")) == [2]
-    # string column vs number: coerce-to-number, NaN never eq-matches
-    # but ne-matches ('click' != 50; '100' == 100)
-    assert ids(RequestFilter("event_type", 100, "eq")) == [2]
+    assert ids(RequestFilter("value", "150.0", "eq")) == []
+    # string column vs number: eq/ne are STRICT ===/!== (checkMetaFilter
+    # common_functions.ts:301-331 — '100' === 100 is false, !== true),
+    # relational ops coerce ('100' >= 50 true, 'click' >= 50 NaN-false)
+    assert ids(RequestFilter("event_type", 100, "eq")) == []
     assert ids(RequestFilter("event_type", 50, "ne")) == [1, 2]
-    assert ids(RequestFilter("event_type", 100, "ne")) == [1]
+    assert ids(RequestFilter("event_type", 100, "ne")) == [1, 2]
+    assert ids(RequestFilter("event_type", 50, "gte")) == [2]
+    # string ops run String(value) against the RAW string column, not a
+    # numeric rendering ('100'.includes('100'), never '100.0')
+    assert ids(RequestFilter("event_type", 100, "contains")) == [2]
+    assert ids(RequestFilter("event_type", 100, "starts_with")) == [2]
     # malformed JSON payload under the numeric coercion: NULL, no match
     assert ids(RequestFilter("k", 50, "gte")) == [2]
     # malformed asset amount: NULL, no match, no throw

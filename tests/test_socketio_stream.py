@@ -614,3 +614,89 @@ def test_live_relay_shared_across_connections(spark, tmp_path):
         assert srv.relay.last_error is None
     finally:
         srv.close()
+
+
+def test_fork_event_reaches_live_client_before_corrected_rows(
+    spark, tmp_path
+):
+    """Round-11 verdict item 1 done-gate: a live Socket.IO subscriber
+    that already rendered speculative rows receives the indexer's
+    ``fork_event`` broadcast (with the forked block range,
+    ws-router.ts:72-83 / state-reader.ts logForkEvent) BEFORE the
+    winning chain's corrected rows — which the relay re-delivers by
+    rewinding its cursor below the fork point — and ``lib_update``
+    broadcasts carry the advancing watermark."""
+    import os
+
+    from hyperion_history_api_spark.streaming.control_log import (
+        record_fork,
+        write_lib,
+    )
+
+    lake, evdir = _mutable_lake(tmp_path)
+    ev = load_tables(spark, str(lake))["events"]
+    head = int(ev.agg(F.max("event_id")).first()[0])
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=30.0, live_poll_sec=0.2)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        ra = c.emit_with_ack("action_stream_request", {"account": 7})
+        assert ra["status"] == "OK"
+        before = set(os.listdir(evdir))
+        spec = spark.createDataFrame(
+            [(head + 1, 7, "speculative", 1.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+        spec.coalesce(1).write.mode("append").parquet(str(evdir))
+        m = c.next_message()
+        assert m["mode"] == "live"
+        assert m["message"]["event_type"] == "speculative"
+        # the chain forks head+1 away: retract the speculative spool
+        # files FIRST (exactly spool_range's on_fork order), then
+        # journal the fork, then land the winning chain's block
+        for f in set(os.listdir(evdir)) - before:
+            os.remove(evdir / f)
+        record_fork(str(lake), head + 1, head + 1, "winning-id")
+        repl = spark.createDataFrame(
+            [(head + 1, 7, "replacement", 2.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+        repl.coalesce(1).write.mode("append").parquet(str(evdir))
+        write_lib(str(lake), head + 1, "winning-id")
+        # the corrected row is re-delivered at the SAME sequence the
+        # client already rendered...
+        m2 = c.next_message()
+        assert m2["mode"] == "live"
+        assert m2["message"]["event_id"] == head + 1
+        assert m2["message"]["event_type"] == "replacement"
+        # ...and the fork notice arrived on the wire BEFORE it
+        # (next_message queues non-message events while waiting)
+        forks = [e for e in c.events if e and e[0] == "fork_event"]
+        assert forks and forks[0][1] == {
+            "starting_block": head + 1,
+            "ending_block": head + 1,
+            "new_id": "winning-id",
+        }
+        # lib_update broadcast observed too (allow one more poll; the
+        # journal write can land just after the tick that re-scanned)
+        from hyperion_history_api_spark.api.socketio_stream import (
+            SIO_EVENT,
+        )
+
+        c.ws.sock.settimeout(1.0)
+        deadline = time.time() + 6
+        while (
+            not any(e and e[0] == "lib_update" for e in c.events)
+            and time.time() < deadline
+        ):
+            try:
+                sio_t, ack_id, args = c._expect_sio()
+            except TimeoutError:
+                continue
+            if sio_t == SIO_EVENT:
+                c._on_event(ack_id, args, True)
+        libs = [e for e in c.events if e and e[0] == "lib_update"]
+        assert libs and libs[0][1]["block_num"] == head + 1
+        c.close()
+    finally:
+        srv.close()
