@@ -395,3 +395,115 @@ def test_shard_assignment_prunes_columns_and_broadcasts(spark):
     assert "text" not in read and "n_chars" in read
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning(_chunk" in plan
+
+
+def test_live_relay_tick_job_counts(spark, tmp_path):
+    """The live relay's 100x shape, asserted (round-12 verdict item
+    3): an idle tick on an unchanged lake runs ZERO Spark jobs (the
+    fingerprint-memoized head proves the window empty); an arrival
+    tick runs exactly ONE routed-scan job per kind — plus the single
+    head-max job on the tick that first sees the new spool file —
+    regardless of how many subscriptions are registered. The routed
+    plan itself reads the events source exactly once."""
+    import json as _json
+    import shutil
+
+    from hyperion_history_api_spark.api.http_server import HyperionAPI
+    from hyperion_history_api_spark.api.serving_cache import ResponseCache
+    from hyperion_history_api_spark.api.socketio_stream import LiveRelay
+    from hyperion_history_api_spark.tables import load_tables
+
+    lake = tmp_path / "lake"
+    evdir = lake / "events.parquet"
+    evdir.mkdir(parents=True)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", evdir / "part-000.parquet"
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", lake / f"{t}.parquet"
+        )
+    ev = load_tables(spark, str(lake))["events"]
+    head = int(ev.agg(F.max("event_id")).first()[0])
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    relay = LiveRelay(api, poll_sec=0.5)
+    relay.close()  # ticks driven manually; register()'s thread exits
+    for i in range(16):
+        kind = "action" if i % 2 == 0 else "delta"
+        params = {
+            "account": str(i % 5),
+            "filters": _json.dumps(
+                [{"field": "value", "operator": "gte", "value": i % 3}]
+            ),
+        }
+        if kind == "delta":
+            params["stream"] = "deltas"
+        req, _k = api.parse_stream_request(params)
+        relay.register(i, f"req-{i}", kind, req, head)
+
+    sc = spark.sparkContext
+
+    def tick_jobs(tag: str) -> tuple[int, int]:
+        """(total jobs, routed-scan jobs) for one manual tick."""
+        sc.setJobGroup(tag, "relay tick")
+        relay._tick()
+        sc.setJobGroup("idle", "")
+        st = sc.statusTracker()
+        jids = st.getJobIdsForGroup(tag)
+        routed = 0
+        for jid in jids:
+            info = st.getJobInfo(jid)
+            names = [
+                st.getStageInfo(s).name
+                for s in info.stageIds
+                if st.getStageInfo(s) is not None
+            ]
+            if any("collect at" in n for n in names):
+                routed += 1
+        return len(jids), routed
+
+    api.head_block()  # warm the head memo (the session's first stat)
+    assert tick_jobs("relay-idle-1") == (0, 0)
+    assert tick_jobs("relay-idle-2") == (0, 0)
+    spark.createDataFrame(
+        [(head + 1, 1, "click", 5.0, '{"k": 1}')],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string",
+    ).withColumn(
+        "ts", F.timestamp_micros(F.lit(1_700_000_000_000_000))
+    ).coalesce(1).write.mode("append").parquet(str(evdir))
+    # arrival: exactly ONE routed-scan (collect) job per kind for the
+    # {action, delta} mix — 16 subscriptions, 2 scans. The remaining
+    # jobs are the once-per-new-file costs (parquet listing + the
+    # head-max, which AQE may split in two), never per-subscription.
+    total, routed = tick_jobs("relay-arrival")
+    assert routed == 2
+    assert total <= 5
+    # the file is absorbed: the very next tick is idle again
+    assert tick_jobs("relay-idle-3") == (0, 0)
+    # routed-plan shape: ONE scan of the events source, no exchange
+    # (the driver sorts the bounded batch; a Spark sort would add
+    # AQE stage-jobs per tick)
+    from hyperion_history_api_spark.streaming.filters import (
+        StreamSchema,
+        route_to_subscribers,
+    )
+
+    reqs = {
+        u: s["req"] for u, s in relay._subs.items() if s["kind"] == "action"
+    }
+    from hyperion_history_api_spark.tables import _load_one
+
+    evd = _load_one(spark, str(evdir))
+    plan = _plan(
+        route_to_subscribers(
+            evd.where(F.col("event_id") > head),
+            reqs,
+            StreamSchema(json_col="props"),
+        )
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
