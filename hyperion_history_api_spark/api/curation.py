@@ -255,10 +255,29 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination stage. Stage costs at 100 TB: filters are narrow
     and pushed; decontamination is a broadcast join (eval grams are
     tiny); the LSH pair graph + star-contraction shuffles touch only
-    slim (id, hash) rows; the corpus text is scanned once."""
+    slim (id, hash) rows; the corpus text is scanned once.
+
+    Fused shingle/collapse pass (round-12, r11 verdict item 7): the
+    decontamination grams and the MinHash shingles are the SAME 3-gram
+    arrays, and both stages want one-row-per-distinct-text — so the
+    pipeline collapses ONCE (contamination is text-determined: an
+    exact-duplicate group is contaminated as a unit, so filtering at
+    rep level before LSH is semantics-preserving) and derives both the
+    gram hits and the LSH signatures from one hashed-shingle frame.
+    Previously clean_corpus(collapse=True) + minhash_lsh_pairs each
+    ran their own collapse_exact + shingle pass — two fp exchanges of
+    the corpus and two interpreted shingle walks. Grams are compared
+    as xxhash64 values on both sides (same hash the signature pass
+    computes; a false hit needs a 64-bit collision inside the tiny
+    eval gram set — odds ~1e-13 at this corpus, and the row stays
+    hash-gated against the string-gram DuckDB oracle)."""
     from ..operators.clustering import cluster_keepers
-    from ..operators.decontam import clean_corpus
-    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.decontam import _grams
+    from ..operators.dedup import (
+        collapse_exact,
+        hashed_shingles,
+        lsh_pairs_from_collapsed,
+    )
 
     docs = _t(spark, sf_dir)["documents"]
     scored = docs.select(
@@ -276,21 +295,64 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_ratio") >= 0.02)
     )
     ev = docs.where(F.col("doc_id") % 20 == 7)
-    # collapse=True: the contamination gram pass runs once per DISTINCT
-    # text (exact copies inherit the rep's verdict) — the dominant cost
-    # on duplicate-heavy corpora. clean is consumed by three downstream
-    # legs (LSH pair graph, cluster join, split rollup); the lazy local
-    # checkpoint materializes it once instead of re-deriving the
-    # decontamination per leg (reliable checkpoint dir on a cluster).
-    clean = clean_corpus(
-        kept.where(F.col("doc_id") % 20 != 7),
-        ev,
-        "text",
-        "doc_id",
-        hashed=False,
-        collapse=True,
+    train = kept.where(F.col("doc_id") % 20 != 7)
+    # ONE collapse + ONE shingle/hash pass feed BOTH stages.
+    # Checkpoint discipline: the shared frames are referenced across
+    # SEVERAL actions (the dirty-rep broadcast, the clean broadcast
+    # anti-join, the three LSH consumers, the member expansion) and
+    # exchange reuse only holds within one plan — without blocks the
+    # shingle pass re-executed per consuming action and the fusion
+    # measured 2x SLOWER than the unfused pipeline (25.7 s vs 12.3 s
+    # at sf3). Lazy on rep_h/mapping + eager on the tiny dirty_reps:
+    # the dirty_reps job is the guaranteed first action, so it
+    # materializes both lazy subtrees exactly once and every later
+    # action reads checkpoint blocks.
+    reps, mapping = collapse_exact(train, "text", "doc_id")
+    rep_h = hashed_shingles(reps, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    mapping = mapping.localCheckpoint(eager=False)
+    # collapse the EVAL side to distinct texts before shingling: only
+    # the distinct gram SET feeds the contamination join, and a
+    # replicated benchmark slice shingles every copy otherwise —
+    # measured at sf3: 9.7 s raw vs 0.6 s collapsed, the single
+    # largest leg of the whole pipeline
+    ev_texts = ev.select(F.lit(0).alias("doc_id"), "text").distinct()
+    ev_grams = (
+        _grams(ev_texts, "text", "doc_id", 3, hashed=True)
+        .select("g")
+        .distinct()
+    )
+    dirty_reps = (
+        rep_h.select("doc_id", F.explode("__h").alias("g"))
+        .join(F.broadcast(ev_grams), "g")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # contaminated groups drop as units: members inherit the rep's
+    # verdict (identical text => identical grams)
+    dirty_ids = mapping.join(
+        F.broadcast(dirty_reps.withColumnRenamed("doc_id", "__rep")),
+        "__rep",
+        "left_semi",
+    ).select("doc_id")
+    # clean is consumed by two downstream legs (cluster join, split
+    # rollup); the lazy local checkpoint materializes it once instead
+    # of re-deriving the decontamination per leg (reliable checkpoint
+    # dir on a cluster)
+    clean = train.join(
+        F.broadcast(dirty_ids), "doc_id", "left_anti"
     ).localCheckpoint(eager=False)
-    pairs = minhash_lsh_pairs(clean, "text", "doc_id", threshold=0.7)
+    clean_rep_h = rep_h.join(F.broadcast(dirty_reps), "doc_id", "left_anti")
+    clean_mapping = mapping.join(
+        F.broadcast(dirty_reps.withColumnRenamed("doc_id", "__rep")),
+        "__rep",
+        "left_anti",
+    )
+    pairs = lsh_pairs_from_collapsed(
+        clean_rep_h, clean_mapping, "doc_id", threshold=0.7
+    )
     keepers = cluster_keepers(clean, pairs, "doc_id").where(F.col("is_keeper") == 1)
     return (
         hash_split(keepers, "doc_id")

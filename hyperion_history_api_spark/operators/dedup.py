@@ -757,6 +757,34 @@ def minhash_lsh_pairs(
     # the compute-bound pass.
     reps, mapping = collapse_exact(df, text_col, id_col)
     hashed = hashed_shingles(reps, text_col, id_col, shingle_n=shingle_n)
+    return lsh_pairs_from_collapsed(
+        hashed,
+        mapping,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def lsh_pairs_from_collapsed(
+    hashed: DataFrame,
+    mapping: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The LSH band/verify/expand core of :func:`minhash_lsh_pairs`,
+    taking the collapsed inputs directly: ``hashed`` = (id, __h) one
+    row per exact-duplicate group rep (:func:`hashed_shingles` over
+    :func:`collapse_exact` reps), ``mapping`` = (id, __rep) for every
+    member. Exposed (round-12) so pipelines that ALREADY paid the
+    collapse + shingle passes for another stage — the curation
+    pipeline's decontamination grams come from the same shingle
+    arrays — feed them in once instead of re-collapsing and
+    re-shingling the corpus (the r11 verdict's SF3-heavies item)."""
     banded = minhash_bands(hashed, id_col, num_hashes=num_hashes, bands=bands)
 
     a = banded.alias("a")

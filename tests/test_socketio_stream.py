@@ -700,3 +700,47 @@ def test_fork_event_reaches_live_client_before_corrected_rows(
         c.close()
     finally:
         srv.close()
+
+
+def test_live_relay_survives_tick_crash_and_restarts(spark):
+    """A crashing tick must never strand every live subscription
+    server-wide: the tick body is guarded (last_error recorded, next
+    tick proceeds), and register() restarts a dead poller thread."""
+    import threading as _threading
+    import time as _time
+
+    from hyperion_history_api_spark.api.socketio_stream import LiveRelay
+
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    relay = LiveRelay(api, poll_sec=0.05)
+    req, _ = api.parse_stream_request({"account": "7"})
+    relay.register(1, "r1", "action", req, 10**9)  # head: nothing new
+    # sabotage one tick: any exception inside the tick body is caught,
+    # recorded, and the poller keeps running
+    calls = {"n": 0}
+    orig = relay._broadcast_control
+
+    def boom():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("sabotaged tick")
+        return orig()
+
+    relay._broadcast_control = boom
+    deadline = _time.time() + 5
+    while calls["n"] < 3 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert calls["n"] >= 3, "poller died after the sabotaged tick"
+    assert isinstance(relay.last_error, RuntimeError)
+    assert relay._thread is not None and relay._thread.is_alive()
+    # a DEAD thread (stop+join) is restarted by the next register()
+    relay._stop.set()
+    relay._thread.join(timeout=5)
+    assert not relay._thread.is_alive()
+    relay._stop = _threading.Event()  # relay reused after a close()
+    relay.register(2, "r2", "action", req, 10**9)
+    deadline = _time.time() + 5
+    while not relay._thread.is_alive() and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert relay._thread.is_alive(), "register() must restart the poller"
+    relay.close()
