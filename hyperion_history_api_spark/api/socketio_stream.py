@@ -394,47 +394,12 @@ class SocketIOStreamServer(CappedWsServer):
                 raise ValueError("empty engine.io packet")
             return text[0], text[1:]
 
-        # client events that arrive while we are blocked on a batch
-        # ack — drained by the main loop, so a cancel or a NEW stream
-        # request mid-replay is served instead of dropped
+        # client events that arrive out of turn — drained by the main
+        # loop, so a cancel or a NEW stream request mid-replay is
+        # served instead of dropped. Batch acks never block the
+        # session (round-12): they resolve asynchronously through the
+        # main recv loop into the per-subscription ack state.
         pending: list[tuple[int | None, list]] = []
-
-        def await_client_ack(ack_id: int) -> dict:
-            """Block (bounded) until the client's ACK for ``ack_id`` —
-            the emitWithAck 120 s contract; pongs are answered in
-            place and concurrent client EVENTS are buffered for the
-            main loop (multiplexing: a second subscription or a
-            cancel must not be lost to an in-flight batch). Recv
-            waits stay at ping_interval so the server keeps
-            heartbeating while it waits out a slow acker."""
-            deadline = time.monotonic() + self.ack_timeout
-            try:
-                while True:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        raise AckTimeout("client ack timeout")
-                    ws.sock.settimeout(min(self.ping_interval, remaining))
-                    try:
-                        etype, body = recv_packet()
-                    except socket.timeout:
-                        if time.monotonic() >= deadline:
-                            raise AckTimeout("client ack timeout") from None
-                        heartbeat()
-                        continue
-                    if etype == EIO_PING:
-                        ws.send(EIO_PONG + body, OP_TEXT)
-                        continue
-                    if etype == EIO_CLOSE:
-                        raise ConnectionError("client closed")
-                    if etype != EIO_MESSAGE:
-                        continue  # pongs / close echoes
-                    sio_type, got_id, args = _parse_sio(body)
-                    if sio_type == SIO_ACK and got_id == ack_id:
-                        return args[0] if args else {}
-                    if sio_type == SIO_EVENT and args:
-                        pending.append((got_id, args))
-            finally:
-                ws.sock.settimeout(self.ping_interval)
 
         # socket.io connect on the default namespace
         while True:
@@ -462,6 +427,14 @@ class SocketIOStreamServer(CappedWsServer):
         # connection) — the session only registers/drains -------------
         my_live: set[str] = set()  # this session's live reqUUIDs
         replays: list[dict] = []  # round-robin history pumps
+        # per-subscription in-flight acks (round-12): the reference's
+        # per-scroll emitWithAck promises are independent, so one slow
+        # acker must not stall the OTHER subscription's batches on the
+        # same socket. Acks resolve asynchronously through the main
+        # recv loop into `acks`; `ack_waiters` carries each pending
+        # ack's replay + forceful-disconnect deadline.
+        acks: dict[int, dict] = {}
+        ack_waiters: dict[int, tuple[dict, float]] = {}
 
         def start_request(event: str, data, ack_id: int | None):
             kind = "action" if event.startswith("action") else "delta"
@@ -536,6 +509,8 @@ class SocketIOStreamServer(CappedWsServer):
                     # (functions.ts:308-312)
                     "last_block": start_from - 1,
                     "filtered": 0,
+                    "ack_pending": None,
+                    "done": False,
                 }
             )
 
@@ -553,19 +528,65 @@ class SocketIOStreamServer(CappedWsServer):
             if event in ("action_stream_request", "delta_stream_request"):
                 start_request(event, data, ack_id)
 
+        def _finish(r: dict) -> None:
+            """history_end once the replay is drained AND its last
+            batch is acked (the reference resolves its promise chain
+            before the end marker)."""
+            replays.remove(r)
+            emit(
+                "message",
+                {
+                    "type": "history_end",
+                    "reqUUID": r["req_uuid"],
+                    "mode": "history",
+                    "message": {"lastBlock": r["last_block"]},
+                },
+            )
+
+        def resolve_acks() -> None:
+            """Settle any batch acks the recv loop captured; enforce
+            each pending ack's forceful-disconnect deadline
+            (functions.ts:292-301 — a never-acking client is
+            dropped)."""
+            for aid in list(ack_waiters):
+                if aid in acks:
+                    r, _ = ack_waiters.pop(aid)
+                    resp = acks.pop(aid)
+                    if resp.get("status") is not True:
+                        raise ConnectionError("client NACKed history batch")
+                    r["ack_pending"] = None
+                    if r["done"] and r in replays:
+                        _finish(r)
+            now = time.monotonic()
+            if any(now > dl for _, dl in ack_waiters.values()):
+                raise AckTimeout("client ack timeout")
+
         def pump_one() -> None:
-            """One history batch from the front replay, then rotate —
-            concurrent replays interleave at batch granularity with
-            exactly one in-flight ack."""
-            r = replays[0]
+            """One history batch from the first replay with NO
+            in-flight ack, then rotate — concurrent replays interleave
+            at batch granularity with one outstanding ack PER
+            SUBSCRIPTION (round-12; previously a single shared
+            in-flight ack let a slow acker on A delay B's batches),
+            matching the reference's independent per-scroll
+            emitWithAck promises."""
+            resolve_acks()
+            r = next(
+                (
+                    x
+                    for x in replays
+                    if x["ack_pending"] is None and not x["done"]
+                ),
+                None,
+            )
+            if r is None:
+                return  # every replay ack-blocked: recv loop gathers acks
             batch: list[dict] = []
-            done = False
             maybe_ping()
             while len(batch) < r["batch_size"]:
                 try:
                     row = next(r["gen"])
                 except StopIteration:
-                    done = True
+                    r["done"] = True
                     break
                 seq = int(row.get("block_num", row.get("event_id", 0)))
                 r["last_block"] = max(r["last_block"], seq)
@@ -587,24 +608,19 @@ class SocketIOStreamServer(CappedWsServer):
                     ack_id=next_ack[0],
                 )
                 r["filtered"] = 0
-                resp = await_client_ack(next_ack[0])
-                if resp.get("status") is not True:
-                    raise ConnectionError("client NACKed history batch")
-            # the ack wait may have buffered a cancel for THIS replay
-            # — handle_event already removed it from the list; only
-            # finish/rotate a replay that is still registered
+                r["ack_pending"] = next_ack[0]
+                ack_waiters[next_ack[0]] = (
+                    r,
+                    time.monotonic() + self.ack_timeout,
+                )
+            # rotate for fairness; a drained-and-acked replay finishes
+            # (a cancel may have removed it mid-fill — only touch a
+            # replay that is still registered)
             if r in replays:
                 replays.remove(r)
-                if done:
-                    emit(
-                        "message",
-                        {
-                            "type": "history_end",
-                            "reqUUID": r["req_uuid"],
-                            "mode": "history",
-                            "message": {"lastBlock": r["last_block"]},
-                        },
-                    )
+                if r["done"] and r["ack_pending"] is None:
+                    replays.append(r)
+                    _finish(r)
                 else:
                     replays.append(r)
 
@@ -665,6 +681,10 @@ class SocketIOStreamServer(CappedWsServer):
                         sio_type, ack_id, args = _parse_sio(body)
                         if sio_type == SIO_EVENT and args:
                             handle_event(ack_id, args)
+                        elif sio_type == SIO_ACK and ack_id is not None:
+                            # a history-batch ack: settled by
+                            # resolve_acks() on the next pump
+                            acks[ack_id] = args[0] if args else {}
                 maybe_ping()
                 if (
                     time.monotonic() - last_recv[0]

@@ -744,3 +744,72 @@ def test_live_relay_survives_tick_crash_and_restarts(spark):
         _time.sleep(0.02)
     assert relay._thread.is_alive(), "register() must restart the poller"
     relay.close()
+
+
+def test_slow_acker_on_one_subscription_does_not_stall_the_other(
+    sio, spark
+):
+    """Round-12: multiplexed replays hold one in-flight ack PER
+    SUBSCRIPTION (the reference's independent per-scroll emitWithAck
+    promises) — a client that withholds subscription A's ack still
+    receives B's whole replay; exactly one A batch stays outstanding;
+    releasing the ack resumes A to history_end."""
+    from hyperion_history_api_spark.api.socketio_stream import SIO_EVENT
+
+    c = SocketIOClient("127.0.0.1", sio.port)
+    ra = c.emit_with_ack(
+        "action_stream_request",
+        {"start_from": 1, "read_until": 2000, "batch_size": 5},
+    )
+    rb = c.emit_with_ack(
+        "action_stream_request",
+        {"account": 8, "start_from": 1, "read_until": 2000,
+         "batch_size": 5},
+    )
+    assert ra["status"] == "OK" and rb["status"] == "OK"
+    a_held: list[int] = []
+    rows_b, b_done = [], False
+    deadline = time.monotonic() + 60
+    while not b_done and time.monotonic() < deadline:
+        sio_t, aid, args = c._expect_sio()
+        if sio_t != SIO_EVENT or not args or args[0] != "message":
+            continue
+        m = args[1]
+        if m.get("type") == "history_end":
+            assert m["reqUUID"] == rb["reqUUID"], (
+                "A must not finish while its ack is withheld"
+            )
+            b_done = True
+            continue
+        if m["reqUUID"] == ra["reqUUID"]:
+            a_held.append(aid)  # withhold A's ack
+        else:
+            rows_b.extend(m["messages"])
+            if aid is not None:
+                c._ack(aid)
+    assert b_done, "B stalled behind A's withheld ack"
+    assert len(a_held) == 1, (
+        f"server must hold exactly ONE outstanding batch per "
+        f"subscription, saw {len(a_held)}"
+    )
+    ev = load_tables(spark, SF_DIR)["events"]
+    want_b = [
+        r["event_id"]
+        for r in ev.where(
+            (F.col("user_id") == 8) & F.col("event_id").between(1, 2000)
+        ).orderBy("event_id").collect()
+    ]
+    assert [d["event_id"] for d in rows_b] == want_b and want_b
+    # release A: the replay resumes and completes
+    c._ack(a_held[0])
+    a_rows, a_done = 0, False
+    deadline = time.monotonic() + 60
+    while not a_done and time.monotonic() < deadline:
+        m = c.next_message()
+        if m.get("type") == "history_end":
+            assert m["reqUUID"] == ra["reqUUID"]
+            a_done = True
+        else:
+            a_rows += len(m["messages"])
+    assert a_done and a_rows > 0
+    c.close()

@@ -668,3 +668,37 @@ def test_compile_request_missing_routing_column_never_matches(spark):
     assert df.where(compile_request(df, req, schema)).count() == 0
     req2 = StreamRequest(contract="*", action="*", account="", scope="x")
     assert df.where(compile_request(df, req2, schema)).count() == 0
+
+
+def test_filter_nested_struct_field_type_discipline(spark):
+    """The wire type-mismatch discipline resolves dtypes through
+    DOTTED paths (df.schema walk, not the flat df.dtypes map): a
+    numeric struct field filtered with a junk string value must
+    compile to checkMetaFilter semantics (eq/gt never match, ne
+    matches where present) instead of an ANSI cast that throws
+    mid-scan; relational ops still coerce numeric strings."""
+    from hyperion_history_api_spark.streaming.filters import (
+        RequestFilter,
+        compile_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, (7.0, "x")), (2, (150.0, "y"))],
+        "event_id long, a struct<b: double, s: string>",
+    )
+
+    def ids(flt):
+        return sorted(
+            r["event_id"]
+            for r in df.where(
+                compile_filter(df, flt, json_fallback_col=None)
+            ).collect()
+        )
+
+    assert ids(RequestFilter("a.b", "click", "eq")) == []
+    assert ids(RequestFilter("a.b", "click", "gt")) == []
+    assert ids(RequestFilter("a.b", "click", "ne")) == [1, 2]
+    assert ids(RequestFilter("a.b", "100", "gt")) == [2]  # JS 150 > '100'
+    # string struct field vs number: strict eq/ne, raw-string contains
+    assert ids(RequestFilter("a.s", 7, "eq")) == []
+    assert ids(RequestFilter("a.s", 7, "ne")) == [1, 2]

@@ -295,3 +295,117 @@ def test_silent_socket_cannot_pin_a_capped_slot(spark):
         mute.close()
     finally:
         srv.close()
+
+
+def test_ws_forwards_control_events_out_of_band(spark, tmp_path):
+    """fork_event / lib_update reach the raw-WS surface as unbatched
+    typed frames, ordered ahead of any corrected rows (ws-router.ts
+    io.emit forwarding), and a fork rewinds the follow cursor so the
+    winning chain's row is re-delivered."""
+    import os
+
+    from hyperion_history_api_spark.streaming.control_log import (
+        record_fork,
+        write_lib,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    evdir = lake / "events.parquet"
+    evdir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", evdir / "part-000.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    ev = load_tables(spark, str(lake))["events"]
+    head = int(ev.agg(F.max("event_id")).first()[0])
+
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv = WsStreamServer(api, ack_timeout=30.0)
+    try:
+
+        def _append(seq: int, etype: str):
+            before = set(os.listdir(evdir))
+            spark.createDataFrame(
+                [(seq, 7, etype, 9.5)],
+                "event_id long, user_id long, event_type string, "
+                "value double",
+            ).withColumn(
+                "ts", F.timestamp_micros(F.lit(1_700_000_000_000_000))
+            ).coalesce(1).write.mode("append").parquet(str(evdir))
+            return set(os.listdir(evdir)) - before
+
+        def mutate():
+            _time.sleep(2.0)
+            write_lib(str(lake), head - 1, "libid")
+            _time.sleep(1.0)
+            spec = _append(head + 1, "speculative")
+            _time.sleep(2.5)
+            for f in spec:
+                os.remove(evdir / f)
+            record_fork(str(lake), head + 1, head + 1, "win-id")
+            _append(head + 1, "replacement")
+
+        threading.Thread(target=mutate, daemon=True).start()
+        ws = _subscribe(
+            srv.port,
+            {
+                "start_from": head - 2,
+                "follow": "true",
+                "poll_sec": 0.2,
+                "idle_timeout": 20,
+                "batch_size": 50,
+                "window": 4,
+            },
+        )
+        frames: list[dict] = []
+        done = False
+        while not done:
+            msg = ws.recv()
+            assert msg is not None
+            frame = json.loads(msg[1])
+            frames.append(frame)
+            if frame.get("type") == "batch":
+                ws.send(
+                    json.dumps({"type": "ack", "seq": frame["seq"]}),
+                    OP_TEXT,
+                )
+                done = any(
+                    r.get("event_type") == "replacement"
+                    for r in frame["rows"]
+                )
+            elif frame.get("type") == "end":
+                done = True
+        ws.close()
+        kinds = [f["type"] for f in frames]
+        assert "lib_update" in kinds and "fork_event" in kinds
+        lib = next(f for f in frames if f["type"] == "lib_update")
+        assert lib["block_num"] == head - 1
+        fk_at = kinds.index("fork_event")
+        fk = frames[fk_at]
+        assert (fk["starting_block"], fk["ending_block"], fk["new_id"]) == (
+            head + 1,
+            head + 1,
+            "win-id",
+        )
+        pre = [
+            r
+            for f in frames[:fk_at]
+            if f["type"] == "batch"
+            for r in f["rows"]
+        ]
+        post = [
+            r
+            for f in frames[fk_at + 1 :]
+            if f["type"] == "batch"
+            for r in f["rows"]
+        ]
+        assert any(r["event_type"] == "speculative" for r in pre)
+        assert any(
+            r["event_type"] == "replacement" and r["event_id"] == head + 1
+            for r in post
+        )
+    finally:
+        srv.close()
