@@ -290,6 +290,15 @@ class SocketIOStreamServer(CappedWsServer):
         self.ack_timeout = ack_timeout
         self.ping_interval = ping_interval
         self.chain = chain
+        # one STABLE chain id per server (the reference's is the
+        # blockchain's 64-hex id; a deterministic digest of the chain
+        # name is the engine's stand-in) — the handshake advertises it
+        # and every forwarded control event carries it, exactly
+        # appendIdAndEmit (ws-router.ts:66-70) / the socketManager's
+        # chain_id relay filter (:237-245)
+        import hashlib
+
+        self.chain_id = hashlib.sha256(chain.encode()).hexdigest()
         self.live_poll_sec = live_poll_sec
         self.relay = LiveRelay(api, live_poll_sec)
         super().__init__(host, port, max_connections, handshake_timeout)
@@ -418,7 +427,7 @@ class SocketIOStreamServer(CappedWsServer):
         ws.send(EIO_MESSAGE + SIO_CONNECT + json.dumps({"sid": sid}), OP_TEXT)
         emit(
             "handshake",
-            {"chain": self.chain, "chain_id": uuid.uuid4().hex},
+            {"chain": self.chain, "chain_id": self.chain_id},
         )
 
         # -- per-connection subscription state (reqUUID-keyed, the
@@ -634,11 +643,15 @@ class SocketIOStreamServer(CappedWsServer):
             for kind, d, targets in self.relay.drain(conn_id):
                 if kind == "control":
                     # fork_event / lib_update broadcast: emitted as a
-                    # NAMED Socket.IO event to every client, exactly
-                    # appendIdAndEmit (ws-router.ts:66-83) — a stock
-                    # client binds socket.on('fork_event', ...)
+                    # NAMED Socket.IO event to every client with the
+                    # chain_id prefixed, exactly appendIdAndEmit
+                    # (ws-router.ts:66-83) — a stock client binds
+                    # socket.on('fork_event', ...) and checks chain_id
                     maybe_ping()
-                    emit(d.get("event", "control"), d.get("data", {}))
+                    emit(
+                        d.get("event", "control"),
+                        {"chain_id": self.chain_id, **d.get("data", {})},
+                    )
                     continue
                 targets = [u for u in targets if u in my_live]
                 if not targets:

@@ -672,7 +672,12 @@ def test_fork_event_reaches_live_client_before_corrected_rows(
         # ...and the fork notice arrived on the wire BEFORE it
         # (next_message queues non-message events while waiting)
         forks = [e for e in c.events if e and e[0] == "fork_event"]
-        assert forks and forks[0][1] == {
+        assert forks
+        fk = dict(forks[0][1])
+        # appendIdAndEmit prefixes the chain_id into every forwarded
+        # control event (ws-router.ts:66-70)
+        assert fk.pop("chain_id") == srv.chain_id
+        assert fk == {
             "starting_block": head + 1,
             "ending_block": head + 1,
             "new_id": "winning-id",
