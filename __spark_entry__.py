@@ -36,6 +36,14 @@ _SNAPSHOT_FIRST = [
     "socketio_replay_rows",
     "socketio_replay_summary",
     "socketio_replay_deltas",
+    # round-13: the dedup rows the bench leans on hardest join the
+    # driver window — dedup_exact just lost its global orderBy (the
+    # DRIFT_r12 1.12-exponent fix), so its post-change plan is
+    # driver-hash-gated, not just judge-green; minhash_lsh is the
+    # 30x-headline dominator after the r12 curation fusion.
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_bloom_probe",
 ]
 
 

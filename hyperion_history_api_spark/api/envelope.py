@@ -91,7 +91,12 @@ def get_actions_with_envelope(
     # round-9 manifest e2e suite, pagination contract)
     page = apply_query(log, params, seq_field=seq_field, **query_kw)
     actions = [r.asDict(recursive=True) for r in page.collect()]
-    if simple and lib:
+    # lib is None = checkLib not requested; lib == 0 = requested but the
+    # watermark hasn't advanced yet. The reference stamps
+    # ``irreversible: false`` whenever checkLib is true, even at lib 0
+    # (get_actions.ts:118 runs for every simple action once checkLib
+    # resolved) — so test for None, not truthiness.
+    if simple and lib is not None:
         for a in actions:
             if seq_field in a:
                 a["irreversible"] = a[seq_field] < lib

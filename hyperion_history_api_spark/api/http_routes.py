@@ -73,7 +73,10 @@ def get_blocks(api, params: dict) -> dict:
         )
         .orderBy(F.col("block_num").desc())
     )
-    return {"blocks": _rows(df, _limit(params))}
+    # get_blocks.ts:153-158 response shape: the reference itself
+    # hardcodes lib: 0 here (only get_transaction resolves the real
+    # watermark) — mirror that, not lib_block()
+    return {"cached": False, "lib": 0, "blocks": _rows(df, _limit(params))}
 
 
 def get_block(api, params: dict) -> dict:
@@ -101,6 +104,7 @@ def get_block(api, params: dict) -> dict:
     )
     return {
         "block_num": num,
+        "lib": 0,  # get_block.ts:32 hardcodes lib: 0
         "trx_count": head["trx_count"],
         "cpu_usage": head["cpu_usage"],
         "last_seq": head["last_seq"],
@@ -312,11 +316,13 @@ def hyp_get_transaction(api, params: dict) -> dict:
         .limit(1000)
         .collect()
     )
+    lib = api.lib_block()  # real lib on get_transaction (ts:67,102)
     if not rows:
-        return {"executed": False, "trx_id": trx_id, "actions": []}
+        return {"executed": False, "trx_id": trx_id, "lib": lib, "actions": []}
     return {
         "executed": True,
         "trx_id": trx_id,
+        "lib": lib,
         "block_num": rows[0]["block_num"],
         "actions": [r.asDict(recursive=True) for r in rows],
     }
@@ -357,7 +363,12 @@ def hyp_get_blocks(api, params: dict) -> dict:
     df = blocks_range_rollup(api.spark, api.sf_dir, lo, hi).orderBy(
         F.col("block_num").desc()
     )
-    return {"blocks": _rows(df, _limit(params)), "model": "hyperion"}
+    return {
+        "cached": False,
+        "lib": 0,  # get_blocks.ts:155 hardcodes lib: 0
+        "blocks": _rows(df, _limit(params)),
+        "model": "hyperion",
+    }
 
 
 def hyp_get_block_route(api, params: dict) -> dict:

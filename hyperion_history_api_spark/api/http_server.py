@@ -199,8 +199,17 @@ class HyperionAPI:
         t = _t(self.spark, self.sf_dir)
         o = t["orders"].where(F.col("o_orderkey") == trx)
         head = o.select("o_orderkey", "o_orderstatus", "o_orderdate").first()
+        # the reference resolves the REAL lib for get_transaction on
+        # both its cache and ES paths (get_transaction.ts:67,102) —
+        # unlike get_blocks/get_block, which hardcode lib: 0
+        lib = self.lib_block()
         if head is None:
-            return {"executed": False, "trx_id": trx, "actions": []}
+            return {
+                "executed": False,
+                "trx_id": trx,
+                "lib": lib,
+                "actions": [],
+            }
         traces = (
             t["lineitem"]
             .where(F.col("l_orderkey") == trx)
@@ -210,6 +219,7 @@ class HyperionAPI:
         return {
             "executed": True,
             "trx_id": trx,
+            "lib": lib,
             "status": head["o_orderstatus"],
             "block_time": str(head["o_orderdate"]),
             "actions": [r.asDict() for r in traces.collect()],
@@ -714,7 +724,11 @@ class HyperionAPI:
         return head
 
     def live_tagged_rows(
-        self, requests: dict, after: int, kind: str = "actions"
+        self,
+        requests: dict,
+        after: int,
+        kind: str = "actions",
+        window_cap: int = 50_000,
     ) -> tuple[list, int]:
         """One poll of the live relay: rows past ``after`` tagged with
         the reqUUIDs they match (the vectorized ws-router fan-out,
@@ -740,6 +754,15 @@ class HyperionAPI:
         head = self.head_block()
         if head <= after:
             return [], after
+        # Cap the scan window (round-13): a deep fork rewind (or any
+        # stale cursor) must not materialize an unbounded (after, head]
+        # batch in driver memory at once. Sequence ids are dense-ish
+        # append cursors, so (after, after+cap] chunks are delivered
+        # in order across successive ticks until the cursor catches
+        # the head; window_cap matches the relay's 50k slow-consumer
+        # bound, so a single tick can never queue more than one drop
+        # threshold's worth of rows anyway.
+        target = min(head, after + window_cap)
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = _load_one(self.spark, f"{self.sf_dir}/events.parquet")
         cols = ["event_id", "user_id", "event_type", "ts", "value"]
@@ -775,10 +798,14 @@ class HyperionAPI:
         # scan, but the memoized head already bounds the cursor past
         # them — no tail-max job, ever.
         tagged = route_to_subscribers(
-            ev.where(F.col("event_id") > after), live_reqs, schema
+            ev.where(
+                (F.col("event_id") > after) & (F.col("event_id") <= target)
+            ),
+            live_reqs,
+            schema,
         ).select(*cols, "matching_requests")
         out = []
-        cursor = max(after, head)
+        cursor = target
         for row in tagged.collect():
             d = row.asDict()
             targets = list(d.pop("matching_requests"))

@@ -114,6 +114,18 @@ class LiveRelay:
     def close(self) -> None:
         self._stop.set()
 
+    def attach(self, conn_id: int) -> None:
+        """Give a connection its queue at ACCEPT time (round-13): the
+        reference io.emit()s fork_event / lib_update to every connected
+        socket (ws-router.ts appendIdAndEmit), including history-only
+        or not-yet-subscribed clients — so control broadcasts must not
+        depend on a live registration existing. Also (re)starts the
+        poller: with zero subscriptions a tick is just the cheap
+        journal tail + early return (no Spark jobs)."""
+        with self._lock:
+            self._queues.setdefault(conn_id, deque())
+            self._ensure_poller()
+
     def register(
         self, conn_id: int, req_uuid: str, kind: str, req, head: int
     ) -> None:
@@ -126,18 +138,20 @@ class LiveRelay:
                 "head": head,
             }
             self._cursor.setdefault(kind, head)
-            # (re)start the poller if it never started OR died — a
-            # crashed tick must not silently strand every live
-            # subscription server-wide
-            if self._thread is None or not self._thread.is_alive():
-                self._thread = threading.Thread(
-                    target=self._run, daemon=True
-                )
-                self._thread.start()
+            self._ensure_poller()
+
+    def _ensure_poller(self) -> None:
+        """(lock held) (re)start the poller if it never started OR
+        died — a crashed tick must not silently strand every live
+        subscription server-wide."""
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
 
     def unregister(self, req_uuid: str) -> None:
         with self._lock:
             self._subs.pop(req_uuid, None)
+            self._drop_idle_cursors()
 
     def unregister_conn(self, conn_id: int) -> None:
         with self._lock:
@@ -146,6 +160,21 @@ class LiveRelay:
             }
             self._queues.pop(conn_id, None)
             self._overflow.discard(conn_id)
+            self._drop_idle_cursors()
+
+    def _drop_idle_cursors(self) -> None:
+        """(lock held) Forget the kind cursor once its last subscriber
+        leaves: the cursor otherwise never advances while the kind is
+        idle (_tick skips subscriber-less kinds), so the NEXT register
+        — whose setdefault would lose to the stale value — would make
+        the first tick scan and collect the entire idle gap
+        (stale_cursor, head] in driver memory. With no subscriber
+        there is nothing to deliver, so the correct resume point is
+        the new subscription's own attach head."""
+        live_kinds = {s["kind"] for s in self._subs.values()}
+        for kind in list(self._cursor):
+            if kind not in live_kinds:
+                del self._cursor[kind]
 
     def drain(self, conn_id: int) -> list[tuple[str, dict, list[str]]]:
         """All queued (kind, row, reqUUIDs) for a connection; raises
@@ -334,6 +363,10 @@ class SocketIOStreamServer(CappedWsServer):
     # -- per-connection session --------------------------------------------
     def _session(self, ws: WebSocketConnection, conn_id: int) -> None:
         sid = uuid.uuid4().hex
+        # queue control broadcasts (fork_event / lib_update) from the
+        # moment the socket connects — NOT from first live register
+        # (reference: io.emit reaches every connected socket)
+        self.relay.attach(conn_id)
         ws.send(
             EIO_OPEN
             + json.dumps(
@@ -673,13 +706,15 @@ class SocketIOStreamServer(CappedWsServer):
                 if pending:
                     handle_event(*pending.pop(0))
                     continue
-                # adaptive wait: don't stall replays/live drains on recv
+                # adaptive wait: don't stall replays/live drains on recv.
+                # Even subscription-less sessions wake at the relay
+                # cadence — control broadcasts (fork/LIB) must reach
+                # them promptly, and an idle wake is one empty-deque
+                # check, no Spark work.
                 if replays:
                     wait = 0.02
-                elif my_live:
-                    wait = min(self.ping_interval, self.live_poll_sec / 2)
                 else:
-                    wait = self.ping_interval
+                    wait = min(self.ping_interval, self.live_poll_sec / 2)
                 ws.sock.settimeout(wait)
                 try:
                     etype, body = recv_packet()
@@ -706,8 +741,9 @@ class SocketIOStreamServer(CappedWsServer):
                     raise ConnectionError("client heartbeat lost")
                 if replays:
                     pump_one()
-                if my_live:
-                    drain_live()
+                # always drain: a connection with no live subscription
+                # still receives control broadcasts queued by attach()
+                drain_live()
         finally:
             self.relay.unregister_conn(conn_id)
 
@@ -732,6 +768,9 @@ class SocketIOClient:
         self._ack_id = 0
         self.events: list[list] = []  # non-message events observed
         self.messages: list[dict] = []  # acked messages not yet consumed
+        # every SIO_EVENT in exact wire-arrival order (name, payload):
+        # the strict ordering gate for fork-before-corrected-rows
+        self.frames: list[tuple[str, dict]] = []
         # socket.io connect reply
         sio, _, args = self._expect_sio()
         assert sio == SIO_CONNECT
@@ -766,6 +805,9 @@ class SocketIOClient:
         """What a stock client's registered handler does with a server
         event: 'message' payloads are acked (emitWithAck batches block
         the server on this) and queued; everything else is recorded."""
+        self.frames.append(
+            (args[0] if args else "", args[1] if len(args) > 1 else {})
+        )
         if args and args[0] == "message":
             if ack_id is not None and ack:
                 self._ack(ack_id)
@@ -803,11 +845,11 @@ class SocketIOClient:
             sio, ack_id, args = self._expect_sio()
             if sio != SIO_EVENT:
                 continue
-            if args and args[0] == "message":
-                if ack_id is not None and ack:
-                    self._ack(ack_id)
-                return args[1]
-            self.events.append(args)
+            # route through _on_event so self.frames records the exact
+            # wire arrival order (the strict fork-ordering gate reads it)
+            self._on_event(ack_id, args, ack)
+            if self.messages:
+                return self.messages.pop(0)
 
     def close(self) -> None:
         try:

@@ -172,19 +172,76 @@ def compile_filter(
         "tinyint", "smallint", "int", "bigint", "float", "double"
     ) or dtype.startswith("decimal")
     str_col = col  # un-coerced, for contains/starts_with/ends_with
-    if flt.asset:
-        # "<amount> <symbol>": numeric compare gated on symbol equality
-        # (F.get, not getItem: ANSI array indexing THROWS on a field
-        # value with no space — a malformed quantity must be a
-        # non-match, not a scan-killer). The reference rewrites
-        # fieldValue = parseFloat(amount) BEFORE the operator switch
-        # (common_functions.ts:294-299), so this applies to every op.
+    asset_pred: Column | None = None
+    if flt.asset and (dtype == "string" or is_json):
+        # "<amount> <symbol>": the reference rewrites
+        # fieldValue = parseFloat(amount) ONLY when the split symbol
+        # equals filter.asset (common_functions.ts:294-299, and only
+        # for string field values); on symbol MISMATCH the operator
+        # runs against the RAW string unchanged — e.g. contains "10"
+        # on "100 WAX" with asset=EOS still matches. (F.get, not
+        # getItem: ANSI array indexing THROWS on a value with no
+        # space — malformed quantities must be non-matches, not
+        # scan-killers.)
         parts = F.split(col, " ")
-        symbol_ok = F.get(parts, 1) == F.lit(flt.asset)
-        col = F.when(symbol_ok, F.get(parts, 0).try_cast("double")).otherwise(
-            F.lit(None)
+        symbol_ok = F.coalesce(
+            F.get(parts, 1) == F.lit(flt.asset), F.lit(False)
         )
-        str_col = col
+        amount = F.get(parts, 0).try_cast("double")
+        raw = col
+        if string_op:
+            # match side: parseFloat stringifies through the compare
+            # (JS would TypeError here; the decimal rendering is the
+            # closest total analog); mismatch side: the raw string
+            s = F.when(symbol_ok, amount.cast("string")).otherwise(raw)
+            sv = str(flt.value)
+            if op == "contains":
+                asset_pred = s.contains(F.lit(sv))
+            elif op == "starts_with":
+                asset_pred = s.startswith(sv)
+            else:
+                asset_pred = s.endswith(sv)
+        elif relational:
+            # loose numeric both sides: parsed amount on match, raw
+            # try_cast on mismatch (NaN/unparseable -> NULL -> false,
+            # same as JS NaN comparisons). Documented micro-divergence:
+            # JS string-vs-string relational is lexicographic; a
+            # string-typed filter value against an unmatched asset
+            # string compares numerically here.
+            c = F.when(symbol_ok, amount).otherwise(raw.try_cast("double"))
+            try:
+                v = F.lit(float(flt.value))
+            except (TypeError, ValueError):
+                v = F.lit(None).cast("double")
+            if op == "gt":
+                asset_pred = c > v
+            elif op == "gte":
+                asset_pred = c >= v
+            elif op == "lt":
+                asset_pred = c < v
+            else:
+                asset_pred = c <= v
+        elif op == "eq":
+            # strict ===: coerced double can only equal a numeric
+            # filter value; the raw string only a string value
+            if num_val:
+                asset_pred = symbol_ok & (amount == F.lit(float(flt.value)))
+            else:
+                asset_pred = (~symbol_ok) & (raw == F.lit(str(flt.value)))
+        else:  # ne, strict !==
+            if num_val:
+                # matched-but-unparseable amount is JS NaN; NaN !== n
+                # is true, hence the coalesce(True) on the match side
+                asset_pred = F.when(
+                    symbol_ok,
+                    F.coalesce(
+                        amount != F.lit(float(flt.value)), F.lit(True)
+                    ),
+                ).otherwise(raw.isNotNull())
+            else:
+                asset_pred = F.when(symbol_ok, F.lit(True)).otherwise(
+                    raw != F.lit(str(flt.value))
+                )
     elif is_json and num_val and not string_op:
         # get_json_object loses the JSON number/string distinction, so
         # eq/ne coerce here too (documented divergence: a JSON *string*
@@ -212,7 +269,9 @@ def compile_filter(
             never_match = True
         elif op == "ne":
             ne_on_mismatch = col.isNotNull()
-    if never_match:
+    if asset_pred is not None:
+        pred = asset_pred
+    elif never_match:
         pred = F.lit(False)
     elif ne_on_mismatch is not None:
         pred = ne_on_mismatch

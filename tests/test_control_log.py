@@ -181,6 +181,66 @@ def test_v1_get_actions_stamps_lib_unconditionally(lib_server):
     assert body["last_irreversible_block"] == 57
 
 
+def test_simple_actions_irreversible_false_at_lib_zero(
+    spark, tmp_path
+):
+    """checkLib with a zero watermark still stamps ``irreversible:
+    false`` on every simple action (get_actions.ts:118 runs whenever
+    checkLib resolved, even to 0) — r12 ADVICE: lib==0 must not drop
+    the key."""
+    import shutil
+
+    from hyperion_history_api_spark.api.http_server import (
+        HyperionAPI,
+        serve_background,
+    )
+    from hyperion_history_api_spark.api.serving_cache import ResponseCache
+
+    lake = tmp_path / "lake0"
+    lake.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv, _ = serve_background(api)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert api.lib_block() == 0  # no _meta/lib.json in this lake
+        body = _get(
+            base,
+            "/v2/history/get_actions?account=7&limit=3&simple=true"
+            "&checkLib=true",
+        )
+        assert body["lib"] == 0
+        assert body["simple_actions"]
+        for a in body["simple_actions"]:
+            assert a["irreversible"] is False
+    finally:
+        srv.shutdown()
+
+
+def test_get_transaction_stamps_real_lib(lib_server):
+    """get_transaction resolves the REAL watermark on every path
+    (get_transaction.ts:67,102) — found and missing alike — while
+    get_blocks/get_block keep the reference's hardcoded lib: 0
+    (get_blocks.ts:155, get_block.ts:32)."""
+    base, _ = lib_server
+    body = _get(base, "/v2/history/get_transaction?id=7")
+    assert body["executed"] is True
+    assert body["lib"] == 57
+    missing = _get(base, "/v2/history/get_transaction?id=999999999")
+    assert missing["executed"] is False
+    assert missing["lib"] == 57
+    hyp = _get(base, "/v2/history/get_transaction?model=hyperion&id=7")
+    assert hyp["lib"] == 57
+    blocks = _get(base, "/v2/history/get_blocks?after=100&before=400")
+    assert blocks["lib"] == 0 and blocks["cached"] is False
+    one = _get(base, "/v2/history/get_block?block_num=3")
+    assert one["lib"] == 0
+
+
 # -- SSE follow-mode broadcast -----------------------------------------------
 
 
@@ -296,6 +356,11 @@ def test_sse_follow_forwards_control_events_and_redelivers(
             if k == "row"
         ]
         assert (head + 1, "speculative") in served_pre
+        # strict wire order: the corrected row must NEVER precede the
+        # fork notice in the single received-frame log
+        assert not any(
+            t == "forked_replacement" for _, t in served_pre
+        )
         post = [d for k, d in frames[fork_at + 1 :] if k == "row"]
         assert any(
             d.get("event_type") == "forked_replacement"

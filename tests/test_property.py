@@ -436,5 +436,10 @@ def test_filter_type_mismatch_never_throws(spark):
     assert ids(RequestFilter("event_type", 100, "starts_with")) == [2]
     # malformed JSON payload under the numeric coercion: NULL, no match
     assert ids(RequestFilter("k", 50, "gte")) == [2]
-    # malformed asset amount: NULL, no match, no throw
-    assert ids(RequestFilter("event_type", 10, "gte", asset="EOS")) == []
+    # asset on a symbol-less value: the reference only parseFloat-
+    # coerces when the split symbol EQUALS filter.asset
+    # (common_functions.ts:294-299) — otherwise the op runs against
+    # the raw string. "100" has no symbol -> raw path -> loose
+    # relational coerces "100" >= 10 -> MATCH; "click" -> NaN -> no
+    # match, no throw.
+    assert ids(RequestFilter("event_type", 10, "gte", asset="EOS")) == [2]

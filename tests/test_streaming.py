@@ -95,6 +95,53 @@ def test_filter_asset_compare(spark):
     assert _ids(df.where(compile_filter(df, flt2))) == []
 
 
+def test_filter_asset_symbol_mismatch_raw_string(spark):
+    """checkMetaFilter only rewrites fieldValue=parseFloat(amount) when
+    the split symbol EQUALS filter.asset (common_functions.ts:294-299);
+    on mismatch the operator runs against the RAW string — contains
+    '10' still matches '100 WAX' under asset=EOS, and strict eq/ne
+    compare the full raw string."""
+    df = _sample(spark).withColumn(
+        "quantity",
+        F.when(F.col("event_id") == 1, "100 WAX").otherwise("10.5000 EOS"),
+    )
+    # string op on mismatched symbol: raw-string contains (the r12
+    # NULL-on-mismatch compile missed this — ADVICE r12)
+    flt = RequestFilter("quantity", "10", "contains", asset="EOS")
+    assert _ids(df.where(compile_filter(df, flt))) == [1, 2, 3, 4]
+    # strict eq: raw string equality on mismatch, numeric on match
+    assert _ids(
+        df.where(
+            compile_filter(
+                df, RequestFilter("quantity", "100 WAX", "eq", asset="EOS")
+            )
+        )
+    ) == [1]
+    assert _ids(
+        df.where(
+            compile_filter(
+                df, RequestFilter("quantity", 10.5, "eq", asset="EOS")
+            )
+        )
+    ) == [2, 3, 4]
+    # strict ne with numeric value: mismatched-symbol rows are !== true
+    assert _ids(
+        df.where(
+            compile_filter(
+                df, RequestFilter("quantity", 10.5, "ne", asset="EOS")
+            )
+        )
+    ) == [1]
+    # relational on mismatch: raw string loose-coerces -> NaN -> false
+    assert _ids(
+        df.where(
+            compile_filter(
+                df, RequestFilter("quantity", 1, "gt", asset="EOS")
+            )
+        )
+    ) == [2, 3, 4]
+
+
 def test_request_and_or(spark):
     df = _sample(spark)
     schema = StreamSchema(action_col=None)

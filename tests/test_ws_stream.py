@@ -403,6 +403,9 @@ def test_ws_forwards_control_events_out_of_band(spark, tmp_path):
             for r in f["rows"]
         ]
         assert any(r["event_type"] == "speculative" for r in pre)
+        # strict wire order: the corrected row must NEVER precede the
+        # fork notice in the single received-frame log
+        assert not any(r["event_type"] == "replacement" for r in pre)
         assert any(
             r["event_type"] == "replacement" and r["event_id"] == head + 1
             for r in post
