@@ -308,9 +308,11 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes both lazy subtrees exactly once and every later
     # action reads checkpoint blocks.
     reps, mapping = collapse_exact(train, "text", "doc_id")
-    rep_h = hashed_shingles(reps, "text", "doc_id").localCheckpoint(
-        eager=False
-    )
+    # repartition=True: post-r13 collapse, reps keep the source scan's
+    # partitioning (text no longer rides the fp exchange)
+    rep_h = hashed_shingles(
+        reps, "text", "doc_id", repartition=True
+    ).localCheckpoint(eager=False)
     mapping = mapping.localCheckpoint(eager=False)
     # collapse the EVAL side to distinct texts before shingling: only
     # the distinct gram SET feeds the contamination join, and a

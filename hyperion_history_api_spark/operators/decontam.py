@@ -91,8 +91,11 @@ def decontaminate(
         from .dedup import collapse_exact
 
         reps, mapping = collapse_exact(docs, text_col, id_col)
+        # post-r13 collapse, reps keep the source scan partitioning —
+        # redistribute the (one-per-distinct-text) frame before the
+        # interpreted gram pass
         rep_hits = (
-            _grams(reps, text_col, id_col, n, hashed)
+            _grams(reps, text_col, id_col, n, hashed, repartition=True)
             .join(F.broadcast(ev), "g")
             .groupBy(id_col)
             .agg(

@@ -65,34 +65,34 @@ def collapse_exact(
     expensive interpreted shingle passes touch each distinct text
     once.
 
-    Exchange shape: fp (codegen'd tokens+md5, cheap) is computed
-    pre-exchange on the scan partitions; the fp-keyed exchange both
-    DISTRIBUTES the corpus for the interpreted passes downstream and
-    is SHARED (ReuseExchange) by the group agg and the mapping join —
-    both consumers are co-partitioned on __fp, so the collapse costs
-    exactly one shuffle of the corpus, and the group agg combines
-    map-side (at 100 TB the shuffle carries at most one text per
-    distinct fingerprint per map task)."""
+    Exchange shape (round-13 rewrite: TEXT NEVER SHUFFLES): fp
+    (codegen'd tokens+md5, cheap) is computed pre-exchange on the scan
+    partitions and only (id, __fp) — ~24 bytes/row — enters the
+    fp-keyed exchange, which is SHARED (ReuseExchange) by the group
+    agg and the mapping join. Rep TEXT is then fetched by a left-semi
+    join of the source scan against the rep-id set: Catalyst/AQE
+    broadcasts the ids when the distinct-text count is small and falls
+    back to a shuffle semi-join (of ids + text, the OLD cost) when it
+    isn't — so the collapse never pays more than the previous
+    text-wide exchange and usually pays none. Measured at the 30x
+    replica (150k docs, 500 MB text, 4992 distinct): the text-wide fp
+    exchange was the single largest leg of minhash_lsh_pairs. The
+    second scan of the source is the trade — at 100 TB two columnar
+    scans beat one full-corpus shuffle (shuffle = write + read + net;
+    scans prune to (id, text) and stream)."""
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    src = df.select(F.col(id_col), F.col(text_col))
     keyed = (
-        df.select(F.col(id_col), F.col(text_col))
-        .withColumn("__fp", _fingerprint(F.col(text_col)))
+        src.withColumn("__fp", _fingerprint(F.col(text_col)))
+        .select(F.col(id_col), "__fp")
         .repartition(npart, F.col("__fp"))
     )
-    # min_by: the rep text deterministically belongs to the min-id doc
-    # (F.first within a group is pick-any; identical token sequences
-    # make it semantically safe, but raw text could differ in
-    # whitespace between runs)
-    groups = keyed.groupBy("__fp").agg(
-        F.min(id_col).alias("__rep"),
-        F.min_by(text_col, F.col(id_col)).alias(text_col),
-    )
-    mapping = (
-        keyed.select(F.col(id_col), "__fp")
-        .join(groups.select("__fp", "__rep"), "__fp")
-        .select(F.col(id_col), "__rep")
-    )
-    reps = groups.select(F.col("__rep").alias(id_col), F.col(text_col))
+    groups = keyed.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    mapping = keyed.join(groups, "__fp").select(F.col(id_col), "__rep")
+    # rep = the min-id doc of its group, so fetching ITS text by id is
+    # exactly the old min_by(text, id) semantics
+    rep_ids = groups.select(F.col("__rep").alias(id_col))
+    reps = src.join(rep_ids, id_col, "left_semi")
     return reps, mapping
 
 
@@ -756,7 +756,13 @@ def minhash_lsh_pairs(
     # partition when the shuffle is small, which would re-serialize
     # the compute-bound pass.
     reps, mapping = collapse_exact(df, text_col, id_col)
-    hashed = hashed_shingles(reps, text_col, id_col, shingle_n=shingle_n)
+    # repartition=True: post-r13 collapse, reps carry the SOURCE scan's
+    # partitioning (text no longer flows through the fp exchange), so
+    # the interpreted shingle pass must be redistributed explicitly —
+    # a shuffle of one-text-per-distinct-group, tiny by construction
+    hashed = hashed_shingles(
+        reps, text_col, id_col, shingle_n=shingle_n, repartition=True
+    )
     return lsh_pairs_from_collapsed(
         hashed,
         mapping,

@@ -17,6 +17,9 @@ slack as the point checks.
 
 Usage: python scripts/scale_curve.py small.json mid.json big.json \
            mid_ratio big_ratio out.json
+   or (round-13, 4-point form with the 100x replica):
+       python scripts/scale_curve.py small.json mid.json big.json xl.json \
+           mid_ratio big_ratio xl_ratio out.json
 Default files: BENCH_SF0.1_r07 / BENCH_SF1_r06 / BENCH_SF3_r07.
 """
 
@@ -34,16 +37,24 @@ def _adj(t_small: float, t_big: float) -> float:
 
 def main() -> None:
     args = sys.argv[1:]
-    small_p = args[0] if len(args) > 0 else "BENCH_SF0.1_r07.json"
-    mid_p = args[1] if len(args) > 1 else "BENCH_SF1_r07.json"
-    big_p = args[2] if len(args) > 2 else "BENCH_SF3_r07.json"
-    mid_ratio = float(args[3]) if len(args) > 3 else 10.0
-    big_ratio = float(args[4]) if len(args) > 4 else 30.0
-    out_p = args[5] if len(args) > 5 else "SCALE_r07.json"
+    xl_p = None
+    xl_ratio = 100.0
+    if len(args) == 8:  # 4-point form: small mid big xl r_mid r_big r_xl out
+        small_p, mid_p, big_p, xl_p = args[:4]
+        mid_ratio, big_ratio, xl_ratio = (float(a) for a in args[4:7])
+        out_p = args[7]
+    else:
+        small_p = args[0] if len(args) > 0 else "BENCH_SF0.1_r07.json"
+        mid_p = args[1] if len(args) > 1 else "BENCH_SF1_r07.json"
+        big_p = args[2] if len(args) > 2 else "BENCH_SF3_r07.json"
+        mid_ratio = float(args[3]) if len(args) > 3 else 10.0
+        big_ratio = float(args[4]) if len(args) > 4 else 30.0
+        out_p = args[5] if len(args) > 5 else "SCALE_r07.json"
 
     small = json.load(open(small_p))
     mid = json.load(open(mid_p))
     big = json.load(open(big_p))
+    xl = json.load(open(xl_p)) if xl_p else None
     qs: dict[str, dict] = {}
     flagged: list[str] = []
     for name, t_small in small["queries"].items():
@@ -82,6 +93,24 @@ def main() -> None:
                     "tail_superlinear": step > step_ratio * 1.2,
                 }
             )
+        t_xl = xl["queries"].get(name) if xl else None
+        if t_xl is not None:
+            import math
+
+            step_xl = _adj(t_big, t_xl)
+            step_ratio_xl = xl_ratio / big_ratio
+            entry.update(
+                {
+                    "sec_xl_100x": t_xl,
+                    "step_growth_30x_to_100x": round(step_xl, 2),
+                    "exponent_30x_to_100x": round(
+                        math.log(max(step_xl, 1e-3))
+                        / math.log(step_ratio_xl),
+                        2,
+                    ),
+                    "xl_tail_superlinear": step_xl > step_ratio_xl * 1.2,
+                }
+            )
         qs[name] = entry
         if entry["superlinear_30x"]:
             flagged.append(name)
@@ -100,6 +129,10 @@ def main() -> None:
         "superlinear": flagged,
         "tail_superlinear": sorted(
             n for n, e in qs.items() if e.get("tail_superlinear")
+        ),
+        "xl_ratio": xl_ratio if xl_p else None,
+        "xl_tail_superlinear": sorted(
+            n for n, e in qs.items() if e.get("xl_tail_superlinear")
         ),
         "ingest_events_per_sec_per_core": {
             "small": small.get("ingest_events_per_sec_per_core"),
