@@ -119,6 +119,51 @@ def stream_filter_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_filter_asset_mismatch",
+    """
+    SELECT event_id, value
+    FROM (
+        SELECT event_id, value,
+               CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS sym,
+               CAST(round(value, 2) AS VARCHAR) || ' ' ||
+               CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS raw
+        FROM events
+    )
+    WHERE CASE WHEN sym = 'EOS'
+               THEN contains(CAST(CAST(round(value, 2) AS DOUBLE) AS VARCHAR), '5')
+               ELSE contains(raw, '5') END
+    ORDER BY event_id LIMIT 1000
+    """,
+    "T1 asset filter on a MISMATCHED symbol runs against the raw "
+    "string, not NULL (common_functions.ts:294-299 coerces only on "
+    "symbol match; r12 ADVICE)",
+)
+def stream_filter_asset_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``contains '5'`` under ``asset=EOS``: EOS rows compare against
+    the parsed amount's rendering, SYS rows against the RAW
+    ``"<amount> SYS"`` string — the reference only rewrites
+    fieldValue=parseFloat(amount) when the split symbol equals
+    filter.asset; otherwise the operator sees the string unchanged."""
+    ev = _t(spark, sf_dir)["events"]
+    assetized = ev.withColumn(
+        "quantity",
+        F.concat(
+            F.round("value", 2).cast("string"),
+            F.lit(" "),
+            F.when(F.col("event_id") % 2 == 0, "EOS").otherwise("SYS"),
+        ),
+    )
+    flt = RequestFilter("quantity", "5", "contains", asset="EOS")
+    req = StreamRequest(filters=(flt,))
+    return (
+        assetized.where(compile_request(assetized, req))
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@register(
     "v1_pos_offset_tail",
     """
     SELECT event_id, user_id, event_type
