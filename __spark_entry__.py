@@ -44,6 +44,9 @@ _SNAPSHOT_FIRST = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_bloom_probe",
+    # the round-13 asset-mismatch semantics row (r12 ADVICE fix) gets
+    # driver-gated, not just self-sweep-gated
+    "stream_filter_asset_mismatch",
 ]
 
 
