@@ -47,6 +47,18 @@ _SNAPSHOT_FIRST = [
     # the round-13 asset-mismatch semantics row (r12 ADVICE fix) gets
     # driver-gated, not just self-sweep-gated
     "stream_filter_asset_mismatch",
+    # round-14: the two new asset JS-semantics rows (r13 ADVICE fixes
+    # — Number#toString rendering + lexicographic string-vs-string
+    # relational on the mismatch path) are driver-hash-gated in the
+    # round they land
+    "stream_filter_asset_js_render",
+    "stream_filter_asset_lex_relational",
+    # round-14 rotation (r13 VERDICT item 7): the subtlest
+    # reference-parity rows — the bug-#148 ordinal regroup and the
+    # J1/W2 ABI as-of join — move from judge-green-only into the
+    # driver window
+    "hyp_trx_regroup",
+    "abi_asof_join",
 ]
 
 

@@ -91,12 +91,12 @@ def get_actions_with_envelope(
     # round-9 manifest e2e suite, pagination contract)
     page = apply_query(log, params, seq_field=seq_field, **query_kw)
     actions = [r.asDict(recursive=True) for r in page.collect()]
-    # lib is None = checkLib not requested; lib == 0 = requested but the
-    # watermark hasn't advanced yet. The reference stamps
-    # ``irreversible: false`` whenever checkLib is true, even at lib 0
-    # (get_actions.ts:118 runs for every simple action once checkLib
-    # resolved) — so test for None, not truthiness.
-    if simple and lib is not None:
+    # get_actions.ts:118 is a ternary: ``irreversible: response.lib
+    # !== 0 ? block_num < lib : undefined`` — at lib==0 the value is
+    # ``undefined`` and JSON.stringify DROPS the key entirely, so the
+    # flag only appears once the watermark has advanced. Truthiness
+    # (not an is-None test) is the reference-faithful gate.
+    if simple and lib:
         for a in actions:
             if seq_field in a:
                 a["irreversible"] = a[seq_field] < lib

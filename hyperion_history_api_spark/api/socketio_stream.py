@@ -92,10 +92,17 @@ class LiveRelay:
     one poll interval), exactly as a socket attaching mid-trace-fanout
     misses the in-flight trace."""
 
-    def __init__(self, api, poll_sec: float, max_queue: int = 50_000) -> None:
+    def __init__(
+        self,
+        api,
+        poll_sec: float,
+        max_queue: int = 50_000,
+        window_cap: int = 50_000,
+    ) -> None:
         self.api = api
         self.poll_sec = poll_sec
         self.max_queue = max_queue
+        self.window_cap = window_cap
         self._lock = threading.Lock()
         self._subs: dict[str, dict] = {}  # reqUUID -> conn/kind/req/head
         self._queues: dict[int, deque] = {}
@@ -246,7 +253,10 @@ class LiveRelay:
             stream_kind = "deltas" if kind == "delta" else "actions"
             try:
                 rows, cur = self.api.live_tagged_rows(
-                    reqs, cursors.get(kind, 0), stream_kind
+                    reqs,
+                    cursors.get(kind, 0),
+                    stream_kind,
+                    window_cap=self.window_cap,
                 )
             except Exception as e:  # lake mid-swap: retry next tick
                 self.last_error = e
@@ -270,6 +280,33 @@ class LiveRelay:
                 self._cursor[kind] = max(
                     cur, self._cursor.get(kind, 0)
                 )
+                # Catch-up progress signal (round-14): when the
+                # window cap chunked this tick (cursor still behind
+                # the head after a deep rewind / stale cursor), tell
+                # every subscribed client how far the relay has
+                # transmitted — the lastTransmittedBlock analog of
+                # the reference's chunked history fill
+                # (socketManager.ts:584-615) — so a client can
+                # distinguish multi-tick backlog from live tail.
+                try:
+                    head = self.api.head_block()
+                except Exception:
+                    head = cur
+                if self._cursor[kind] < head:
+                    status = {
+                        "kind": kind,
+                        "lastTransmittedBlock": self._cursor[kind],
+                        "headBlock": head,
+                    }
+                    kind_conns = {
+                        s["conn"]
+                        for s in snapshot.values()
+                        if s["kind"] == kind
+                    }
+                    for cid in kind_conns:
+                        q = self._queues.get(cid)
+                        if q is not None and len(q) < self.max_queue:
+                            q.append(("status", status, []))
 
 #: engine.io packet types
 EIO_OPEN, EIO_CLOSE, EIO_PING, EIO_PONG, EIO_MESSAGE = "0", "1", "2", "3", "4"
@@ -684,6 +721,28 @@ class SocketIOStreamServer(CappedWsServer):
                     emit(
                         d.get("event", "control"),
                         {"chain_id": self.chain_id, **d.get("data", {})},
+                    )
+                    continue
+                if kind == "status":
+                    # capped-tick catch-up progress: mode stays
+                    # "live" but the message carries how far the
+                    # relay has transmitted vs the head, mirroring
+                    # the reference's lastTransmittedBlock fill loop
+                    # (socketManager.ts:584-615)
+                    maybe_ping()
+                    emit(
+                        "message",
+                        {
+                            "type": "catchup",
+                            "mode": "live",
+                            "kind": d["kind"],
+                            "message": {
+                                "lastTransmittedBlock": d[
+                                    "lastTransmittedBlock"
+                                ],
+                                "headBlock": d["headBlock"],
+                            },
+                        },
                     )
                     continue
                 targets = [u for u in targets if u in my_live]

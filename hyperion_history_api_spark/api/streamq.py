@@ -130,7 +130,11 @@ def stream_filter_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     WHERE CASE WHEN sym = 'EOS'
-               THEN contains(CAST(CAST(round(value, 2) AS DOUBLE) AS VARCHAR), '5')
+               THEN contains(
+                   CASE WHEN round(value, 2) = floor(round(value, 2))
+                        THEN CAST(CAST(round(value, 2) AS BIGINT) AS VARCHAR)
+                        ELSE CAST(CAST(round(value, 2) AS DOUBLE) AS VARCHAR)
+                   END, '5')
                ELSE contains(raw, '5') END
     ORDER BY event_id LIMIT 1000
     """,
@@ -160,6 +164,106 @@ def stream_filter_asset_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "value")
         .orderBy("event_id")
         .limit(1000)
+    )
+
+
+def _assetized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + a synthetic ``"<amount> <symbol>"`` quantity column
+    (EOS on even ids, SYS on odd) — the shared fixture for the asset
+    filter-semantics rows."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.withColumn(
+        "quantity",
+        F.concat(
+            F.round("value", 2).cast("string"),
+            F.lit(" "),
+            F.when(F.col("event_id") % 2 == 0, "EOS").otherwise("SYS"),
+        ),
+    )
+
+
+@register(
+    "stream_filter_asset_js_render",
+    """
+    SELECT event_id, value
+    FROM (
+        SELECT event_id, value, round(value, 2) AS amt,
+               CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS sym,
+               CAST(round(value, 2) AS VARCHAR) || ' ' ||
+               CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS raw
+        FROM events
+    )
+    WHERE CASE WHEN sym = 'EOS'
+               THEN contains(
+                   CASE WHEN amt = floor(amt)
+                        THEN CAST(CAST(amt AS BIGINT) AS VARCHAR)
+                        ELSE CAST(CAST(amt AS DOUBLE) AS VARCHAR) END,
+                   '.')
+               ELSE contains(raw, '.') END
+    ORDER BY event_id LIMIT 2000
+    """,
+    "T1 asset string-op renders the parsed amount like JS "
+    "Number#toString: integral doubles print with no '.0', so "
+    "contains('.') misses them (common_functions.ts:296-297 parseFloat"
+    " + :319-321 string ops; r13 ADVICE)",
+)
+def stream_filter_asset_js_render(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``contains "."`` under ``asset=EOS``: a matched integral amount
+    (parseFloat('150.0000') -> 150) renders as ``"150"`` — no decimal
+    point, no match — while the raw ``"150.0 SYS"`` mismatch string
+    keeps its point and matches. Hash-gates the JS-number-rendering
+    branch of the asset compiler (streaming/filters.py)."""
+    assetized = _assetized_events(spark, sf_dir)
+    flt = RequestFilter("quantity", ".", "contains", asset="EOS")
+    req = StreamRequest(filters=(flt,))
+    return (
+        assetized.where(compile_request(assetized, req))
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@register(
+    "stream_filter_asset_lex_relational",
+    """
+    SELECT event_id, value
+    FROM (
+        SELECT event_id, value, round(value, 2) AS amt,
+               CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS sym,
+               CAST(round(value, 2) AS VARCHAR) || ' ' ||
+               CASE WHEN event_id % 2 = 0 THEN 'EOS' ELSE 'SYS' END AS raw
+        FROM events
+    )
+    WHERE CASE WHEN sym = 'EOS'
+               THEN amt >= 20.0
+               ELSE raw >= '20' END
+    ORDER BY event_id LIMIT 2000
+    """,
+    "T1 asset relational with a STRING filter value: matched amounts "
+    "coerce the value to number (JS number>=string), MISMATCHED raw "
+    "strings compare lexicographically (JS string>=string; "
+    "common_functions.ts:305-316; r13 ADVICE)",
+)
+def stream_filter_asset_lex_relational(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``gte "20"`` (string value) under ``asset=EOS``: EOS amounts
+    compare numerically against 20; SYS raw strings compare
+    LEXICOGRAPHICALLY against ``"20"`` — ``"6.55 SYS" >= "20"`` is
+    true ('6' > '2'), ``"12.31 SYS"`` is false — exactly JS's
+    string-vs-string relational. Hash-gates the value-type split in
+    the asset compiler's relational branch."""
+    assetized = _assetized_events(spark, sf_dir)
+    flt = RequestFilter("quantity", "20", "gte", asset="EOS")
+    req = StreamRequest(filters=(flt,))
+    return (
+        assetized.where(compile_request(assetized, req))
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .limit(2000)
     )
 
 

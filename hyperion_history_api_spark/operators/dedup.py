@@ -79,7 +79,17 @@ def collapse_exact(
     exchange was the single largest leg of minhash_lsh_pairs. The
     second scan of the source is the trade — at 100 TB two columnar
     scans beat one full-corpus shuffle (shuffle = write + read + net;
-    scans prune to (id, text) and stream)."""
+    scans prune to (id, text) and stream).
+
+    DETERMINISM REQUIREMENT (the price of the two-pass shape): ``df``'s
+    lineage is traversed twice — once for the fp exchange, once for
+    the rep-text semi-join — so it must re-evaluate to the same rows
+    both times. Pure scans/filters/projections qualify; a
+    nondeterministic upstream (``sample()``, ``limit`` without an
+    order, ``rand()``-derived filters) can make the second pass miss
+    rep ids or fetch different text. Cache or checkpoint such inputs
+    before calling (``df.cache()`` / ``localCheckpoint()``); every
+    in-repo caller feeds a deterministic parquet scan + filter."""
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     src = df.select(F.col(id_col), F.col(text_col))
     keyed = (

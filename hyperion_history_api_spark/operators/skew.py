@@ -163,7 +163,7 @@ def choose_join_strategy(
     dim_rows: int | None = None,
     fact_rows: int | None = None,
     broadcast_payoff: float = 4.0,
-    fact_floor_rows: int = 4_000_000,
+    fact_floor_rows: int = 5_000_000,
 ) -> tuple[DataFrame, str]:
     """Pick broadcast / salted / shuffle for this join and return
     ``(joined_df, strategy)``.
@@ -192,11 +192,15 @@ def choose_join_strategy(
        floor (``fact_rows >= fact_floor_rows`` — below it the whole
        fact exchange costs less than the broadcast build itself, the
        "scan dominates" serving-page regime; measured crossover on
-       local[32] sits between a 1.5M-row fact, where shuffle-hash
-       wins by the build latency, and a 6M-row fact, where broadcast
-       wins outright — 4M is the midpoint, and a cluster deployment
-       recalibrates it from its own build-latency / shuffle-IO-rate
-       constants). Failing either part takes ``shuffle_hash``.
+       local[32] sits between a 4.5M-row fact, where shuffle-hash
+       still wins — the r13 sf3 account_profiles A/B,
+       JOIN_CHOOSER_BENCH_r13.json: shuffle_hash 0.58 s vs broadcast
+       0.84 s on a 4.5M-row orders fact — and a 6M-row fact, where
+       broadcast wins outright (the r8 measurement); 5M is the
+       bracket midpoint, refined round-14 from the earlier [1.5M, 6M]
+       guess of 4M, and a cluster deployment recalibrates it from its
+       own build-latency / shuffle-IO-rate constants). Failing either
+       part takes ``shuffle_hash``.
        Callers inject ``fact_rows`` from catalog stats exactly like
        ``dim_rows``; when absent the gate is size-only (the
        pre-round-8 behavior: never worse, just blinder).

@@ -41,6 +41,19 @@ _OPERATORS = frozenset(
 )
 
 
+def _js_str(value) -> str:
+    """JS ``String(value)`` for wire filter values: booleans render
+    lowercase (``true``, not Python's ``True``) and integral numbers
+    drop the decimal point (``String(100.0)`` is ``'100'``) — the
+    reference's string ops run ``String(filter.value)``
+    (common_functions.ts:319-327)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float) and value == int(value) and abs(value) < 1e21:
+        return str(int(value))
+    return str(value)
+
+
 @dataclass(frozen=True)
 class RequestFilter:
     """One field filter of a stream subscription
@@ -144,6 +157,12 @@ def compile_filter(
     """
     if flt.operator not in _OPERATORS:
         raise ValueError(f"unknown operator {flt.operator!r}")
+    # checkMetaFilter's outer gate is `if (filter.field && filter.value)`
+    # (common_functions.ts:261): a FALSY filter value (0, '', false)
+    # makes the whole filter a non-match in the reference — compile to
+    # a constant, don't run the operator
+    if flt.value == 0 or flt.value == "" or flt.value is False:
+        return F.lit(False)
     col, is_json, gate = _resolve_field(df, flt.field, json_fallback_col, action_col)
     value: Column = F.lit(flt.value)
     # Type-mismatch discipline (round-11, refined round-12 to match
@@ -187,14 +206,44 @@ def compile_filter(
         symbol_ok = F.coalesce(
             F.get(parts, 1) == F.lit(flt.asset), F.lit(False)
         )
-        amount = F.get(parts, 0).try_cast("double")
+        # parseFloat semantics, not bare try_cast: JS parses the
+        # longest numeric PREFIX ("12.31x" -> 12.31, "0x10" -> 0,
+        # "1.2.3" -> 1.2, "Infinity" included), where try_cast is
+        # all-or-nothing. regexp_extract returns '' on no prefix ->
+        # try_cast NULL (JS NaN: all compares false). nanvl: a literal
+        # "NaN"-casting value would NaN-sort ABOVE everything in
+        # Spark's comparison order — JS NaN comparisons are uniformly
+        # false, so fold NaN into the NULL (-> coalesce False) path.
+        amount = F.nanvl(
+            F.regexp_extract(
+                F.get(parts, 0),
+                r"^[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)",
+                0,
+            ).try_cast("double"),
+            F.lit(None).cast("double"),
+        )
         raw = col
         if string_op:
-            # match side: parseFloat stringifies through the compare
-            # (JS would TypeError here; the decimal rendering is the
-            # closest total analog); mismatch side: the raw string
-            s = F.when(symbol_ok, amount.cast("string")).otherwise(raw)
-            sv = str(flt.value)
+            # match side: parseFloat yields a JS NUMBER; the reference
+            # strictly TypeErrors on (number).includes — the total
+            # analog keeps the compare but renders the number the way
+            # JS Number#toString would: integral doubles print with no
+            # trailing ".0" (and no Spark 1.0E7 scientific form), so
+            # contains/starts_with/ends_with "1" on "1.0000 EOS" sees
+            # "1", never "1.0" (r13 ADVICE). try_cast: a >38-digit
+            # integral double overflows the decimal render — fall back
+            # to the Spark rendering rather than throw mid-scan (JS
+            # would print 1e+39; documented residual divergence along
+            # with the no-throw behavior itself).
+            js_num = F.coalesce(
+                F.when(
+                    amount % 1 == 0,
+                    amount.try_cast("decimal(38,0)").cast("string"),
+                ),
+                amount.cast("string"),
+            )
+            s = F.when(symbol_ok, js_num).otherwise(raw)
+            sv = _js_str(flt.value)
             if op == "contains":
                 asset_pred = s.contains(F.lit(sv))
             elif op == "starts_with":
@@ -202,34 +251,61 @@ def compile_filter(
             else:
                 asset_pred = s.endswith(sv)
         elif relational:
-            # loose numeric both sides: parsed amount on match, raw
-            # try_cast on mismatch (NaN/unparseable -> NULL -> false,
-            # same as JS NaN comparisons). Documented micro-divergence:
-            # JS string-vs-string relational is lexicographic; a
-            # string-typed filter value against an unmatched asset
-            # string compares numerically here.
-            c = F.when(symbol_ok, amount).otherwise(raw.try_cast("double"))
+            # loose JS relational, split by the FILTER value's type
+            # (r13 ADVICE): a NUMERIC filter value coerces the raw
+            # side to number on both paths (JS number-vs-string ->
+            # ToNumber; NaN/unparseable -> NULL -> false); a STRING
+            # filter value coerces only against the matched
+            # (parseFloat'd) amount — on the MISMATCH path JS compares
+            # string-vs-string LEXICOGRAPHICALLY ('100' >= '20' is
+            # false in JS), so the raw side stays a string there.
             try:
-                v = F.lit(float(flt.value))
+                _fv = float(flt.value)
+                # Number("NaN") is NaN; NaN relationals are false in
+                # JS but NaN-sorts-high in Spark — force the NULL path
+                v = (
+                    F.lit(None).cast("double")
+                    if _fv != _fv
+                    else F.lit(_fv)
+                )
             except (TypeError, ValueError):
                 v = F.lit(None).cast("double")
-            if op == "gt":
-                asset_pred = c > v
-            elif op == "gte":
-                asset_pred = c >= v
-            elif op == "lt":
-                asset_pred = c < v
+
+            def _rel(lhs: Column, rhs: Column) -> Column:
+                return {
+                    "gt": lhs > rhs,
+                    "gte": lhs >= rhs,
+                    "lt": lhs < rhs,
+                    "lte": lhs <= rhs,
+                }[op]
+
+            if isinstance(flt.value, str):
+                asset_pred = F.when(symbol_ok, _rel(amount, v)).otherwise(
+                    _rel(raw, F.lit(flt.value))
+                )
             else:
-                asset_pred = c <= v
+                c = F.when(symbol_ok, amount).otherwise(
+                    F.nanvl(
+                        raw.try_cast("double"), F.lit(None).cast("double")
+                    )
+                )
+                asset_pred = _rel(c, v)
         elif op == "eq":
             # strict ===: coerced double can only equal a numeric
-            # filter value; the raw string only a string value
-            if num_val:
+            # filter value; the raw string only a string value; a BOOL
+            # value equals neither (JS 'x' === true is false — never
+            # Python's str(True) == "True" rendering)
+            if isinstance(flt.value, bool):
+                asset_pred = F.lit(False)
+            elif num_val:
                 asset_pred = symbol_ok & (amount == F.lit(float(flt.value)))
             else:
                 asset_pred = (~symbol_ok) & (raw == F.lit(str(flt.value)))
         else:  # ne, strict !==
-            if num_val:
+            if isinstance(flt.value, bool):
+                # !== a bool is true wherever the field exists
+                asset_pred = raw.isNotNull()
+            elif num_val:
                 # matched-but-unparseable amount is JS NaN; NaN !== n
                 # is true, hence the coalesce(True) on the match side
                 asset_pred = F.when(
@@ -288,11 +364,11 @@ def compile_filter(
     elif op == "lte":
         pred = col <= value
     elif op == "contains":
-        pred = str_col.cast("string").contains(F.lit(str(flt.value)))
+        pred = str_col.cast("string").contains(F.lit(_js_str(flt.value)))
     elif op == "starts_with":
-        pred = str_col.cast("string").startswith(str(flt.value))
+        pred = str_col.cast("string").startswith(_js_str(flt.value))
     else:  # ends_with
-        pred = str_col.cast("string").endswith(str(flt.value))
+        pred = str_col.cast("string").endswith(_js_str(flt.value))
     # NULL field => no match (reference: missing field fails a truthy value)
     pred = F.coalesce(pred, F.lit(False))
     if gate is not None:

@@ -181,13 +181,13 @@ def test_v1_get_actions_stamps_lib_unconditionally(lib_server):
     assert body["last_irreversible_block"] == 57
 
 
-def test_simple_actions_irreversible_false_at_lib_zero(
+def test_simple_actions_irreversible_absent_at_lib_zero(
     spark, tmp_path
 ):
-    """checkLib with a zero watermark still stamps ``irreversible:
-    false`` on every simple action (get_actions.ts:118 runs whenever
-    checkLib resolved, even to 0) — r12 ADVICE: lib==0 must not drop
-    the key."""
+    """checkLib with a zero watermark emits NO ``irreversible`` key:
+    get_actions.ts:118 is ``response.lib !== 0 ? block_num < lib :
+    undefined`` and JSON.stringify drops undefined-valued keys — so at
+    lib==0 the key is absent, not false (r13 ADVICE high)."""
     import shutil
 
     from hyperion_history_api_spark.api.http_server import (
@@ -216,7 +216,7 @@ def test_simple_actions_irreversible_false_at_lib_zero(
         assert body["lib"] == 0
         assert body["simple_actions"]
         for a in body["simple_actions"]:
-            assert a["irreversible"] is False
+            assert "irreversible" not in a
     finally:
         srv.shutdown()
 

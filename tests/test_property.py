@@ -443,3 +443,199 @@ def test_filter_type_mismatch_never_throws(spark):
     # relational coerces "100" >= 10 -> MATCH; "click" -> NaN -> no
     # match, no throw.
     assert ids(RequestFilter("event_type", 10, "gte", asset="EOS")) == [2]
+
+
+# ------------------------------------------- asset-filter JS-model net
+
+# The asset compare (common_functions.ts:294-331) has a small set of
+# DOCUMENTED divergences from exact JS semantics (streaming/filters.py
+# asset branch). This net evaluates the compiled predicate against a
+# faithful Python model of the JS code over a corpus x operator x
+# value-type grid and asserts the divergence set is EXACTLY the
+# documented classes — if a change silently widens it, this fails.
+
+_THROW = "THROW"
+
+
+def _js_parse_float(tok: str) -> float:
+    """JS parseFloat: longest numeric prefix, NaN if none."""
+    import re as _re
+
+    m = _re.match(r"[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)", tok)
+    if not m:
+        return float("nan")
+    t = m.group(0)
+    if t.endswith("Infinity"):
+        return float("-inf") if t.startswith("-") else float("inf")
+    return float(t)
+
+
+def _js_to_number(s: str) -> float:
+    """JS Number(string): whole-string parse, '' -> 0, else NaN."""
+    import re as _re
+
+    t = s.strip()
+    if t == "":
+        return 0.0
+    if _re.fullmatch(r"[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)", t):
+        if t.lstrip("+-") == "Infinity":
+            return float("-inf") if t.startswith("-") else float("inf")
+        return float(t)
+    if _re.fullmatch(r"0[xX][0-9a-fA-F]+", t):
+        return float(int(t, 16))
+    return float("nan")
+
+
+def _js_render_num(n: float) -> str:
+    """JS Number#toString for the corpus range."""
+    if n != n:
+        return "NaN"
+    if n == float("inf"):
+        return "Infinity"
+    if n == float("-inf"):
+        return "-Infinity"
+    if n == int(n) and abs(n) < 1e21:
+        return str(int(n))
+    return repr(n)
+
+
+def _js_meta_asset(fv, op: str, value, asset: str = "EOS"):
+    """Python model of checkMetaFilter's asset path
+    (common_functions.ts:261,294-331): outer falsy-value gate, falsy
+    fieldValue -> !value, parseFloat only on symbol match, strict
+    eq/ne, JS loose/lexicographic relationals, String() ops (which
+    TypeError on a parsed number -> _THROW)."""
+    from hyperion_history_api_spark.streaming.filters import _js_str
+
+    if value == 0 or value == "" or value is False:
+        return False  # outer `filter.value` gate (truthy test)
+    if fv is None or fv == "":
+        return False  # `if (!fieldValue) return !filter.value`
+    out = fv
+    parts = fv.split(" ")
+    if len(parts) > 1 and parts[1] == asset:
+        out = _js_parse_float(parts[0])
+    isnum = isinstance(out, float)
+    num_val = isinstance(value, (int, float)) and not isinstance(value, bool)
+    if op in ("eq", "ne"):
+        if isnum:
+            strict_eq = num_val and out == value
+        else:
+            strict_eq = isinstance(value, str) and out == value
+        return strict_eq if op == "eq" else not strict_eq
+    if op in ("gt", "gte", "lt", "lte"):
+        if not isnum and isinstance(value, str):
+            a, b = out, value  # JS string-vs-string: lexicographic
+        else:
+            a = out if isnum else _js_to_number(out)
+            if num_val:
+                b = float(value)
+            elif value is True:
+                b = 1.0
+            else:
+                b = _js_to_number(str(value))
+            if a != a or b != b:
+                return False  # NaN relationals
+        return {
+            "gt": a > b, "gte": a >= b, "lt": a < b, "lte": a <= b
+        }[op]
+    if isnum:
+        return _THROW  # (number).includes / startsWith / endsWith
+    sv = _js_str(value)
+    if op == "contains":
+        return sv in out
+    if op == "starts_with":
+        return out.startswith(sv)
+    return out.endswith(sv)
+
+
+def _strop_analog(out: float, op: str, value) -> bool:
+    """The engine's documented no-throw analog for string ops on a
+    parsed (matched-symbol) amount: compare against the JS number
+    rendering; unparseable (NaN) amounts never match."""
+    from hyperion_history_api_spark.streaming.filters import _js_str
+
+    if out != out:
+        return False
+    r = _js_render_num(out)
+    sv = _js_str(value)
+    if op == "contains":
+        return sv in r
+    if op == "starts_with":
+        return r.startswith(sv)
+    return r.endswith(sv)
+
+
+def test_asset_filter_js_divergence_net(spark):
+    """Every (corpus x op x value) disagreement between the compiled
+    asset predicate and the JS model falls in EXACTLY the documented
+    divergence classes: (1) string ops on a matched symbol — JS
+    TypeErrors, we run the no-throw rendered-number analog; (2) falsy
+    ('' / NULL-like) field values — JS coerces to missing, we only
+    treat NULL as missing (module docstring). Anything else is a
+    regression."""
+    from hyperion_history_api_spark.streaming.filters import (
+        RequestFilter,
+        compile_filter,
+    )
+
+    corpus = [
+        "150.0000 EOS", "123.45 EOS", "0.0001 EOS", "-5.5 EOS",
+        "1e3 EOS", "abc EOS", "12.31x EOS", "0x10 EOS", "Infinity EOS",
+        "NaN EOS", "0 EOS", "6.55 SYS", "12.31 SYS", "200 SYS",
+        "NaN SYS", "100 WAX", "100", "2 0 0 EOS", "", None,
+    ]
+    grid: list[tuple[str, object]] = []
+    for op in ("eq", "ne"):
+        for v in (150, 123.45, "150.0000 EOS", "6.55 SYS", "abc", True,
+                  1000):
+            grid.append((op, v))
+    for op in ("gt", "gte", "lt", "lte"):
+        for v in (20, "20", 123.45, "abc", "1e3", True, 0):
+            grid.append((op, v))
+    for v in (".", "5", "0", "Inf", "EOS", 100, 1.0, True):
+        grid.append(("contains", v))
+    for v in ("1", "15", "-", 6):
+        grid.append(("starts_with", v))
+    for v in ("0", "5", "SYS", 0.5):
+        grid.append(("ends_with", v))
+
+    df = spark.createDataFrame(
+        [(i, fv) for i, fv in enumerate(corpus)],
+        "rid long, quantity string",
+    )
+    cols = [
+        compile_filter(
+            df, RequestFilter("quantity", v, op, asset="EOS")
+        ).alias(f"c{i}")
+        for i, (op, v) in enumerate(grid)
+    ]
+    rows = {r["rid"]: r for r in df.select("rid", *cols).collect()}
+
+    # Spark's double rendering and JS Number#toString agree on this
+    # zone; outside it (e.g. 1e-4 -> "1.0E-4" vs "0.0001") the analog
+    # is checked for no-throw only (documented residual of class 1)
+    def render_agrees(n: float) -> bool:
+        return (
+            n != n
+            or abs(n) == float("inf")
+            or (n == int(n) and abs(n) < 1e15)
+            or 1e-3 <= abs(n) < 1e7
+        )
+
+    unexpected: list[tuple] = []
+    for i, (op, v) in enumerate(grid):
+        for rid, fv in enumerate(corpus):
+            eng = bool(rows[rid][f"c{i}"])
+            model = _js_meta_asset(fv, op, v)
+            if model is _THROW:
+                # class 1: no-throw analog on the parsed amount
+                out = _js_parse_float(fv.split(" ")[0])
+                if render_agrees(out) and eng != _strop_analog(out, op, v):
+                    unexpected.append((fv, op, v, eng, "analog-mismatch"))
+                continue
+            if eng != model:
+                if fv == "":  # class 2: falsy field value
+                    continue
+                unexpected.append((fv, op, v, eng, model))
+    assert unexpected == [], unexpected

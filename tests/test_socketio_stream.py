@@ -946,3 +946,52 @@ def test_slow_acker_on_one_subscription_does_not_stall_the_other(
             a_rows += len(m["messages"])
     assert a_done and a_rows > 0
     c.close()
+
+
+def test_relay_catchup_progress_across_capped_ticks(spark, tmp_path):
+    """A relay tick that hits the window cap queues a catch-up status
+    entry whose lastTransmittedBlock ADVANCES every tick until the
+    cursor reaches the head — the chunked-fill progress analog of
+    socketManager.ts:584-615 — and no status entry is queued once the
+    relay is live-tailing (cursor == head)."""
+    import shutil as _shutil
+
+    from hyperion_history_api_spark.api.socketio_stream import LiveRelay
+
+    lake = tmp_path / "catchuplake"
+    lake.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        _shutil.copy(f"{SF_DIR}/{t}.parquet", lake / f"{t}.parquet")
+    api = HyperionAPI(spark, str(lake), cache=ResponseCache(default_ttl=0))
+    head = api.head_block()
+    assert head > 30
+    cap = max(10, head // 4)
+    relay = LiveRelay(api, poll_sec=3600.0, window_cap=cap)
+    relay.close()  # no background thread: drive ticks synchronously
+    req, _ = api.parse_stream_request({})
+    relay.attach(1)
+    relay.register(1, "u1", "action", req, 0)
+
+    seen_progress: list[int] = []
+    for _ in range((head // cap) + 3):
+        relay._tick()
+        statuses = [
+            d for kind, d, _t in relay.drain(1) if kind == "status"
+        ]
+        if relay._cursor["action"] >= head:
+            # live-tailing tick: no catch-up signal
+            assert statuses == []
+            break
+        assert len(statuses) == 1, statuses
+        st = statuses[0]
+        assert st["kind"] == "action"
+        assert st["headBlock"] == head
+        assert st["lastTransmittedBlock"] == relay._cursor["action"]
+        seen_progress.append(st["lastTransmittedBlock"])
+    # it chunked: at least two capped ticks, strictly advancing
+    assert len(seen_progress) >= 2
+    assert seen_progress == sorted(set(seen_progress))
+    assert relay._cursor["action"] == head
