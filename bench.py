@@ -24,6 +24,13 @@ instead of silently inflating it (round-3 verdict what's-wrong #4):
   bench's own process tree, in cores-average over the timed span.
   Quiet host ~0; read any bench row with external_cpu_cores_avg >> 1
   as contaminated rather than regressed.
+- ``queries_engine_median`` (round-14, VERDICT r13 item 1): for rows
+  whose output exceeds 50k rows at this SF, the median of an
+  ENGINE-side materialization (count + full-width xxhash64 checksum,
+  one collected row) — the cost a real pipeline pays, separated from
+  the harness's driver-collect pickling. Collect-timed numbers remain
+  the primary cross-round protocol; absent at sf0.1 where every
+  headline output is small.
 """
 
 from __future__ import annotations
@@ -145,9 +152,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    engine_medians: dict[str, float] = {}
+
+    def _engine_materialize(df) -> None:
+        # count + full-width xxhash64 checksum, one collected row:
+        # every row evaluated engine-side, zero driver pickling
+        from pyspark.sql import functions as F
+
+        try:
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in df.columns]).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+            ).collect()
+        except Exception:
+            df.count()
+
     for name, spec in headline.items():
         df = spec.spark_fn(spark, sf_dir)
-        df.collect()  # warm
+        warm_rows = df.collect()  # warm
         _scrub()
         samples: list[float] = []
         for _ in range(RUNS):
@@ -157,6 +183,23 @@ def main() -> None:
         timings[name] = round(min(samples), 4)
         medians[name] = round(statistics.median(samples), 4)
         spreads[name] = round(max(samples) - min(samples), 4)
+        # Engine-side timing twin (round-14, VERDICT r13 item 1): when
+        # a row's OUTPUT is large enough that the harness collect()
+        # dominates wall (Python row pickling — something no 100 TB
+        # pipeline does; results land in tables/aggs), also time a
+        # count+checksum materialization. The collect-timed number
+        # stays the primary protocol (comparable across rounds); this
+        # secondary number is the engine's own cost. Only triggers at
+        # the scale replicas (sf0.1 headline outputs are all small).
+        if len(warm_rows) >= 50_000:
+            del warm_rows
+            _scrub()
+            esamples: list[float] = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                _engine_materialize(spec.spark_fn(spark, sf_dir))
+                esamples.append(time.perf_counter() - t0)
+            engine_medians[name] = round(statistics.median(esamples), 4)
     sentinel_after = _load_sentinel()
 
     # Ingest throughput (BASELINE part B: >= 10k events/s/core).
@@ -289,6 +332,11 @@ def main() -> None:
                 "ingest_events_per_sec": round(rows / ingest_sec),
                 "ingest_events_per_sec_per_core": round(rows / ingest_sec / cpus),
                 "stream_microbatch_sec": round(microbatch_sec, 4),
+                **(
+                    {"queries_engine_median": engine_medians}
+                    if engine_medians
+                    else {}
+                ),
             }
         )
     )

@@ -51,22 +51,87 @@ def _spark():
     return spark
 
 
-def _time_query(spark, name: str, n: int) -> dict:
+def _cpu_snapshot() -> tuple[int, int]:
+    """(whole-machine BUSY jiffies, this-process-tree jiffies) — reuse
+    bench.py's canary (idle+iowait excluded, LIVE descendant walk so
+    the Spark JVM child is ours, not "external"), read per SAMPLE here
+    so the artifact shows each timing's host state."""
+    import bench
+
+    return bench._cpu_snapshot()
+
+
+def _engine_materialize(df) -> None:
+    """Materialize every row ENGINE-side: count + full-width xxhash64
+    checksum, one collected row. This is what a 100 TB pipeline pays
+    for a large-output operator (the result lands in a table/agg, not
+    a driver pickle) — the collect-timed protocol additionally pays
+    Python row serialization of the whole output, which for
+    dedup_minhash_lsh at the sf3 replica is ~60% of wall
+    (r13 instrumentation)."""
+    from pyspark.sql import functions as F
+
+    try:
+        df.agg(
+            F.count(F.lit(1)),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in df.columns]).cast(
+                    "decimal(38,0)"
+                )
+            ),
+        ).collect()
+    except Exception:
+        df.count()
+
+
+def _time_query(spark, name: str, n: int, engine: bool = False) -> dict:
     from hyperion_history_api_spark import registry
 
     spec = registry.all_specs()[name]
-    for _ in range(2):
-        spec.spark_fn(spark, SF_DIR).collect()
-    samples = []
+    run = (
+        (lambda: _engine_materialize(spec.spark_fn(spark, SF_DIR)))
+        if engine
+        else (lambda: spec.spark_fn(spark, SF_DIR).collect())
+    )
+    run()
+    # result cardinality on the record: large-output rows are where
+    # collect-vs-engine timing diverges, and scale-step adjudication
+    # (output growth vs plan growth) needs the row counts
+    out_rows = spec.spark_fn(spark, SF_DIR).count()
+    hz = os.sysconf("SC_CLK_TCK")
+    ncpu = os.cpu_count() or 1
+    samples, canary = [], []
     for _ in range(n):
+        c0_total, c0_tree = _cpu_snapshot()
         t0 = time.perf_counter()
-        spec.spark_fn(spark, SF_DIR).collect()
-        samples.append(round(time.perf_counter() - t0, 4))
+        run()
+        dt = time.perf_counter() - t0
+        c1_total, c1_tree = _cpu_snapshot()
+        samples.append(round(dt, 4))
+        # EXTERNAL cores busy during THIS sample: whole-machine
+        # jiffies minus this process tree's (JVM included), per wall
+        # second. Quiet host ~0; >>1 marks the sample contaminated.
+        canary.append(
+            round(
+                max(
+                    0.0,
+                    ((c1_total - c0_total) - (c1_tree - c0_tree))
+                    / hz
+                    / max(dt, 1e-9),
+                ),
+                2,
+            )
+        )
     return {
         "samples": samples,
         "median": round(statistics.median(samples), 4),
         "min": min(samples),
         "max": max(samples),
+        "timing": "engine" if engine else "collect",
+        "result_rows": out_rows,
+        "busy_cores_per_sample": canary,
+        "host_cores": ncpu,
+        "loadavg": round(os.getloadavg()[0], 2),
     }
 
 
@@ -74,7 +139,7 @@ def main() -> None:
     mode = sys.argv[1]
     out: dict = {"mode": mode, "sf_dir": SF_DIR}
     spark = _spark()
-    if mode in ("isolated", "postwarm", "postwarm_scrub"):
+    if mode in ("isolated", "isolated_engine", "postwarm", "postwarm_scrub"):
         name = sys.argv[2]
         n = int(sys.argv[3]) if len(sys.argv) > 3 else 11
         out["query"] = name
@@ -96,7 +161,9 @@ def main() -> None:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(3)
-        out.update(_time_query(spark, name, n))
+        out.update(
+            _time_query(spark, name, n, engine=mode == "isolated_engine")
+        )
     elif mode == "ingest":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
         import shutil
