@@ -48,6 +48,48 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def hashed_word_shingles(tok_col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit n-gram shingle hashes from a MATERIALIZED
+    token-array column — the hashed twin of :func:`word_shingles`
+    without the per-shingle string build: ``xxhash64(t_i, .., t_i+n-1)``
+    hashes the n token fields directly. Tokens come from a ``\\s+``
+    split, so they cannot contain whitespace and the tuple hash is
+    injective exactly where the space-joined string was; short docs
+    (< n tokens) hash the whole token array (the one-shingle case).
+
+    Round-14 measurement (guide §1/§2.3): the old form
+    ``transform(word_shingles(text), s -> xxhash64(s))`` re-evaluated
+    the captured ``split(text)`` subexpression PER ELEMENT inside the
+    interpreted higher-order lambda (three ``element_at(split(..))``
+    per shingle position), then built and hashed a string per shingle.
+    Feeding a bound (post-exchange) token-array column and hashing the
+    token triple measured 3.5x faster on the shingle leg (0.60 ->
+    0.17 s at sf0.1, interleaved A/B). The input MUST be a bound
+    column, not an inline ``tokens()`` expression — projection
+    collapse would re-inline the split into every element evaluation.
+
+    Hash-space note: every in-repo consumer of hashed shingles (LSH
+    signatures, Jaccard-over-hashes verification, hashed
+    decontamination grams) derives from THIS helper, so the scheme is
+    consistent engine-wide; the DuckDB oracles re-derive grams from
+    text on their own side and never see these values. Jaccard over
+    distinct hashes equals Jaccard over shingle strings modulo 64-bit
+    collisions (~|union|^2/2^64 per pair — negligible, unchanged from
+    the string-hash scheme)."""
+    idx = F.sequence(F.lit(0), F.size(tok_col) - n)
+    return F.array_distinct(
+        F.when(
+            F.size(tok_col) >= n,
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(tok_col, i + k + 1) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.xxhash64(tok_col)))
+    )
+
+
 def normalized(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse
     whitespace, strip."""

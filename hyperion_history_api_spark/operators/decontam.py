@@ -37,18 +37,32 @@ def _grams(
     repartition: bool = False,
 ) -> DataFrame:
     src = df.select(F.col(id_col), F.col(text_col))
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if hashed:
+        # round-14: same token-triple hash space as
+        # dedup.hashed_shingles (functions.text.hashed_word_shingles)
+        # — hashed grams from the two operators MUST stay joinable
+        # (api/curation.py joins rep __h explodes against eval grams);
+        # skipping the per-gram string build is also the measured 3.5x
+        # shingle-leg win. The repartition sits BETWEEN the token
+        # split and the shingle lambda so the lambda reads a bound
+        # (exchange-materialized) token array — projection collapse
+        # would otherwise re-evaluate the split per element.
+        from ..functions.text import hashed_word_shingles, tokens
+
+        toks = src.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        if repartition:
+            toks = toks.repartition(npart, F.col(id_col))
+        return toks.select(
+            F.col(id_col),
+            F.explode(hashed_word_shingles(F.col("__t"), n)).alias("g"),
+        )
     if repartition:
         # compute parallelism must not be dictated by source file count
         # (a single parquet file would serialize the shingle pass)
-        npart = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
         src = src.repartition(npart, F.col(id_col))
     g = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g")
-    out = src.select(F.col(id_col), g)
-    if hashed:
-        out = out.select(id_col, F.xxhash64("g").alias("g"))
-    return out
+    return src.select(F.col(id_col), g)
 
 
 def decontaminate(

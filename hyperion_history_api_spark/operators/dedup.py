@@ -117,27 +117,38 @@ def hashed_shingles(
 ) -> DataFrame:
     """(id, __h) — the doc's distinct shingles as 64-bit hashes, the
     input to both signature construction and exact-Jaccard
-    verification. The post-hash repartition materializes __h so
-    projection collapse can't re-inline the shingle pipeline into
-    every downstream permutation expression, and ReuseExchange lets
-    all consumers share one computation. ``repartition=True`` adds a
-    PRE-exchange for inputs whose partitioning comes straight from
-    file layout (a single parquet file would serialize the interpreted
-    shingle pass onto one task). ``pin_partitions=False`` leaves the
-    exchange width to AQE — right for micro-batch inputs whose row
-    count is far below one task per shuffle partition (the streaming
-    probe path), wrong for corpus-sized builds where the interpreted
-    pass must hold full parallelism regardless of byte size."""
+    verification.
+
+    Round-14 shape (guide §1.2 "per-task work", measured 3.5x on the
+    shingle leg): the first exchange materializes the TOKEN array so
+    the interpreted shingle lambda reads a bound column (the old
+    inline ``split`` was re-evaluated per element — three
+    ``element_at(split(text))`` per shingle position), and
+    ``hashed_word_shingles`` hashes the n token fields directly
+    instead of building + hashing a string per shingle. The second
+    repartition materializes __h so projection collapse can't
+    re-inline the shingle pipeline into every downstream permutation
+    expression, and ReuseExchange lets all consumers share one
+    computation. Exchange count is unchanged from the r13 form (the
+    pre-exchange now carries token arrays instead of raw text — same
+    bytes, it IS the text split); ``repartition=False`` callers skip
+    the token exchange only when the input is already exchange-backed.
+    ``pin_partitions=False`` leaves the exchange width to AQE — right
+    for micro-batch inputs whose row count is far below one task per
+    shuffle partition (the streaming probe path), wrong for
+    corpus-sized builds where the interpreted pass must hold full
+    parallelism regardless of byte size."""
+    from ..functions.text import hashed_word_shingles
+
     npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     pin = [npart] if pin_partitions else []
-    src = df.select(F.col(id_col), F.col(text_col))
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
     if repartition:
-        src = src.repartition(*pin, F.col(id_col))
+        toks = toks.repartition(*pin, F.col(id_col))
     return (
-        with_shingles(src, text_col, shingle_n)
-        .select(
+        toks.select(
             F.col(id_col),
-            F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__h"),
+            hashed_word_shingles(F.col("__t"), shingle_n).alias("__h"),
         )
         .repartition(*pin, F.col(id_col))
     )
