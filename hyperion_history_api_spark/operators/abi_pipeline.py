@@ -199,7 +199,20 @@ def build_binary_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id * 7 + 3 AS points",
         "'note ' || event_type AS note",
     )
-    return scalars.withColumn(
+    # round-14 (guide §2.5 input skew): the events feed is ONE parquet
+    # file, so the scan is one partition and the whole Arrow
+    # encode/decode chain ran as a SINGLE serial Python task (plan:
+    # 1 job / 1 stage; measured 1.17 -> 0.74 s at sf0.1 after the
+    # fix). Hash-repartition on the sequence key spreads the Python
+    # work over the session's ACTUAL parallelism (defaultParallelism =
+    # total cores on any master, so the width adapts to whatever
+    # session the driver builds instead of pinning a local constant);
+    # callers' selective filters (action_name/event_type) still push
+    # below the exchange to the scan. AQE byte-based coalescing is
+    # deliberately not relied on: the cost here is Python compute per
+    # row, not bytes, so a tiny input must still fan out.
+    npart = max(spark.sparkContext.defaultParallelism, 2)
+    return scalars.repartition(npart, "global_sequence").withColumn(
         "abi_blob",
         _encode_blob(F.struct(*[f.name for f in _ENCODE_IN.fields])),
     )

@@ -160,15 +160,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= small_graph_edges:
+        # round-14: the union-find labels ALREADY cover every node of
+        # every edge (find() registers both endpoints), so the old
+        # nodes-join was a no-op that cost two exchanges (canon
+        # distinct + explode distinct) and a join per call — dropped.
+        return _driver_union_find(edges)
+
     nodes = _canon(edges).select(
         F.explode(F.array("u", "v")).alias("id")
     ).distinct()
-
-    if edges.count() <= small_graph_edges:
-        labels = _driver_union_find(edges)
-        return nodes.join(labels, "id", "left").select(
-            "id", F.coalesce("component", "id").alias("component")
-        )
 
     prev = _canon(edges).localCheckpoint()
     prev_stat = _stat(prev)

@@ -60,6 +60,13 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: (abspath) -> (fingerprint, ns-cols). Footer reads are driver-side
+#: syscall+parse work paid on EVERY query construction (10 tables per
+#: load_tables call); the stat-only fingerprint makes a hit exactly as
+#: fresh as re-reading the footer (round-14 constant-cost cut).
+_NS_COLS_CACHE: dict[str, tuple] = {}
+
+
 def _ns_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
     long (``spark.sql.legacy.parquet.nanosAsLong``); we restore
@@ -70,6 +77,21 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     or a DIRECTORY of parquet files (a growing spool/lake — e.g. the
     HTTP layer's live tail or the SHIP reader's spool); for a
     directory the schema comes from its first data file."""
+    import os
+
+    key = os.path.abspath(path)
+    fp = _path_fingerprint(path)
+    hit = _NS_COLS_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    cols = _ns_timestamp_cols_uncached(path)
+    if len(_NS_COLS_CACHE) >= _READ_CACHE_MAX:
+        _NS_COLS_CACHE.clear()
+    _NS_COLS_CACHE[key] = (fp, cols)
+    return cols
+
+
+def _ns_timestamp_cols_uncached(path: str) -> list[str]:
     import os
 
     if os.path.isdir(path):
