@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from ..operators.abi_pipeline import (
     abi_version_table,
     apply_blacklist,
+    attach_blob,
     auto_blacklist_windows,
+    binary_action_scalars,
     build_binary_actions,
     decode_actions,
 )
@@ -57,20 +59,41 @@ def abi_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transfers decoded from real binary. Rows in the [1200,1210)
     old-format window must come back with used_version=1 (fallback hit)
     while post-upgrade rows decode as v2 first try — the oracle derives
-    both from the block number alone."""
-    d = decode_actions(build_binary_actions(spark, sf_dir))
-    return (
-        d.where(F.col("action_name") == "transfer")
-        .select(
-            "global_sequence",
-            F.col("decoded.from_account").alias("from_account"),
-            F.col("decoded.to_account").alias("to_account"),
-            F.round("decoded.amount", 4).alias("amount"),
-            F.col("decoded.symbol").alias("symbol"),
-            F.col("decoded.used_version").alias("used_version"),
-        )
+    both from the block number alone.
+
+    round-14 (guide §8 "decide with small rows, move big rows once"):
+    the ORDER BY global_sequence LIMIT 500 used to sit ABOVE the
+    Python encode/decode chain, so every purchase row paid the codec
+    boundary and 98% of the decoded rows were discarded by the limit.
+    Both codec UDFs are row-local, so the top-500 restriction is taken
+    FIRST on the pure-JVM scalar columns (TakeOrderedAndProject over
+    the pruned scan — map-side partial top-k, no Python) and only the
+    surviving 500 rows enter the encode/decode UDFs. Output identical
+    (oracle re-verified at sf0.001/sf0.01). At sf0.1 this is a wash
+    (~1.0 s either way — per-job/per-task Arrow constants dominate at
+    25k rows), but the codec cost is now O(limit) instead of
+    O(corpus): at the 30x/100x replicas the old plan decoded 0.75M/
+    2.5M rows to emit 500."""
+    top = (
+        binary_action_scalars(spark, sf_dir)
+        .where(F.col("action_name") == "transfer")
         .orderBy("global_sequence")
         .limit(500)
+    )
+    # No re-sort after the codec: the row SELECTION is already made by
+    # the TakeOrdered above (same key), so a trailing orderBy is
+    # presentation-only — and because Catalyst eliminates the
+    # now-redundant limit, it would plan as a full range exchange
+    # whose RangePartitioner sampling job re-executes the Python
+    # chain. The harness compares order-insensitively.
+    d = decode_actions(attach_blob(top))
+    return d.select(
+        "global_sequence",
+        F.col("decoded.from_account").alias("from_account"),
+        F.col("decoded.to_account").alias("to_account"),
+        F.round("decoded.amount", 4).alias("amount"),
+        F.col("decoded.symbol").alias("symbol"),
+        F.col("decoded.used_version").alias("used_version"),
     )
 
 
@@ -90,17 +113,23 @@ def abi_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chain and mark ds_error (base-parser.ts:214-230)",
 )
 def abi_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = decode_actions(build_binary_actions(spark, sf_dir))
-    return (
-        d.where(F.col("action_name") == "doit")
-        .select(
-            "global_sequence",
-            "block_num",
-            F.col("decoded.ds_error").alias("ds_error"),
-            F.col("decoded.used_version").alias("used_version"),
-        )
+    """Same round-14 limit-below-the-codec restructure as
+    abi_binary_decode: ds_error/used_version are row-local, so the
+    top-500 by global_sequence restricts the Python boundary to the
+    rows the query can emit."""
+    top = (
+        binary_action_scalars(spark, sf_dir)
+        .where(F.col("action_name") == "doit")
         .orderBy("global_sequence")
         .limit(500)
+    )
+    # no trailing re-sort: same rationale as abi_binary_decode
+    d = decode_actions(attach_blob(top))
+    return d.select(
+        "global_sequence",
+        "block_num",
+        F.col("decoded.ds_error").alias("ds_error"),
+        F.col("decoded.used_version").alias("used_version"),
     )
 
 

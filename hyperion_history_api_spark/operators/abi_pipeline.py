@@ -170,15 +170,19 @@ def _encode_blob(rows: pd.DataFrame) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def build_binary_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic binary action rows: deterministic scalars (Antelope-
-    name-safe variants of the hyperion_model derivations) + the encoded
-    ``abi_blob``. The '0-9' -> name-charset translate keeps every
-    account a valid Antelope name."""
+def binary_action_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic scalar columns of :func:`build_binary_actions`
+    WITHOUT the encoded blob — pure JVM expressions over the events
+    scan. Exposed (round-14, guide §8 "decide with small rows") so
+    queries that only need a row SUBSET decoded can restrict on these
+    cheap columns first and pay the Python encode/decode boundary for
+    exactly the surviving rows: both codec UDFs are row-local (each
+    output row depends only on its own scalars), so filtering or
+    top-k-limiting before the blob attach is semantics-preserving."""
     from ..tables import load_tables
 
     ev = load_tables(spark, sf_dir)["events"]
-    scalars = ev.selectExpr(
+    return ev.selectExpr(
         "event_id AS global_sequence",
         "CAST(floor(event_id / 5) AS BIGINT) + 1 AS block_num",
         "CASE event_type WHEN 'purchase' THEN 'eosio.token' "
@@ -199,23 +203,37 @@ def build_binary_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id * 7 + 3 AS points",
         "'note ' || event_type AS note",
     )
-    # round-14 (guide §2.5 input skew): the events feed is ONE parquet
-    # file, so the scan is one partition and the whole Arrow
-    # encode/decode chain ran as a SINGLE serial Python task (plan:
-    # 1 job / 1 stage; measured 1.17 -> 0.74 s at sf0.1 after the
-    # fix). Hash-repartition on the sequence key spreads the Python
-    # work over the session's ACTUAL parallelism (defaultParallelism =
-    # total cores on any master, so the width adapts to whatever
-    # session the driver builds instead of pinning a local constant);
-    # callers' selective filters (action_name/event_type) still push
-    # below the exchange to the scan. AQE byte-based coalescing is
-    # deliberately not relied on: the cost here is Python compute per
-    # row, not bytes, so a tiny input must still fan out.
+
+
+def attach_blob(scalars: DataFrame) -> DataFrame:
+    """Attach the encoded ``abi_blob`` to scalar action rows.
+
+    round-14 (guide §2.5 input skew): the events feed is ONE parquet
+    file, so the scan is one partition and the whole Arrow
+    encode/decode chain ran as a SINGLE serial Python task (plan:
+    1 job / 1 stage; measured 1.17 -> 0.74 s at sf0.1 after the
+    fix). Hash-repartition on the sequence key spreads the Python
+    work over the session's ACTUAL parallelism (defaultParallelism =
+    total cores on any master, so the width adapts to whatever
+    session the driver builds instead of pinning a local constant);
+    callers' selective filters (action_name/event_type) still push
+    below the exchange to the scan. AQE byte-based coalescing is
+    deliberately not relied on: the cost here is Python compute per
+    row, not bytes, so a tiny input must still fan out."""
+    spark = scalars.sparkSession
     npart = max(spark.sparkContext.defaultParallelism, 2)
     return scalars.repartition(npart, "global_sequence").withColumn(
         "abi_blob",
         _encode_blob(F.struct(*[f.name for f in _ENCODE_IN.fields])),
     )
+
+
+def build_binary_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic binary action rows: deterministic scalars (Antelope-
+    name-safe variants of the hyperion_model derivations) + the encoded
+    ``abi_blob``. The '0-9' -> name-charset translate keeps every
+    account a valid Antelope name."""
+    return attach_blob(binary_action_scalars(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
