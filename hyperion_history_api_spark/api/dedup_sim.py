@@ -1032,8 +1032,16 @@ def doc_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).where(F.col("word").isin(terms))
-    df_t = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # round-14 (guide §2.4): df is DERIVED from the tf aggregate — tf
+    # has exactly one row per (doc, word) present, so count(*) per word
+    # equals count_distinct(doc_id) over the exploded stream. The old
+    # separate df leg re-ran the corpus scan + explode (different
+    # grouping key, so AQE stage reuse could not share it); now both
+    # references read the SAME tf subtree (canonically identical →
+    # one scan+explode+exchange at runtime) and the df exchange runs
+    # over the tiny query-term-only tf output.
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(df_t), "word")
         .crossJoin(F.broadcast(n_total))
@@ -1120,7 +1128,11 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("word")
     ).where(F.col("word").isin(terms))
     tf = w.groupBy("doc_id", "word", "dl").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    # df derived from tf (round-14, same rationale as doc_search_tfidf):
+    # (doc_id, word) is unique in tf (dl is functionally dependent on
+    # doc_id), so count(*) per word == count_distinct(doc_id) — one
+    # corpus scan+explode instead of two.
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
