@@ -144,15 +144,29 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture has no exact duplicates, so half the batch is a
     # simulated RE-INGEST: its fingerprints are already indexed —
     # those rows must bloom-hit (no false negatives), the rest must
-    # miss (modulo the deterministic false positives)
-    hist = fpd.where(F.col("doc_id") % 10 != 0).unionAll(
-        fpd.where(F.col("doc_id") % 20 == 0)
+    # miss (modulo the deterministic false positives).
+    # Round-14 (guide §2.3/§2.4): the two history branches are
+    # DISJOINT (doc_id%20==0 implies doc_id%10==0), so the unionAll is
+    # a single OR filter — one corpus scan + one fingerprint pass for
+    # history instead of two of each. The distinct-fp frame then feeds
+    # BOTH the bit-position build and the exact-membership broadcast:
+    # identical subtrees, so the distinct exchange is computed once
+    # and reused (ReuseExchange), where the old plan fingerprinted the
+    # history corpus twice more for the exact side (6 corpus scans ->
+    # 3), and the k md5 position hashes now run per DISTINCT
+    # fingerprint, not per history row.
+    hist_fps = (
+        fpd.where(
+            (F.col("doc_id") % 10 != 0) | (F.col("doc_id") % 20 == 0)
+        )
+        .select("fp")
+        .distinct()
     )
     batch = fpd.where(F.col("doc_id") % 10 == 0)
     probed = bloom_probe_join(
-        batch, bloom_positions(hist, "fp"), "fp", "doc_id"
+        batch, bloom_positions(hist_fps, "fp"), "fp", "doc_id"
     )
-    exact = hist.select("fp").distinct().withColumn("__h", F.lit(1))
+    exact = hist_fps.withColumn("__h", F.lit(1))
     # No final orderBy (round-14): presentation-only; harness compares
     # order-insensitively — saves a range exchange + sampling pass.
     return probed.join(F.broadcast(exact), "fp", "left").select(
@@ -750,16 +764,25 @@ def _dsir_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the resampling query."""
     docs = _t(spark, sf_dir)["documents"]
     w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    src = w.groupBy("word").agg(F.count(F.lit(1)).alias("sc"))
-    tgt = (
-        docs.where(F.col("lang") == "en")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
+    # Round-14 fusion (guide §2.3 aggregate-before-shuffle, §2.4): the
+    # source and target unigram counts are ONE conditional aggregation
+    # over a single tokenize pass — sc counts every occurrence, tc
+    # counts the lang='en' slice — instead of two separate explode+
+    # groupBy builds joined afterwards. Equivalence: the old left join
+    # kept exactly the source vocabulary (every corpus word) with
+    # tc coalesced to 0 for words absent from the 'en' slice, which is
+    # precisely sum(lang='en') over all occurrences; rows with NULL
+    # lang fall into the 0 branch on both forms. Drops one corpus
+    # tokenize/explode pass and the src-tgt join exchange.
     vocab = (
-        src.join(tgt, "word", "left")
-        .select("word", "sc", F.coalesce("tc", F.lit(0)).alias("tc"))
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("sc"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+            ).alias("tc"),
+        )
     )
     tot = vocab.agg(
         F.sum("sc").alias("sn"), F.sum("tc").alias("tn"),

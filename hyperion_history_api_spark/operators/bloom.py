@@ -112,10 +112,17 @@ def bloom_probe_join(
     pos_side = (
         F.broadcast(positions) if m * 24 <= 64 * 1024 * 1024 else positions
     )
+    # count(*) == k, not count_distinct(j): ``positions`` is a DISTINCT
+    # bit set (bloom_positions dedups), so each of the k probe rows of
+    # a doc matches at most one position row and (id, j) pairs are
+    # unique by construction — the distinct was a no-op that cost a
+    # whole extra exchange pair (expand + re-shuffle) in the plan
+    # (round-14, guide §2.4). Callers passing a non-distinct positions
+    # frame must dedup it first (the documented contract above).
     hits = (
         probe.join(pos_side, "pos")
         .groupBy(id_col)
-        .agg((F.count_distinct("j") == k).alias("bloom_hit"))
+        .agg((F.count(F.lit(1)) == k).alias("bloom_hit"))
     )
     return (
         batch.select(id_col, fp_col)
