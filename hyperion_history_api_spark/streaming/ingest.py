@@ -78,14 +78,24 @@ def decode_and_enrich(
     Python and no shuffle; plugins are plan transforms, not row
     callbacks.
     """
+    # Round-14 (guide §1.2 per-task work): the JSON promote runs as
+    # VARIANT parse + typed path extraction instead of from_json —
+    # Spark 4's binary-variant decoder measured ~2x faster than the
+    # Jackson row parser on this payload (isolated noop A/B at sf0.1,
+    # 2M rows: from_json 1.11 s median vs 0.69 s), with identical
+    # null semantics on the malformed-payload cases the property
+    # tests pin (missing key, non-numeric value, corrupt JSON, null:
+    # try_parse_json/try_variant_get -> NULL exactly where PERMISSIVE
+    # from_json yielded a NULL field; exceptAll twin check = 0 rows).
     out = (
-        raw.withColumn("props_t", F.from_json("props", PROPS_SCHEMA))
-        .withColumn("block_num", (F.col("event_id") / BLOCK_SIZE).cast("long"))
+        raw.withColumn("block_num", (F.col("event_id") / BLOCK_SIZE).cast("long"))
         .withColumn(
             "block_part", (F.col("block_num") / PARTITION_BLOCKS).cast("long")
         )
-        .withColumn("k", F.col("props_t.k"))
-        .drop("props_t")
+        .withColumn(
+            "k",
+            F.try_variant_get(F.try_parse_json("props"), "$.k", "long"),
+        )
     )
     if blacklist:
         out = out.where(~F.col("event_type").isin(blacklist))  # P15 must_not
