@@ -320,24 +320,47 @@ def make_ingest_sink(
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
-            # S5: append-only log, partitioned for pruning, sorted for
-            # top-K; per-batch subdir => replay-idempotent
-            (
-                batch.repartition("block_part")
-                .sortWithinPartitions("event_id")
-                .write.mode("overwrite")
-                .partitionBy("block_part")
-                .parquet(os.path.join(log_path, f"ingest_batch={batch_id}"))
-            )
-            # S6: latest-state upsert per user (updateByBlock semantics)
-            state.apply_batch(batch)
-            # A13: per-batch PARTIAL rollups (a block can straddle batch
-            # boundaries); read_block_rollups combines them at read time
-            (
-                block_rollups(batch)
-                .write.mode("overwrite")
-                .parquet(os.path.join(rollup_path, f"ingest_batch={batch_id}"))
-            )
+            # The three targets are mutually independent (separate
+            # output paths; each reads only the persisted batch), so
+            # their jobs are submitted from a thread pool and joined
+            # before the micro-batch commits — the scheduler back-fills
+            # one leg's straggler tail with the next leg's tasks
+            # instead of serializing three action rounds (guide §2.6;
+            # measured A/B below in the repo bench protocol). Safe on
+            # the shared persisted batch: BlockManager get-or-compute
+            # locks make concurrent first-computation of a cached
+            # partition single-writer.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _log() -> None:
+                # S5: append-only log, partitioned for pruning, sorted
+                # for top-K; per-batch subdir => replay-idempotent
+                (
+                    batch.repartition("block_part")
+                    .sortWithinPartitions("event_id")
+                    .write.mode("overwrite")
+                    .partitionBy("block_part")
+                    .parquet(os.path.join(log_path, f"ingest_batch={batch_id}"))
+                )
+
+            def _state() -> None:
+                # S6: latest-state upsert per user (updateByBlock)
+                state.apply_batch(batch)
+
+            def _rollup() -> None:
+                # A13: per-batch PARTIAL rollups (a block can straddle
+                # batch boundaries); read_block_rollups combines them
+                # at read time
+                (
+                    block_rollups(batch)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(rollup_path, f"ingest_batch={batch_id}"))
+                )
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [pool.submit(f) for f in (_log, _state, _rollup)]
+                for fut in futures:
+                    fut.result()  # re-raise the first leg failure
         finally:
             batch.unpersist()
 
