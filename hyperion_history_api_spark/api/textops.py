@@ -155,10 +155,18 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # history corpus twice more for the exact side (6 corpus scans ->
     # 3), and the k md5 position hashes now run per DISTINCT
     # fingerprint, not per history row.
+    # explicit isnotnull(fp): the exact-membership join pushes this
+    # null filter into ITS branch anyway; stating it on the shared
+    # frame keeps both consumer subtrees canonically identical so the
+    # distinct exchange is AQE-stage-reused instead of recomputed
+    # (verified in the executed plan), and it matches the oracle's
+    # null semantics (md5(NULL||..) is NULL there, so a null fp never
+    # contributes a bit position).
     hist_fps = (
         fpd.where(
             (F.col("doc_id") % 10 != 0) | (F.col("doc_id") % 20 == 0)
         )
+        .where(F.col("fp").isNotNull())
         .select("fp")
         .distinct()
     )
