@@ -126,8 +126,8 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``;
     component = the smallest node id reachable from it.
 
-    Size-adaptive: the edge count (known from the eager checkpoint)
-    picks either the driver union-find fast path (small graphs — the
+    Size-adaptive: the edge count (whose job also materializes the
+    lazy checkpoint) picks either the driver union-find fast path (small graphs — the
     common case for duplicate clusters) or the large-star/small-star
     contraction (arbitrarily large graphs). Both label a component by
     its minimum id, so the choice is invisible to callers.
@@ -158,7 +158,10 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the count() below materializes the checkpoint blocks in
+        # the SAME job, so every call saves one serialized job round
+        # (r14 A/B: 7 -> 6 jobs per small-graph call, deterministic)
+        .localCheckpoint(eager=False)
     )
     if edges.count() <= small_graph_edges:
         # round-14: the union-find labels ALREADY cover every node of
@@ -171,11 +174,14 @@ def connected_components(
         F.explode(F.array("u", "v")).alias("id")
     ).distinct()
 
-    prev = _canon(edges).localCheckpoint()
+    # Same fusion in the contraction loop: each round's stat probe
+    # materializes the lazily-marked edges + canon checkpoints as part
+    # of its own job (3 job rounds/iteration -> 1).
+    prev = _canon(edges).localCheckpoint(eager=False)
     prev_stat = _stat(prev)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        cur = _canon(edges).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        cur = _canon(edges).localCheckpoint(eager=False)
         cur_stat = _stat(cur)
         if cur_stat == prev_stat and cur.exceptAll(prev).limit(1).count() == 0:
             break

@@ -75,6 +75,47 @@ def test_random_graphs_match_union_find(spark):
         assert _cc(spark, edges) == _union_find(edges)
 
 
+def test_cc_accepts_unmaterialized_lazy_checkpoint_input(spark):
+    """The curation pipeline hands CC a pair frame that is itself a
+    NOT-yet-materialized lazy local checkpoint (rep_pairs in
+    operators/dedup.py); since round 14 CC's own edges checkpoint is
+    lazy too, so the size probe materializes both in one job. Labels
+    must match union-find on both the driver and distributed paths."""
+    edges = [(1, 2), (2, 3), (7, 8), (9, 9), (8, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").localCheckpoint(
+        eager=False
+    )
+    want = _union_find([(u, v) for u, v in edges if u != v])
+    got_small = {
+        (r["id"], r["component"]) for r in connected_components(df).collect()
+    }
+    df2 = spark.createDataFrame(edges, "id_a long, id_b long").localCheckpoint(
+        eager=False
+    )
+    got_dist = {
+        (r["id"], r["component"])
+        for r in connected_components(df2, small_graph_edges=0).collect()
+    }
+    assert got_small == want
+    assert got_dist == want
+
+
+def test_small_graph_probe_fuses_checkpoint_job(spark):
+    """Round-14 pin: the edges localCheckpoint is lazy, so the size
+    probe's count() materializes it inside its own job — a small-graph
+    CC call runs 4 jobs (probe + union-find collect, plus AQE's
+    sub-jobs), not 5 (an eager checkpoint adds a separate
+    materialization job round). Guards eagerness regressions."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    df = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    connected_components(df).collect()  # warm
+    sc.setJobGroup("cc-fuse-pin", "cc")
+    connected_components(df)
+    sc.setJobGroup("", "")
+    assert len(tracker.getJobIdsForGroup("cc-fuse-pin")) <= 4
+
+
 def test_max_iter_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
