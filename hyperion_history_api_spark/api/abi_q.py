@@ -86,7 +86,7 @@ def abi_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # now-redundant limit, it would plan as a full range exchange
     # whose RangePartitioner sampling job re-executes the Python
     # chain. The harness compares order-insensitively.
-    d = decode_actions(attach_blob(top))
+    d = decode_actions(attach_blob(top, n_est=500))
     return d.select(
         "global_sequence",
         F.col("decoded.from_account").alias("from_account"),
@@ -124,7 +124,7 @@ def abi_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
     )
     # no trailing re-sort: same rationale as abi_binary_decode
-    d = decode_actions(attach_blob(top))
+    d = decode_actions(attach_blob(top, n_est=500))
     return d.select(
         "global_sequence",
         "block_num",

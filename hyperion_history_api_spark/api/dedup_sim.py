@@ -990,6 +990,75 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, threshold=0.3).orderBy("vec_id")
 
 
+def _scored_search_tf_rows(
+    docs: DataFrame, terms: list[str], *, with_dl: bool
+) -> tuple[DataFrame, dict]:
+    """ONE corpus tokenize pass for the scored-search family (round-15,
+    r14 VERDICT item 1): per-doc term frequencies are computed with
+    array kernels over the split token array — ``size(filter(ws, = t))``
+    stays inside whole-stage codegen; no explode (no row per token), no
+    (doc, word)-keyed exchange of the token stream. The corpus-global
+    constants every scorer needs (N = doc count, sum(dl) for avgdl,
+    per-term df = docs containing the term) ride the SAME pass as
+    ``observe`` metrics — all exact integer aggregates, so they are
+    order-independent and bit-equal to the old dedicated aggregation
+    legs. Only docs matching >= 1 term survive into the eager
+    localCheckpoint (the pass's one job), so the materialized frame is
+    match-sized, not corpus-sized, and every downstream reference reads
+    blocks instead of re-tokenizing (the deterministic fix for the r14
+    AQE-stage-reuse gamble, which never fired and measured slower).
+
+    Returns ``(rows, metrics)`` where ``rows`` is one row per matching
+    (doc, term) — (doc_id[, dl], word, tf>0), the same row set the old
+    explode+groupBy produced — and ``metrics`` has ``n``[, ``sumdl``]
+    and ``df0..dfK``."""
+    from pyspark.sql import Observation
+
+    ws = F.split("text", " ")
+    cols = [F.col("doc_id")]
+    if with_dl:
+        cols.append(F.size(ws).alias("dl"))
+    def _eq(term: str):
+        # NB: a default-arg binding (lambda x, _t=t: ...) would give the
+        # lambda two parameters and PySpark would treat it as the
+        # (element, index) form — bind via closure instead
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(terms):
+        cols.append(F.size(F.filter(ws, _eq(t))).alias(f"__tf{i}"))
+    per = docs.select(*cols)
+    metrics = [F.count(F.lit(1)).alias("n")]
+    if with_dl:
+        metrics.append(F.sum("dl").alias("sumdl"))
+    metrics += [
+        F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
+        for i in range(len(terms))
+    ]
+    obs = Observation()
+    per = per.observe(obs, *metrics)
+    match = F.col("__tf0") > 0
+    for i in range(1, len(terms)):
+        match = match | (F.col(f"__tf{i}") > 0)
+    m = per.where(match).localCheckpoint(eager=True)  # the one corpus job
+    stack = "stack({}, {}) as (word, tf)".format(
+        len(terms),
+        ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(terms)),
+    )
+    rows = m.selectExpr(
+        "doc_id", *(("dl",) if with_dl else ()), stack
+    ).where(F.col("tf") > 0)
+    return rows, obs.get
+
+
+def _per_word_literal(terms: list[str], values: list) -> Column:
+    """CASE word WHEN t0 THEN v0 ... — attaches a per-term exact
+    constant (df) to the stacked rows without any join."""
+    col = F.when(F.col("word") == terms[0], F.lit(values[0]))
+    for t, v in zip(terms[1:], values[1:]):
+        col = col.when(F.col("word") == t, F.lit(v))
+    return col
+
+
 @register(
     "doc_search_tfidf",
     """
@@ -1021,40 +1090,28 @@ def doc_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-scored search over the corpus: score(doc) = sum over
     query terms of tf(term, doc) * ln(N / df(term)).
 
-    Scale: the corpus-side scan filters to query terms BEFORE any
-    exchange (a handful of tokens per doc survive), df is a tiny
-    per-term aggregate joined broadcast, and the final top-k is a
-    TakeOrdered — no corpus-sized shuffle anywhere.
+    round-15 (r14 VERDICT item 1 — the r14 df-from-tf rewrite relied on
+    AQE stage reuse that never fired and measured SLOWER in both the
+    driver and builder datasets): the whole query now runs off ONE
+    deterministic corpus tokenize pass — see ``_scored_search_tf_rows``.
+    The corpus-global constants (N, per-term df) ride that pass as
+    ``observe`` metrics, so no second scan, no broadcast-build jobs,
+    no reliance on runtime exchange reuse. The scoring plan is:
+    checkpointed matching rows -> stack -> one hash exchange (doc_id
+    partial/final agg) -> TakeOrdered.
     """
     terms = ["merge", "window", "customer"]
     docs = _t(spark, sf_dir)["documents"]
-    n_total = docs.agg(F.count(F.lit(1)).alias("total"))
-    w = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).where(F.col("word").isin(terms))
-    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    # round-14 (guide §2.4): df is DERIVED from the tf aggregate — tf
-    # has exactly one row per (doc, word) present, so count(*) per word
-    # equals count_distinct(doc_id) over the exploded stream. The old
-    # separate df leg re-ran the corpus scan + explode (different
-    # grouping key, so AQE stage reuse could not share it); now both
-    # references read the SAME tf subtree (canonically identical →
-    # one scan+explode+exchange at runtime) and the df exchange runs
-    # over the tiny query-term-only tf output.
-    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    rows, st = _scored_search_tf_rows(docs, terms, with_dl=False)
+    df_col = _per_word_literal(terms, [st[f"df{i}"] for i in range(len(terms))])
+    # same per-row arithmetic as before: tf * ln(N/df) with N and df
+    # exact integers (count metrics), summed per doc by the agg
+    contrib = F.col("tf") * F.log(
+        F.lit(int(st["n"])).cast("double") / df_col
+    )
     return (
-        tf.join(F.broadcast(df_t), "word")
-        .crossJoin(F.broadcast(n_total))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("tf")
-                    * F.log(F.col("total").cast("double") / F.col("df"))
-                ),
-                4,
-            ).alias("score")
-        )
+        rows.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
     )
@@ -1112,43 +1169,33 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dl = doc token count and avgdl its corpus mean — the
     length-normalized, tf-saturating upgrade of ``doc_search_tfidf``.
 
-    Scale (same plan discipline as the TF-IDF twin): dl rides the
-    SAME narrow projection that explodes words, the corpus-side term
-    filter runs before any exchange, df and the (N, avgdl) scalar are
-    tiny broadcast sides, and the final top-k is a TakeOrdered — no
-    corpus-sized shuffle anywhere.
+    round-15 (r14 VERDICT item 1): ONE corpus tokenize pass for the
+    whole query (previously two — the (N, avgdl) stats leg re-split
+    every text — plus an AQE-reuse gamble on the df leg that measured
+    slower in both r14 datasets). N, sum(dl) and the per-term dfs all
+    ride the single pass as ``observe`` metrics; they are exact
+    integer aggregates, so avgdl = sumdl/n reproduces the old
+    ``avg(size(ws))`` double bit-for-bit. Scoring runs over the
+    checkpointed matching rows: stack -> one hash exchange (doc_id
+    agg) -> TakeOrdered. No corpus-sized shuffle anywhere, no second
+    text scan at any scale.
     """
     terms = ["merge", "window", "customer"]
     docs = _t(spark, sf_dir)["documents"]
-    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("ws")).alias("avgdl")
-    )
-    w = toks.select(
-        "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("word")
-    ).where(F.col("word").isin(terms))
-    tf = w.groupBy("doc_id", "word", "dl").agg(F.count(F.lit(1)).alias("tf"))
-    # df derived from tf (round-14, same rationale as doc_search_tfidf):
-    # (doc_id, word) is unique in tf (dl is functionally dependent on
-    # doc_id), so count(*) per word == count_distinct(doc_id) — one
-    # corpus scan+explode instead of two.
-    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    rows, st = _scored_search_tf_rows(docs, terms, with_dl=True)
+    df_col = _per_word_literal(terms, [st[f"df{i}"] for i in range(len(terms))])
+    n = F.lit(int(st["n"]))
+    avgdl = F.lit(st["sumdl"] / st["n"])  # exact long/long -> IEEE double
     idf = F.log(
-        F.lit(1.0)
-        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        F.lit(1.0) + (n - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
     )
     norm = F.col("tf") * F.lit(_BM25_K1 + 1) / (
         F.col("tf")
         + F.lit(_BM25_K1)
-        * (
-            F.lit(1.0 - _BM25_B)
-            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
-        )
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
     )
     return (
-        tf.join(F.broadcast(df_t), "word")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
+        rows.groupBy("doc_id")
         .agg(F.round(F.sum(idf * norm), 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)

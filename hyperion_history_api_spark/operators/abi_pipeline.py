@@ -205,7 +205,14 @@ def binary_action_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def attach_blob(scalars: DataFrame) -> DataFrame:
+# Fan-out sizing for the Python codec boundary: below this many rows a
+# single Arrow task finishes faster than the per-task constants of a
+# fan-out (worker launch + Arrow batch framing + scheduling, ~10-30 ms
+# per task), so a LIMIT-bounded feed skips the exchange entirely.
+_CODEC_ROWS_PER_TASK = 4096
+
+
+def attach_blob(scalars: DataFrame, *, n_est: int | None = None) -> DataFrame:
     """Attach the encoded ``abi_blob`` to scalar action rows.
 
     round-14 (guide §2.5 input skew): the events feed is ONE parquet
@@ -219,12 +226,28 @@ def attach_blob(scalars: DataFrame) -> DataFrame:
     callers' selective filters (action_name/event_type) still push
     below the exchange to the scan. AQE byte-based coalescing is
     deliberately not relied on: the cost here is Python compute per
-    row, not bytes, so a tiny input must still fan out."""
+    row, not bytes, so a tiny (but corpus-proportional) input must
+    still fan out.
+
+    round-15 (r14 VERDICT item 2 — the unconditional fan-out was
+    width-blind): callers that KNOW their row count (the LIMIT-bounded
+    query paths: 500 rows after a TakeOrdered) pass ``n_est`` and the
+    width derives from it — ``ceil(n_est / _CODEC_ROWS_PER_TASK)``
+    capped at defaultParallelism; at or below one task's worth the
+    exchange is skipped outright (the TakeOrdered output is a single
+    partition already). 32 Arrow tasks under 500 rows made the 8-core
+    driver run 3x FASTER than 32-core (c8/c32 ratio 0.34) because
+    per-task constants, not compute, dominated. Unbounded
+    (corpus-proportional) callers keep the full fan-out."""
     spark = scalars.sparkSession
+    blob = _encode_blob(F.struct(*[f.name for f in _ENCODE_IN.fields]))
+    if n_est is not None and n_est <= _CODEC_ROWS_PER_TASK:
+        return scalars.withColumn("abi_blob", blob)
     npart = max(spark.sparkContext.defaultParallelism, 2)
+    if n_est is not None:
+        npart = min(npart, -(-n_est // _CODEC_ROWS_PER_TASK))
     return scalars.repartition(npart, "global_sequence").withColumn(
-        "abi_blob",
-        _encode_blob(F.struct(*[f.name for f in _ENCODE_IN.fields])),
+        "abi_blob", blob
     )
 
 

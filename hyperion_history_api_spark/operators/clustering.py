@@ -151,43 +151,65 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    edges = (
-        pairs.select(
-            F.col(left).cast("long").alias("u"),
-            F.col(right).cast("long").alias("v"),
+    # round-15 (r14 ADVICE medium): the contraction loop's lazy
+    # checkpoints on `edges` are MARKED ancestors of the `cur` frames
+    # the probe actions run on, and with Spark's default
+    # spark.checkpoint.checkpointAllMarkedAncestors=false doCheckpoint
+    # stops at the nearest marked RDD — `edges` lineage was never
+    # truncated (the checkpoint degraded to a plain persist; an
+    # evicted block would recompute through multi-round lineage).
+    # The switch is a thread-local property read when each RDD is
+    # created, so setting it here scopes the fix to this call while
+    # keeping the r14 job fusion: each probe job still materializes
+    # the marked ancestors inside itself — no extra job round.
+    sc = pairs.sparkSession.sparkContext
+    _PROP = "spark.checkpoint.checkpointAllMarkedAncestors"
+    prev_prop = sc.getLocalProperty(_PROP)
+    sc.setLocalProperty(_PROP, "true")
+    try:
+        edges = (
+            pairs.select(
+                F.col(left).cast("long").alias("u"),
+                F.col(right).cast("long").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            # lazy: the count() below materializes the checkpoint blocks in
+            # the SAME job, so every call saves one serialized job round
+            # (r14 A/B: 7 -> 6 jobs per small-graph call, deterministic)
+            .localCheckpoint(eager=False)
         )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        # lazy: the count() below materializes the checkpoint blocks in
-        # the SAME job, so every call saves one serialized job round
-        # (r14 A/B: 7 -> 6 jobs per small-graph call, deterministic)
-        .localCheckpoint(eager=False)
-    )
-    if edges.count() <= small_graph_edges:
-        # round-14: the union-find labels ALREADY cover every node of
-        # every edge (find() registers both endpoints), so the old
-        # nodes-join was a no-op that cost two exchanges (canon
-        # distinct + explode distinct) and a join per call — dropped.
-        return _driver_union_find(edges)
+        if edges.count() <= small_graph_edges:
+            # round-14: the union-find labels ALREADY cover every node of
+            # every edge (find() registers both endpoints), so the old
+            # nodes-join was a no-op that cost two exchanges (canon
+            # distinct + explode distinct) and a join per call — dropped.
+            return _driver_union_find(edges)
 
-    nodes = _canon(edges).select(
-        F.explode(F.array("u", "v")).alias("id")
-    ).distinct()
+        nodes = _canon(edges).select(
+            F.explode(F.array("u", "v")).alias("id")
+        ).distinct()
 
-    # Same fusion in the contraction loop: each round's stat probe
-    # materializes the lazily-marked edges + canon checkpoints as part
-    # of its own job (3 job rounds/iteration -> 1).
-    prev = _canon(edges).localCheckpoint(eager=False)
-    prev_stat = _stat(prev)
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        cur = _canon(edges).localCheckpoint(eager=False)
-        cur_stat = _stat(cur)
-        if cur_stat == prev_stat and cur.exceptAll(prev).limit(1).count() == 0:
-            break
-        prev, prev_stat = cur, cur_stat
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+        # Same fusion in the contraction loop: each round's stat probe
+        # finalizes the lazily-marked edges + canon checkpoints as part
+        # of its own job (3 job rounds/iteration -> 1; the marked-
+        # ancestors property above is what makes the edges finalization
+        # actually happen).
+        prev = _canon(edges).localCheckpoint(eager=False)
+        prev_stat = _stat(prev)
+        for _ in range(max_iter):
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            cur = _canon(edges).localCheckpoint(eager=False)
+            cur_stat = _stat(cur)
+            if cur_stat == prev_stat and cur.exceptAll(prev).limit(1).count() == 0:
+                break
+            prev, prev_stat = cur, cur_stat
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds"
+            )
+    finally:
+        sc.setLocalProperty(_PROP, prev_prop)
 
     # At the fixpoint the graph is a star forest: every edge links a
     # node to its component minimum. Canonical orientation is

@@ -28,6 +28,19 @@ def get_spark(app_name: str = "hyperion-spark", master: str | None = None) -> Sp
       DuckDB oracle (naive timestamps).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Fail fast on a typo'd codec env (r14 ADVICE low): unvalidated, a
+    # bad value only surfaces at the first parquet WRITE as a deep
+    # Spark error far from the env var that caused it.
+    codec = os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd").lower()
+    _PARQUET_CODECS = {
+        "none", "uncompressed", "snappy", "gzip", "lzo",
+        "brotli", "lz4", "lz4_raw", "zstd",
+    }
+    if codec not in _PARQUET_CODECS:
+        raise ValueError(
+            f"SPARK_GRAFT_PARQUET_CODEC={codec!r} is not a parquet codec "
+            f"Spark supports; use one of {sorted(_PARQUET_CODECS)}"
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -52,10 +65,7 @@ def get_spark(app_name: str = "hyperion-spark", master: str | None = None) -> Sp
         # at 100 TB the byte win dominates; override per-deployment via
         # SPARK_GRAFT_PARQUET_CODEC (e.g. snappy for CPU-starved,
         # disk-rich local targets).
-        .config(
-            "spark.sql.parquet.compression.codec",
-            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
-        )
+        .config("spark.sql.parquet.compression.codec", codec)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -101,19 +101,49 @@ def test_cc_accepts_unmaterialized_lazy_checkpoint_input(spark):
 
 
 def test_small_graph_probe_fuses_checkpoint_job(spark):
-    """Round-14 pin: the edges localCheckpoint is lazy, so the size
-    probe's count() materializes it inside its own job — a small-graph
-    CC call runs 4 jobs (probe + union-find collect, plus AQE's
-    sub-jobs), not 5 (an eager checkpoint adds a separate
-    materialization job round). Guards eagerness regressions."""
+    """Round-14 pin, relativized in round 15 (r14 ADVICE low — an
+    absolute job count depends on AQE's stage-to-job decomposition and
+    flakes across Spark upgrades): the production call (lazy edges
+    checkpoint, materialized inside the size probe's own count() job)
+    must not run MORE jobs than the same probe with an explicitly
+    eager checkpoint, which pays a separate materialization job round.
+    Guards eagerness regressions without pinning Spark's job split
+    (the absolute counts were 4 vs 5 on Spark 4.1)."""
+    from pyspark.sql import functions as F
+
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     df = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
     connected_components(df).collect()  # warm
-    sc.setJobGroup("cc-fuse-pin", "cc")
-    connected_components(df)
-    sc.setJobGroup("", "")
-    assert len(tracker.getJobIdsForGroup("cc-fuse-pin")) <= 4
+
+    def _jobs(group: str, fn) -> int:
+        sc.setJobGroup(group, group)
+        fn()
+        sc.setJobGroup("", "")
+        return len(tracker.getJobIdsForGroup(group))
+
+    def _eager_probe() -> None:
+        # the same edge-canonicalization probe connected_components
+        # runs, but with the checkpoint eager: one materialization job
+        # plus the count job
+        edges = (
+            df.select(
+                F.col("id_a").cast("long").alias("u"),
+                F.col("id_b").cast("long").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges.count()
+
+    lazy_jobs = _jobs("cc-fuse-pin-lazy", lambda: connected_components(df))
+    eager_jobs = _jobs("cc-fuse-pin-eager", _eager_probe)
+    # connected_components additionally collects the union-find input
+    # (one job), so its probe portion is lazy_jobs - 1; the fused lazy
+    # checkpoint must run STRICTLY fewer probe jobs than the eager
+    # variant (which pays a separate materialization round)
+    assert lazy_jobs - 1 < eager_jobs
 
 
 def test_max_iter_raises(spark):

@@ -249,16 +249,46 @@ def test_user_sessions_single_key_shuffle(spark):
     assert "PushedFilters: [IsNotNull(ts)]" in plan
 
 
-def test_tfidf_topk_and_broadcast(spark):
-    """TF-IDF search: df joins broadcast, corpus-side term filter runs
-    before any exchange, and the final top-20 is a TakeOrdered merge,
-    not a global sort."""
-    plan = _plan(_q("doc_search_tfidf", spark))
+def test_tfidf_single_pass_topk(spark):
+    """TF-IDF search, round-15 shape: the WHOLE query runs off one
+    corpus tokenize pass (the eager checkpoint job triggered at plan
+    build — N and per-term dfs ride it as observe metrics), and the
+    scoring plan over the checkpointed match-sized rows has no join at
+    all, exactly one hash exchange (the doc_id agg) and a TakeOrdered
+    top-20 — no global sort, no single-partition funnel, no second
+    scan for df/stats that AQE may or may not dedupe."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    _q("doc_search_tfidf", spark)  # warm (index/stat caches)
+    sc.setJobGroup("tfidf-build-pin", "build")
+    df = _q("doc_search_tfidf", spark)
+    sc.setJobGroup("", "")
+    # the single tokenize pass = the one job query construction runs
+    assert len(tracker.getJobIdsForGroup("tfidf-build-pin")) == 1
+    plan = _plan(df)
     assert "TakeOrderedAndProject(limit=20" in plan
-    assert "BroadcastHashJoin" in plan
-    assert " IN (merge,window,customer)" in plan
-    # the only single-partition funnel is the 1-row corpus-count scalar
-    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    # the scoring plan reads the checkpointed rows, not the corpus
+    assert "documents.parquet" not in plan
+
+
+def test_bm25_single_pass_topk(spark):
+    """Same round-15 single-pass pin for the BM25 twin (its old form
+    paid a SECOND corpus split for the (N, avgdl) stats leg)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    _q("doc_search_bm25", spark)  # warm
+    sc.setJobGroup("bm25-build-pin", "build")
+    df = _q("doc_search_bm25", spark)
+    sc.setJobGroup("", "")
+    assert len(tracker.getJobIdsForGroup("bm25-build-pin")) == 1
+    plan = _plan(df)
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "documents.parquet" not in plan
 
 
 def test_semdedup_no_cartesian(spark):
