@@ -75,7 +75,10 @@ def abi_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus): at the 30x/100x replicas the old plan decoded 0.75M/
     2.5M rows to emit 500."""
     top = (
-        binary_action_scalars(spark, sf_dir)
+        # event_types: the base-column twin of action_name=='transfer'
+        # (bijective CASE) — pushes to the parquet scan; the derived
+        # filter stays for readability and constant-folds to true
+        binary_action_scalars(spark, sf_dir, event_types=("purchase",))
         .where(F.col("action_name") == "transfer")
         .orderBy("global_sequence")
         .limit(500)
@@ -118,7 +121,8 @@ def abi_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-500 by global_sequence restricts the Python boundary to the
     rows the query can emit."""
     top = (
-        binary_action_scalars(spark, sf_dir)
+        # base-column twin of action_name=='doit' (pushes to the scan)
+        binary_action_scalars(spark, sf_dir, event_types=("error",))
         .where(F.col("action_name") == "doit")
         .orderBy("global_sequence")
         .limit(500)

@@ -1008,51 +1008,59 @@ def _scored_search_tf_rows(
     blocks instead of re-tokenizing (the deterministic fix for the r14
     AQE-stage-reuse gamble, which never fired and measured slower).
 
+    The token work keeps the OLD form's whole-stage-codegen kernels
+    (split -> Generate/explode -> isin filter -> partial+final hash
+    agg; higher-order array functions are CodegenFallback-interpreted
+    and measured SLOWER at sf1) — the pass count is what changes: the
+    observe node sits on the per-doc frame BELOW the explode, so ALL
+    the corpus-global metrics — N, sum(dl), and each term's df via the
+    codegen'd ``array_contains`` — ride the same scan. The scorer then
+    needs no df join, no window, no broadcast: the per-term constants
+    enter as exact-integer literals over the checkpointed rows.
+
+    (Rejected alternatives, both measured at sf3: a window
+    partitionBy(word) df funnels every match row into <= n_terms tasks
+    — guide §2.5 few-distinct-keys skew — 0.84x; a broadcast df join
+    re-read from the checkpoint pays one extra serialized job round.)
+
     Returns ``(rows, metrics)`` where ``rows`` is one row per matching
-    (doc, term) — (doc_id[, dl], word, tf>0), the same row set the old
-    explode+groupBy produced — and ``metrics`` has ``n``[, ``sumdl``]
-    and ``df0..dfK``."""
+    (doc, term) — (doc_id[, dl], word, tf>0), the exact row set and
+    aggregation the old explode+groupBy produced — and ``metrics`` has
+    ``n``, ``df0..dfK``[, ``sumdl``]."""
     from pyspark.sql import Observation
 
-    ws = F.split("text", " ")
-    cols = [F.col("doc_id")]
-    if with_dl:
-        cols.append(F.size(ws).alias("dl"))
-    def _eq(term: str):
-        # NB: a default-arg binding (lambda x, _t=t: ...) would give the
-        # lambda two parameters and PySpark would treat it as the
-        # (element, index) form — bind via closure instead
-        return lambda x: x == F.lit(term)
-
-    for i, t in enumerate(terms):
-        cols.append(F.size(F.filter(ws, _eq(t))).alias(f"__tf{i}"))
-    per = docs.select(*cols)
+    per = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    obs = Observation()
     metrics = [F.count(F.lit(1)).alias("n")]
     if with_dl:
-        metrics.append(F.sum("dl").alias("sumdl"))
+        metrics.append(F.sum(F.size("ws")).cast("long").alias("sumdl"))
     metrics += [
-        F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
-        for i in range(len(terms))
+        F.sum(F.array_contains("ws", t).cast("long")).alias(f"df{i}")
+        for i, t in enumerate(terms)
     ]
-    obs = Observation()
     per = per.observe(obs, *metrics)
-    match = F.col("__tf0") > 0
-    for i in range(1, len(terms)):
-        match = match | (F.col(f"__tf{i}") > 0)
-    m = per.where(match).localCheckpoint(eager=True)  # the one corpus job
-    stack = "stack({}, {}) as (word, tf)".format(
-        len(terms),
-        ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(terms)),
+    keys = ["doc_id"]
+    wcols = [F.col("doc_id")]
+    if with_dl:
+        keys.append("dl")
+        wcols.append(F.size("ws").alias("dl"))
+    w = per.select(*wcols, F.explode("ws").alias("word")).where(
+        F.col("word").isin(terms)
     )
-    rows = m.selectExpr(
-        "doc_id", *(("dl",) if with_dl else ()), stack
-    ).where(F.col("tf") > 0)
-    return rows, obs.get
+    tf = (
+        w.groupBy(*keys, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # the one corpus job: scan -> observe -> explode -> term filter
+        # -> partial agg -> (match-sized) exchange -> final agg, all
+        # materialized here; the scorer reads blocks
+        .localCheckpoint(eager=True)
+    )
+    return tf, obs.get
 
 
-def _per_word_literal(terms: list[str], values: list) -> Column:
+def _per_word_literal(terms: list[str], values: list):
     """CASE word WHEN t0 THEN v0 ... — attaches a per-term exact
-    constant (df) to the stacked rows without any join."""
+    constant (df) to the tf rows without any join."""
     col = F.when(F.col("word") == terms[0], F.lit(values[0]))
     for t, v in zip(terms[1:], values[1:]):
         col = col.when(F.col("word") == t, F.lit(v))
@@ -1094,21 +1102,25 @@ def doc_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE stage reuse that never fired and measured SLOWER in both the
     driver and builder datasets): the whole query now runs off ONE
     deterministic corpus tokenize pass — see ``_scored_search_tf_rows``.
-    The corpus-global constants (N, per-term df) ride that pass as
-    ``observe`` metrics, so no second scan, no broadcast-build jobs,
-    no reliance on runtime exchange reuse. The scoring plan is:
-    checkpointed matching rows -> stack -> one hash exchange (doc_id
-    partial/final agg) -> TakeOrdered.
+    N rides that pass as an ``observe`` metric (exact integer, enters
+    the score as a literal) and df is a window count over the
+    CHECKPOINTED match-sized tf rows, so there is no second scan and
+    no reliance on runtime exchange reuse. Scoring plan: checkpointed
+    tf -> window(word) -> one hash exchange (doc_id agg) ->
+    TakeOrdered.
     """
     terms = ["merge", "window", "customer"]
     docs = _t(spark, sf_dir)["documents"]
-    rows, st = _scored_search_tf_rows(docs, terms, with_dl=False)
-    df_col = _per_word_literal(terms, [st[f"df{i}"] for i in range(len(terms))])
+    tf, st = _scored_search_tf_rows(docs, terms, with_dl=False)
+    df_col = _per_word_literal(
+        terms, [int(st[f"df{i}"]) for i in range(len(terms))]
+    )
     # same per-row arithmetic as before: tf * ln(N/df) with N and df
-    # exact integers (count metrics), summed per doc by the agg
+    # exact integers, summed per doc by the agg
     contrib = F.col("tf") * F.log(
         F.lit(int(st["n"])).cast("double") / df_col
     )
+    rows = tf
     return (
         rows.groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 4).alias("score"))
@@ -1172,18 +1184,21 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-15 (r14 VERDICT item 1): ONE corpus tokenize pass for the
     whole query (previously two — the (N, avgdl) stats leg re-split
     every text — plus an AQE-reuse gamble on the df leg that measured
-    slower in both r14 datasets). N, sum(dl) and the per-term dfs all
-    ride the single pass as ``observe`` metrics; they are exact
-    integer aggregates, so avgdl = sumdl/n reproduces the old
-    ``avg(size(ws))`` double bit-for-bit. Scoring runs over the
-    checkpointed matching rows: stack -> one hash exchange (doc_id
-    agg) -> TakeOrdered. No corpus-sized shuffle anywhere, no second
-    text scan at any scale.
+    slower in both r14 datasets). N and sum(dl) ride the single pass
+    as ``observe`` metrics; they are exact integer aggregates, so
+    avgdl = sumdl/n reproduces the old ``avg(size(ws))`` double
+    bit-for-bit. df is a window count over the CHECKPOINTED
+    match-sized tf rows. Scoring: checkpointed tf -> window(word) ->
+    one hash exchange (doc_id agg) -> TakeOrdered. No corpus-sized
+    shuffle anywhere, no second text scan at any scale.
     """
     terms = ["merge", "window", "customer"]
     docs = _t(spark, sf_dir)["documents"]
-    rows, st = _scored_search_tf_rows(docs, terms, with_dl=True)
-    df_col = _per_word_literal(terms, [st[f"df{i}"] for i in range(len(terms))])
+    tf, st = _scored_search_tf_rows(docs, terms, with_dl=True)
+    rows = tf
+    df_col = _per_word_literal(
+        terms, [int(st[f"df{i}"]) for i in range(len(terms))]
+    )
     n = F.lit(int(st["n"]))
     avgdl = F.lit(st["sumdl"] / st["n"])  # exact long/long -> IEEE double
     idf = F.log(
@@ -2588,25 +2603,24 @@ def doc_search_match_and_indexed(
 def doc_search_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf * ln(N/df) from postings/df/stats — the index serves any
     term-statistic scorer, not just BM25: scoring swaps one Column
-    expression, the physical plan (pruned scan + two broadcasts +
+    expression, the physical plan (pruned scan + literal stats +
     TakeOrdered) is identical."""
-    from ..sources.inverted_index import DF_FRAME, STATS_FRAME
-
     terms = ["merge", "window", "customer"]
     store = _bm25_index_store(spark, sf_dir)
     idx = store.read()
     p = store.live_postings(idx).where(F.col("word").isin(terms))
-    d = idx[DF_FRAME].where(F.col("word").isin(terms))
-    s = idx[STATS_FRAME].select("n")
+    # round-15: df and n enter as driver-read exact-integer literals
+    # (see InvertedIndexStore.scalar_aggregates_local) — no broadcast
+    # builds, no joins; same arithmetic
+    df_map, n, _sumdl = store.scalar_aggregates_local(terms)
+    df_col = store._per_word_df(terms, df_map)
     return (
-        p.join(F.broadcast(d), "word")
-        .crossJoin(F.broadcast(s))
-        .groupBy("doc_id")
+        p.groupBy("doc_id")
         .agg(
             F.round(
                 F.sum(
                     F.col("tf")
-                    * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
+                    * F.log(F.lit(n) * F.lit(1.0) / df_col)
                 ),
                 4,
             ).alias("score")

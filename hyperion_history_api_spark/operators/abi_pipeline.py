@@ -170,7 +170,12 @@ def _encode_blob(rows: pd.DataFrame) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def binary_action_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+def binary_action_scalars(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    event_types: tuple[str, ...] | None = None,
+) -> DataFrame:
     """The deterministic scalar columns of :func:`build_binary_actions`
     WITHOUT the encoded blob — pure JVM expressions over the events
     scan. Exposed (round-14, guide §8 "decide with small rows") so
@@ -178,10 +183,22 @@ def binary_action_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap columns first and pay the Python encode/decode boundary for
     exactly the surviving rows: both codec UDFs are row-local (each
     output row depends only on its own scalars), so filtering or
-    top-k-limiting before the blob attach is semantics-preserving."""
+    top-k-limiting before the blob attach is semantics-preserving.
+
+    ``event_types`` (round-15, guide §6): a filter on the DERIVED
+    action_name column is a CASE expression Catalyst cannot invert, so
+    it never reaches the parquet scan (r14 plans: PushedFilters: []
+    with the whole corpus read and CASE-evaluated). Callers that want
+    one action restrict on the BASE column here instead — action_name
+    is a bijection of event_type ('purchase' <-> 'transfer',
+    'error' <-> 'doit'), so the filter is identical row-for-row and
+    lands in PushedFilters where footer min/max and dictionary pages
+    can skip row groups at scale."""
     from ..tables import load_tables
 
     ev = load_tables(spark, sf_dir)["events"]
+    if event_types is not None:
+        ev = ev.where(F.col("event_type").isin(list(event_types)))
     return ev.selectExpr(
         "event_id AS global_sequence",
         "CAST(floor(event_id / 5) AS BIGINT) + 1 AS block_num",

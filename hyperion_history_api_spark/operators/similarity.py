@@ -316,23 +316,16 @@ def quantized_topk(
     qp = quantize_int8(probes, "pe").select(
         "probe_id", F.col("q").alias("pe")
     )
-    scored = (
-        F.broadcast(qp)
-        .crossJoin(qc)
-        .where(F.col(id_col) != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col(id_col).alias("vec_id"),
-            F.round(
-                cosine(
-                    F.transform("pe", lambda x: x.cast("double")),
-                    F.transform("e", lambda x: x.cast("double")),
-                ),
-                4,
-            ).alias("cosine"),
-        )
-    )
-    return _topk(scored, k)
+    # round-15 (guide §4.2): score via brute_force_topk's Arrow-batched
+    # numpy GEMM instead of the interpreted zip_with/aggregate cosine
+    # over a crossJoin — the same rewrite the full-precision twin got
+    # (measured 2.7x there). Bit-safety is STRONGER here than in the
+    # float case that already passed the oracle: int8 components make
+    # every dot product / norm an exact small-integer sum in float64
+    # (<= 127^2 * dims, far under 2^53), so summation order cannot
+    # change a single bit. Same self-exclusion, zero-norm guard and
+    # round(4).
+    return brute_force_topk(qc, qp, k, id_col=id_col)
 
 
 def kmeans_assign(

@@ -438,10 +438,67 @@ class InvertedIndexStore:
 
     # -- serve -----------------------------------------------------------
 
+    def scalar_aggregates_local(
+        self, terms: list[str] | None = None
+    ) -> tuple[dict[str, int], int, int]:
+        """Driver-side read of the two SCALAR aggregate frames —
+        ``(df_map, n, sumdl)``. Every commit path maintains df as one
+        row per word and stats as one row, both coalesce(1) (tiny),
+        so a pyarrow read of the snapshot files is value-identical to
+        the Spark scan — but costs zero Spark jobs, removing the two
+        broadcast-build job rounds every indexed-search query paid
+        (round-15; guide §1.2 "remove passes", §5 driver work is fine
+        for metadata-sized data). ``terms`` prunes the df map."""
+        import pyarrow.parquet as pq
+
+        m = self.log.read_manifest()
+        if m is None:
+            raise ValueError("scalar_aggregates_local requires a seeded store")
+        base = self.log.snapshot_dir(m["snapshot"])
+
+        def _tab(frame: str):
+            import glob
+
+            parts = sorted(
+                glob.glob(os.path.join(base, frame, "*.parquet"))
+            )
+            import pyarrow as pa
+
+            return pa.concat_tables([pq.read_table(p) for p in parts])
+
+        dft = _tab(DF_FRAME)
+        words = dft.column("word").to_pylist()
+        dfs = dft.column("df").to_pylist()
+        df_map = {
+            w: int(d)
+            for w, d in zip(words, dfs)
+            if terms is None or w in terms
+        }
+        st = _tab(STATS_FRAME)
+        return df_map, int(st.column("n")[0].as_py()), int(
+            st.column("sumdl")[0].as_py()
+        )
+
+    @staticmethod
+    def _per_word_df(terms: list[str], df_map: dict[str, int]):
+        """CASE word WHEN t THEN df(t) ... over the pruned postings —
+        terms absent from the index have no postings rows, so their
+        placeholder value is never evaluated."""
+        col = F.when(
+            F.col("word") == terms[0], F.lit(df_map.get(terms[0], 1))
+        )
+        for t in terms[1:]:
+            col = col.when(F.col("word") == t, F.lit(df_map.get(t, 1)))
+        return col
+
     def bm25_scored(self, terms: list[str]) -> DataFrame:
         """Unlimited (doc_id, score) frame from the STORED index:
         postings pruned to the query terms (pushed filter +
-        word-clustered files), df and the 1-row stats broadcast —
+        word-clustered files); df and the 1-row stats are read DRIVER-
+        side (round-15 — they are metadata-sized scalar frames, see
+        ``scalar_aggregates_local``) and enter the plan as exact
+        integer literals, so the plan is scan -> project -> one hash
+        agg -> caller's top-k: no broadcast builds, no joins —
         per-query cost follows matched postings, never the corpus.
         Formula and constants identical to doc_search_bm25. Callers
         compose their own gate/top-k (bm25() below, AND-match in
@@ -450,23 +507,20 @@ class InvertedIndexStore:
         if idx is None:
             raise ValueError("bm25 requires a seeded index store")
         p = self.live_postings(idx).where(F.col("word").isin(terms))
-        d = idx[DF_FRAME].where(F.col("word").isin(terms))
-        s = idx[STATS_FRAME]
+        df_map, n, sumdl = self.scalar_aggregates_local(terms)
+        df_col = self._per_word_df(terms, df_map)
         idf = F.log(
             F.lit(1.0)
-            + (F.col("n") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
+            + (F.lit(n) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
         )
-        avgdl = F.col("sumdl") / F.col("n")
+        avgdl = F.lit(sumdl / n)  # exact long/long -> same IEEE double
         norm = F.col("tf") * F.lit(_BM25_K1 + 1) / (
             F.col("tf")
             + F.lit(_BM25_K1)
             * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
         )
         return (
-            p.join(F.broadcast(d), "word")
-            .crossJoin(F.broadcast(s))
-            .groupBy("doc_id")
+            p.groupBy("doc_id")
             .agg(F.round(F.sum(idf * norm), 4).alias("score"))
         )
 
