@@ -74,14 +74,12 @@ def abi_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     25k rows), but the codec cost is now O(limit) instead of
     O(corpus): at the 30x/100x replicas the old plan decoded 0.75M/
     2.5M rows to emit 500."""
-    top = (
-        # event_types: the base-column twin of action_name=='transfer'
-        # (bijective CASE) — pushes to the parquet scan; the derived
-        # filter stays for readability and constant-folds to true
-        binary_action_scalars(spark, sf_dir, event_types=("purchase",))
-        .where(F.col("action_name") == "transfer")
-        .orderBy("global_sequence")
-        .limit(500)
+    # event_types: the base-column twin of action_name=='transfer'
+    # (bijective CASE) — pushes to the parquet scan; pre_limit takes
+    # the top-500 on the RAW columns so only the survivors pay the
+    # wide derived-column projection (global_sequence == event_id)
+    top = binary_action_scalars(
+        spark, sf_dir, event_types=("purchase",), pre_limit=500
     )
     # No re-sort after the codec: the row SELECTION is already made by
     # the TakeOrdered above (same key), so a trailing orderBy is
@@ -120,12 +118,10 @@ def abi_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     abi_binary_decode: ds_error/used_version are row-local, so the
     top-500 by global_sequence restricts the Python boundary to the
     rows the query can emit."""
-    top = (
-        # base-column twin of action_name=='doit' (pushes to the scan)
-        binary_action_scalars(spark, sf_dir, event_types=("error",))
-        .where(F.col("action_name") == "doit")
-        .orderBy("global_sequence")
-        .limit(500)
+    # base-column twin of action_name=='doit' (pushes to the scan);
+    # pre_limit as in abi_binary_decode
+    top = binary_action_scalars(
+        spark, sf_dir, event_types=("error",), pre_limit=500
     )
     # no trailing re-sort: same rationale as abi_binary_decode
     d = decode_actions(attach_blob(top, n_est=500))

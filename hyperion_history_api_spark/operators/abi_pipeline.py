@@ -175,6 +175,7 @@ def binary_action_scalars(
     sf_dir: str,
     *,
     event_types: tuple[str, ...] | None = None,
+    pre_limit: int | None = None,
 ) -> DataFrame:
     """The deterministic scalar columns of :func:`build_binary_actions`
     WITHOUT the encoded blob — pure JVM expressions over the events
@@ -193,13 +194,30 @@ def binary_action_scalars(
     is a bijection of event_type ('purchase' <-> 'transfer',
     'error' <-> 'doit'), so the filter is identical row-for-row and
     lands in PushedFilters where footer min/max and dictionary pages
-    can skip row groups at scale."""
+    can skip row groups at scale.
+
+    ``pre_limit`` (round-15, guide §1.2 "don't compute what you throw
+    away"): the derived columns are wide row-local string builds
+    (translate/concat, a 280-char memo branch) and global_sequence ==
+    event_id, so a top-k by global_sequence can be taken on the RAW
+    scan columns FIRST and the projection applied to the k survivors —
+    without it the plan computed the wide derivations for every
+    filtered row below the TakeOrdered (all of them, corpus-
+    proportional at the replicas)."""
     from ..tables import load_tables
 
     ev = load_tables(spark, sf_dir)["events"]
     if event_types is not None:
         ev = ev.where(F.col("event_type").isin(list(event_types)))
-    return ev.selectExpr(
+    if pre_limit is not None:
+        # sort BELOW the projection, limit ABOVE it: the
+        # Limit(Project(Sort)) shape is what the planner strategy
+        # rewrites to TakeOrderedAndProject — map-side partial top-k on
+        # the raw event_id, project evaluated on the k survivors only.
+        # (Project(Limit(Sort)) does NOT match and planned as a global
+        # range exchange + RangePartitioner sampling job — measured.)
+        ev = ev.orderBy("event_id")
+    out = ev.selectExpr(
         "event_id AS global_sequence",
         "CAST(floor(event_id / 5) AS BIGINT) + 1 AS block_num",
         "CASE event_type WHEN 'purchase' THEN 'eosio.token' "
@@ -220,6 +238,7 @@ def binary_action_scalars(
         "user_id * 7 + 3 AS points",
         "'note ' || event_type AS note",
     )
+    return out.limit(pre_limit) if pre_limit is not None else out
 
 
 # Fan-out sizing for the Python codec boundary: below this many rows a
@@ -341,6 +360,19 @@ def _decode_blob(rows: pd.DataFrame) -> pd.DataFrame:
 
 
 _DECODE_IN = ["contract", "action_name", "block_num", "abi_blob"]
+
+# round-15 (guide §4.4): both codec UDFs are marked non-deterministic
+# so the optimizer may not MOVE or DUPLICATE them. Concretely:
+# PushProjectionThroughLimit was pushing the (deterministic) UDF
+# projections below the LIMIT-bounded paths' top-k, which stopped the
+# Limit(Project(Sort)) shape from planning as TakeOrderedAndProject —
+# the top-500 degraded to a full range exchange + RangePartitioner
+# sampling job (caught in the executed plan after the r15 fan-out
+# change removed the repartition that had accidentally blocked the
+# push). The functions are pure row-local transforms; the flag only
+# constrains the optimizer.
+_encode_blob = _encode_blob.asNondeterministic()
+_decode_blob = _decode_blob.asNondeterministic()
 
 
 def decode_actions(df: DataFrame) -> DataFrame:
