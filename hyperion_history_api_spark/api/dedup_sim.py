@@ -1047,8 +1047,15 @@ def _scored_search_tf_rows(
     w = per.select(*wcols, F.explode("ws").alias("word")).where(
         F.col("word").isin(terms)
     )
+    # shuffle/materialize a 1-byte term INDEX, not the token string
+    # (§2.3 narrower types): the scorer keys its per-term constants on
+    # the index
+    widx = F.when(F.col("word") == terms[0], F.lit(0))
+    for i, t in enumerate(terms[1:], start=1):
+        widx = widx.when(F.col("word") == t, F.lit(i))
+    w = w.select(*keys, widx.cast("tinyint").alias("widx"))
     tf = (
-        w.groupBy(*keys, "word")
+        w.groupBy(*keys, "widx")
         .agg(F.count(F.lit(1)).alias("tf"))
         # the one corpus job: scan -> observe -> explode -> term filter
         # -> partial agg -> (match-sized) exchange -> final agg, all
@@ -1059,11 +1066,12 @@ def _scored_search_tf_rows(
 
 
 def _per_word_literal(terms: list[str], values: list):
-    """CASE word WHEN t0 THEN v0 ... — attaches a per-term exact
-    constant (df) to the tf rows without any join."""
-    col = F.when(F.col("word") == terms[0], F.lit(values[0]))
-    for t, v in zip(terms[1:], values[1:]):
-        col = col.when(F.col("word") == t, F.lit(v))
+    """CASE widx WHEN i THEN v_i ... — attaches a per-term exact
+    constant (df) to the tf rows without any join, keyed on the 1-byte
+    term index the tf pass carries instead of the token string."""
+    col = F.when(F.col("widx") == 0, F.lit(values[0]))
+    for i in range(1, len(terms)):
+        col = col.when(F.col("widx") == i, F.lit(values[i]))
     return col
 
 
@@ -1102,12 +1110,11 @@ def doc_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE stage reuse that never fired and measured SLOWER in both the
     driver and builder datasets): the whole query now runs off ONE
     deterministic corpus tokenize pass — see ``_scored_search_tf_rows``.
-    N rides that pass as an ``observe`` metric (exact integer, enters
-    the score as a literal) and df is a window count over the
-    CHECKPOINTED match-sized tf rows, so there is no second scan and
-    no reliance on runtime exchange reuse. Scoring plan: checkpointed
-    tf -> window(word) -> one hash exchange (doc_id agg) ->
-    TakeOrdered.
+    N and each term's df ride that pass as ``observe`` metrics (exact
+    integers, entering the score as literals keyed on the 1-byte term
+    index the tf rows carry), so there is no second scan, no df join
+    and no reliance on runtime exchange reuse. Scoring plan:
+    checkpointed tf -> one hash exchange (doc_id agg) -> TakeOrdered.
     """
     terms = ["merge", "window", "customer"]
     docs = _t(spark, sf_dir)["documents"]
@@ -1187,10 +1194,11 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower in both r14 datasets). N and sum(dl) ride the single pass
     as ``observe`` metrics; they are exact integer aggregates, so
     avgdl = sumdl/n reproduces the old ``avg(size(ws))`` double
-    bit-for-bit. df is a window count over the CHECKPOINTED
-    match-sized tf rows. Scoring: checkpointed tf -> window(word) ->
-    one hash exchange (doc_id agg) -> TakeOrdered. No corpus-sized
-    shuffle anywhere, no second text scan at any scale.
+    bit-for-bit; per-term df rides the same pass (codegen'd
+    ``array_contains`` sums) and enters as literals keyed on the
+    1-byte term index. Scoring: checkpointed tf -> one hash exchange
+    (doc_id agg) -> TakeOrdered. No corpus-sized shuffle anywhere, no
+    second text scan at any scale.
     """
     terms = ["merge", "window", "customer"]
     docs = _t(spark, sf_dir)["documents"]

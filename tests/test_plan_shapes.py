@@ -270,7 +270,7 @@ def test_tfidf_single_pass_topk(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject(limit=20" in plan
     assert "Join" not in plan
-    # window(word) df + doc_id agg — both over match-sized rows
+    # at most the checkpoint exchange + the doc_id agg — match-sized
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Exchange SinglePartition" not in plan
     # the scoring plan reads the checkpointed rows, not the corpus
